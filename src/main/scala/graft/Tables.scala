@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet star schema (TESTDATA.md).
+  *
+  * All readers are plain `spark.read.parquet` scans: schema comes from the
+  * parquet footer, and Catalyst pushes filters/column pruning into the scan
+  * (check `PushedFilters`/`ReadSchema` in `.explain("formatted")`). At 100 TB
+  * these would be partitioned tables (e.g. orders by o_orderdate month,
+  * lineitem by l_shipdate month) registered in a catalog; the query code in
+  * `graft.ops` is unchanged either way because partition pruning is a scan
+  * concern, not an operator concern.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  /** The events table carries a parquet TIMESTAMP(NANOS) column, which Spark
+    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * Verify/Bench/test sessions). Under that flag `ts` arrives as LongType
+    * nanoseconds; convert to a microsecond TimestampType via integer
+    * division — exactly the truncation DuckDB 1.x applies when it reads the
+    * same file, so both engines see identical values. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

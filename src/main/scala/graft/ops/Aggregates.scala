@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standard OLAP operators — absent from the reference (its capability-
+  * absence ledger, SURVEY.md §2.6: no agg/sort/set-ops/subqueries) but
+  * required for a credible analytics engine. All native Spark: hash
+  * aggregation with map-side partial aggregation, AQE-selected join
+  * strategies, TakeOrderedAndProject top-k.
+  *
+  * Double-typed aggregates are rounded (2-4 dp) in both the Spark query and
+  * the DuckDB oracle: FP addition is non-associative, so an unrounded
+  * parallel sum would hash-mismatch the oracle's sequential sum at the last
+  * ulp while being equally correct.
+  */
+object Aggregates {
+
+  /** TPC-H Q1 pricing summary: the canonical groupBy-agg. Two-stage hash agg
+    * (partial map-side combine → final after shuffle on the 6-value grouping
+    * key) — at 100 TB the partial agg collapses each scan partition to ≤6
+    * rows, so the shuffle is trivially small regardless of input size. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("returnflag", "linestatus")
+
+  /** TPC-H Q3-style: 3-way join + agg + top-10 by revenue. customer filter
+    * reduces the build side before the join; both joins shuffle on their key
+    * at scale (orderkey join co-partitions lineitem/orders). */
+  def revenueTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey").as("orderkey"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 5-way star join + agg by nation. Dimension tables
+    * (region/nation/supplier) broadcast; the fact-fact lineitem⋈orders join
+    * shuffles on orderkey. s_nationkey = c_nationkey is the classic Q5
+    * "local supplier" constraint. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name").isin("ASIA", "AMERICA"))
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name").as("nation"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  /** Exact count-distinct per group (Spark plans distinct via expand +
+    * two-phase agg; at scale prefer [[approxDistinct]]). */
+  def distinctCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("priority")
+
+  /** HLL-sketch distinct — the 100 TB answer to count-distinct (single
+    * aggregation pass, fixed-size sketch, no expand). No DuckDB oracle
+    * (approx values differ per implementation) → rows-only check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"))
+      .orderBy("priority")
+
+  /** ROLLUP grouping sets (absent in reference; native `.rollup`).
+    * Grouped-out keys are COALESCEd to a sentinel so the oracle compare does
+    * not depend on NULL-vs-NULL grouping representation or null ordering. */
+  def rollupStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("status"), lit("(all)")).as("status"),
+        coalesce(col("priority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** CUBE grouping sets over two dimensions. */
+  def cubeFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Left-semi join = EXISTS: customers that placed at least one order.
+    * Semi joins ship only the key column of the probe side and stop at first
+    * match — strictly cheaper than join+distinct at scale. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+      .orderBy("custkey")
+  }
+
+  /** Left-anti join = NOT EXISTS: customers with no urgent orders (every
+    * customer has *some* order in the driver data, so plain no-orders would
+    * be trivially empty). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+      .orderBy("custkey")
+  }
+
+  /** Set operations (absent in reference): big spenders ∪/∩/∖ urgent-order
+    * customers, tagged by which set op produced each row. UNION/INTERSECT/
+    * EXCEPT all plan as aggregations/joins on the full row — at scale each is
+    * one shuffle on the row hash. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val rich = c.filter(col("c_acctbal") > 7500).select(col("c_custkey").as("custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+    rich.union(urgent).distinct().withColumn("op", lit("union"))
+      .unionAll(rich.intersect(urgent).withColumn("op", lit("intersect")))
+      .unionAll(rich.except(urgent).withColumn("op", lit("except")))
+      .orderBy("op", "custkey")
+  }
+
+  /** Cross join (absent in reference): small-dim cartesian product —
+    * broadcast nested loop, fine because both sides are tiny dims. */
+  def crossSmall(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).select(col("r_name").as("region"))
+    val n = Tables.nation(spark, dir).select(col("n_name").as("nation"))
+    r.crossJoin(n).orderBy("region", "nation")
+  }
+}

@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (beyond-reference;
+  * BASELINE.json north star): exact, MinHash+LSH near-dup, SimHash, and
+  * exact n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is one hash-aggregate on a 128-bit fingerprint — never
+  *     groupBy the raw text (shuffling full documents); shuffle 16-byte keys.
+  *   - MinHash signatures are pure map-side expression work (no UDFs, stays
+  *     in WholeStageCodegen); the only shuffle is the band-bucket self-join,
+  *     which is an equi-join on (band, bucket_hash) — skew-prone buckets
+  *     (boilerplate docs) are capped with a per-bucket size limit before the
+  *     pair explosion, the standard guard against O(n²) bucket blowup.
+  *   - candidate verification (exact Jaccard) runs only on LSH candidates,
+  *     never all pairs.
+  */
+object Dedup {
+
+  // ---- shingling ------------------------------------------------------
+
+  /** Word k-shingles of normalized text, distinct. */
+  def shinglesCol(text: Column, k: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+  }
+
+  /** MinHash signature: NUM_PERMS permutations approximated by seeding
+    * xxhash64 with the permutation index — sig[i] = min over shingles of
+    * h(shingle, i). One array expression, fully codegen'd. */
+  def minhashSigCol(shingles: Column, numPerms: Int): Column =
+    transform(
+      sequence(lit(0), lit(numPerms - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  val NumPerms = 32
+  val Bands = 16   // 16 bands x 2 rows: candidate threshold ~ (1/16)^(1/2) = 0.25 Jaccard
+  val Rows = NumPerms / Bands
+
+  // ---- operators ------------------------------------------------------
+
+  /** Exact dedup: group by md5 fingerprint of normalized text, keep the
+    * smallest doc_id per group. The aggregation shuffles only (hash, id)
+    * pairs, not document bodies. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** MinHash LSH candidate pairs with exact-Jaccard verification.
+    * Pipeline: shingle → signature → band → bucket → pair explosion →
+    * signature re-check → exact-Jaccard verify.
+    *
+    * Plan shape chosen for scale: the banding/bucketing stage carries ONLY
+    * (band, bucket, doc_id) — signatures and shingle sets stay out of the
+    * wide shuffle. Buckets are aggregated to id lists (capped: an
+    * over-full bucket is boilerplate, not dedup signal), pairs explode from
+    * the lists as 16-byte rows, and the heavy arrays are joined back per
+    * unique candidate pair only. Estimated similarity gates the exact
+    * verify so most false candidates never touch shingle sets.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.pairsCol
+    // Shingle sets and signatures are each consumed by 2-3 downstream joins;
+    // persist so the shingling/hash work runs once instead of per-join
+    // (at scale these are the expensive map-side passes over every document).
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesCol(col("text"), 3).as("shingles"))
+      .persist()
+    val sigs = docs.select(col("doc_id"), minhashSigCol(col("shingles"), NumPerms).as("sig"))
+      .persist()
+
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * Rows + 1, lit(Rows))))).as("bucket"))
+
+    val pairs = banded
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+      .select(explode(pairsCol(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+    val estimated = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / NumPerms).as("est_sim"))
+      .filter(col("est_sim") >= 0.25)
+
+    estimated
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document: explode tokens → per-token xxhash64 →
+    * per-doc two-phase aggregation where each of the 64 bits sums +1/-1
+    * votes → reassemble the sign bits into a long. The explode + partial
+    * aggregation shape means each token is hashed exactly once and the
+    * shuffle carries only (doc_id, 64 longs) partials — scales to any
+    * corpus size. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol),
+      explode(Text.tokensCol(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    tokens.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash fingerprints + collision groups: documents sharing a simhash
+    * (hamming distance 0) cluster together; near-dup search at scale would
+    * band the 64 bits into 4×16-bit chunks (hamming ≤3 ⇒ some chunk equal —
+    * the standard pigeonhole trick) and self-join per chunk. */
+  def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(spark, dir), "doc_id", "text")
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("keep_id")
+
+  /** Exact n-gram Jaccard via shingle inverted index — the scalable exact
+    * algorithm: explode distinct shingles to postings, cap posting-list
+    * length (shingles shared by >MaxDf docs carry no dedup signal and would
+    * blow the self-join up quadratically), self-join postings on the shingle
+    * to count common shingles per pair, then Jaccard from
+    * |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing ≥1 rare shingle are ever
+    * materialized — no all-pairs stage anywhere.
+    */
+  val MaxDf = 100
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.pairsCol
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesCol(col("text"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), col("sh"))
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val common = postings
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxDf))
+      .select(explode(pairsCol(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(docs.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table — the batch shape of what
+  * [[graft.streaming.EventStream]] runs as a Structured Streaming query.
+  * The reference's "streaming" engine is bounded batch pulling over finite
+  * files (`src/physical_plan/streaming.rs`), not unbounded event-time
+  * processing (SURVEY.md §2.6), so this whole module is beyond-reference.
+  */
+object EventTime {
+
+  /** Tumbling 1-hour window aggregation. Window start is emitted as epoch
+    * seconds (bigint) so the oracle compare is independent of parquet
+    * timestamp physical types (driver data is timestamp[ns]). */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type").as("etype"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("hour_epoch", "etype")
+
+  /** Sliding windows via the native `window()` function: 1-hour window
+    * sliding every 15 minutes. Each event lands in 4 windows (Spark expands
+    * then aggregates — same partial-agg safety as any groupBy). */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type").as("etype"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        unix_timestamp(col("window.end")).as("win_end"),
+        col("etype"), col("n"))
+      .orderBy("win_start", "etype")
+
+  /** Gap-based sessionization (30-minute inactivity gap): the classic
+    * lag → new-session flag → running sum pattern. One shuffle on user_id;
+    * session state never leaves the executor. Expressible identically in
+    * ANSI SQL, so it oracle-checks exactly. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = 1800L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("start_epoch"),
+        unix_timestamp(max(col("ts"))).as("end_epoch"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (beyond-reference;
+  * BASELINE.json north star): token counting, quality scoring, language ID,
+  * fingerprinting. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` expressions — no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with
+  * executors (pure map-side work, zero shuffles except the oracle sort).
+  */
+object Text {
+
+  /** Whitespace tokens of the normalized text. */
+  def tokensCol(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword segments: split on whitespace AND letter/digit/punct
+    * boundaries — a cheap deterministic stand-in for a real BPE vocab that
+    * still distinguishes "words" from punctuation/number runs. */
+  def subwordsCol(text: Column): Column =
+    // e.g. "ab12,cd" -> ["ab","12",",","cd"]
+    filter(
+      split(regexp_replace(text, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+)", "$1 "), "\\s+"),
+      t => t =!= "")
+
+  /** Per-document token statistics. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(tokensCol(col("text"))).as("n_tokens"),
+        size(array_distinct(tokensCol(col("text")))).as("n_unique_tokens"),
+        size(subwordsCol(col("text"))).as("n_subwords"))
+      .orderBy("doc_id")
+
+  /** Heuristic quality score from length/punctuation/letter/stopword ratios —
+    * the standard pre-training corpus filter features, all as codegen'd
+    * string expressions. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("double")
+    val nLetters = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("double")
+    val nPunct = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("double")
+    val toks = tokensCol(t)
+    val nToks = size(toks).cast("double")
+    val meanTokLen = nChars / greatest(nToks, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(nLetters / greatest(nChars, lit(1.0)), 4).as("letter_ratio"),
+        round(nPunct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+        round(meanTokLen, 4).as("mean_token_len"),
+        size(array_distinct(toks)).cast("double").divide(greatest(nToks, lit(1.0))).as("ttr_raw"))
+      .withColumn("ttr", round(col("ttr_raw"), 4)).drop("ttr_raw")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus language statistics (group by the labeled lang column). */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. Small,
+    * broadcast-friendly; at scale this would be a broadcast dim of
+    * (lang, marker) rather than an inlined literal array. */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "por", "que", "una"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Language-ID prediction: score = count of language-marker tokens,
+    * argmax over languages, with a deterministic lang-code tiebreak.
+    * Pure per-row expression work (array intersection against tiny literal
+    * arrays) — embarrassingly parallel at any scale. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(lower(col("text")))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: array_max on (score, lang) structs orders by score then lang;
+    // to make ties pick the alphabetically-first lang, compare on
+    // (score, reversed-lang) — greatest struct = highest score, first lang.
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("lang_true"),
+        array_max(array(scores.map(s =>
+          struct(s.getField("score").as("score"), s.getField("lang").as("lang"))): _*))
+          .getField("lang").as("lang_pred_raw"),
+        array_max(array(scores: _*)).getField("score").as("score"))
+      .withColumn("lang_pred", col("lang_pred_raw")).drop("lang_pred_raw")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key. Deterministic and SQL-expressible, so it
+    * oracle-checks byte-for-byte. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_md5"),
+        xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_xx64"))
+      .orderBy("doc_id")
+}

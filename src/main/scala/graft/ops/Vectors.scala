@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim) — beyond-reference (BASELINE.json north star).
+  *
+  * Two paths, as a real pipeline would have:
+  *   - brute-force cosine top-k: exact baseline. The query set is broadcast,
+  *     so the corpus side streams map-side only — no shuffle of the corpus;
+  *     the per-query top-k is a windowed rank over (query, candidate) scores.
+  *   - multi-table random-hyperplane LSH: L independent code tables of b
+  *     sign bits each; candidates = vector pairs sharing a code in ANY
+  *     table (banding, same recall structure as MinHash LSH). Bucketing is
+  *     pure map-side expression work; the candidate join is an equi-join on
+  *     (table, code). At 100 TB this replaces the O(N·Q) scan with per-
+  *     bucket work, and L/b tune recall vs fan-out.
+  *
+  * All vector math is higher-order functions (`zip_with`/`aggregate`) —
+  * codegen'd, no UDF serialization, no driver-side loops.
+  */
+object Vectors {
+
+  /** dot(a, b) via zip_with + aggregate. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  private[ops] val Dim = 64
+  private[ops] val Tables_ = 8  // L: number of independent LSH tables
+  private[ops] val Bits = 6     // b: sign bits per table
+
+  /** Deterministic random hyperplanes (seeded PRNG — plans must be stable
+    * across runs): Tables_ × Bits planes of ±1 weights over Dim dims. */
+  private[ops] lazy val planes: Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(Tables_, Bits, Dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** b-bit sign code of `vec` under table `t`'s hyperplanes. */
+  def lshCodeCol(vec: Column, t: Int): Column = {
+    val bits = planes(t).zipWithIndex.map { case (w, p) =>
+      val planeLit = array(w.map(lit): _*)
+      when(dotCol(vec, planeLit) > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (table, code) bucket entries for all L tables, as an array to explode. */
+  def lshBucketsCol(vec: Column): Column =
+    array((0 until Tables_).map(t =>
+      struct(lit(t).as("t"), lshCodeCol(vec, t).as("code"))): _*)
+
+  private def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), col("embedding").cast("array<double>").as(vecAs))
+      .select(col(idAs), col(vecAs), explode(lshBucketsCol(col(vecAs))).as("bkt"))
+      .select(col(idAs), col(vecAs), col("bkt.t").as("t"), col("bkt.code").as("code"))
+
+  /** Exact brute-force cosine top-k: queries = vec_id < 10 (broadcast),
+    * k = 5 neighbors each, self-match excluded, deterministic id tiebreak. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("c_vec"), col("label"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("label"),
+        cosineCol(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("c_id"), col("label"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Multi-table LSH ANN: candidates share a code with the query in ≥1 of
+    * the L tables; exact cosine re-rank keeps top-3 per query. The bucket
+    * join carries only ids — vectors are joined back per unique candidate
+    * pair. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val corpus = withBuckets(emb, "c_id", "c_vec").select(col("t"), col("code"), col("c_id"))
+    val queries = withBuckets(emb.filter(col("vec_id") < 10), "q_id", "q_vec")
+      .select(col("t"), col("code"), col("q_id"))
+    val cands = corpus.join(broadcast(queries), Seq("t", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .join(vecs.select(col("vec_id").as("q_id"), col("vec").as("q_vec")), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("c_id"), col("vec").as("c_vec")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), cosineCol(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Embedding near-duplicate pairs: LSH-banded candidate generation +
+    * exact cosine ≥ 0.45 verification — the embedding-space analog of
+    * Dedup.minhashPairs, with the same narrow-shuffle plan shape (id pairs
+    * explode from capped bucket lists; vectors join back per pair).
+    * (Driver data has no planted high-cosine dups; 0.45 sits just above
+    * the similarity noise floor, max ≈ 0.51.) */
+  def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.pairsCol
+    val emb = Tables.embeddings(spark, dir)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val pairs = withBuckets(emb, "id", "v").select(col("t"), col("code"), col("id"))
+      .groupBy(col("t"), col("code"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 2000))
+      .select(explode(pairsCol(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosineCol(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-label embedding statistics via posexplode — numeric array
+    * aggregation without UDAFs (oracle: DuckDB unnest). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        round(avg(col("v")), 4).as("mean_all_dims"),
+        round(stddev_pop(col("v")), 4).as("std_all_dims"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions + event-time analytics (absent in the reference —
+  * SURVEY.md §2.6). Window specs partition by a key, so at 100 TB each
+  * partition's state stays executor-local after one shuffle on the partition
+  * key; no driver-side work anywhere.
+  */
+object Windows {
+
+  /** Top-3 orders per customer by price — row_number with a deterministic
+    * orderkey tiebreak. One shuffle on o_custkey; the rank filter cuts
+    * output before the oracle sort. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"),
+        col("rk"))
+      .orderBy("custkey", "rk")
+  }
+
+  /** Running total per customer over order date — a frame-bounded running
+    * sum. Both Spark and the oracle accumulate left-to-right over the same
+    * deterministic order, so even FP addition matches bit-for-bit; rounding
+    * is belt-and-braces. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy("custkey", "orderkey")
+  }
+
+  /** lag/lead deltas: per-user gap between consecutive events (seconds).
+    * The canonical event-sequence analysis shape: shuffle once on user_id,
+    * sort within partition, no global sort of the fact table. */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_sec"))
+      .orderBy("user_id", "event_id")
+  }
+}

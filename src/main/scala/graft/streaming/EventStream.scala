@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analogs of the batch event-time queries
+  * (graft.ops.EventTime). The reference's "streaming" engine is bounded
+  * batch-at-a-time pulling over finite inputs (`src/physical_plan/
+  * streaming.rs:70-133`, `todo!()` join at `128-131`) — true unbounded
+  * event-time processing with watermarks and state is beyond-reference
+  * (SURVEY.md §2.6) and lives here.
+  *
+  * Sources are `readStream` over the same parquet directory (file-source
+  * replay), so every transform below runs identically against Kafka/socket
+  * sources in production. Watermarks bound state: at 100 TB/day the windowed
+  * agg state per key is O(windows-in-flight), not O(stream length).
+  */
+object EventStream {
+
+  /** File-replay stream of the events table. `maxFilesPerTrigger` gives
+    * multi-micro-batch replay in tests. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source needs a directory root; point it at the sf
+    // dir and glob-filter to the events file (a production source would be a
+    // partitioned directory of arriving files, one micro-batch per trigger).
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // events.parquet ships TIMESTAMP(NANOS); under nanosAsLong it reads as
+    // LongType ns → convert to a real timestamp for watermarking.
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark (late data
+    * beyond the watermark is dropped; state for closed windows is evicted). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/15-minute windowed counts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Event-time session windows via the native `session_window` (gap-based,
+    * watermark-evicted session state). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on a key with watermark-bounded state — the
+    * standard training-data-pipeline "seen-set" operator. Spark keeps one
+    * state row per key inside the watermark horizon. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
+  case class UserRunning(userId: Long, nEvents: Long, sumValue: Double)
+
+  /** Custom per-key state via flatMapGroupsWithState: running per-user
+    * event count/value sum — the `KeyValueGroupedDataset` stateful-op
+    * surface. Production state eviction belongs to an event-time timeout
+    * keyed off the watermark; kept at NoTimeout here because the finite
+    * file-replay harness never advances processing time between batches. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prior = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prior.nEvents
+          var s = prior.sumValue
+          rows.foreach { case (_, v) => n += 1; s += v }
+          val next = UserRunning(userId, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+      .toDF()
+  }
+
+  /** Drive a streaming query over the finite file source to completion into
+    * an in-memory sink table named `queryName` (used by tests). Aggregations
+    * need Complete mode on a finite replay — with Append, windows behind the
+    * final watermark would never emit. */
+  def runToCompletion(df: DataFrame, queryName: String,
+                      mode: OutputMode = OutputMode.Complete()): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

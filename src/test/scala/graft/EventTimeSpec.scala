@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class EventTimeSpec extends SparkSpec {
+
+  test("windows: top-3 per customer, rank within [1,3]") {
+    val rows = Windows.topOrdersPerCustomer(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getAs[Long]("custkey"))
+    byCust.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("running total is monotone per customer (positive prices)") {
+    val rows = Windows.runningTotal(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("custkey")).foreach { case (_, rs) =>
+      val totals = rs.sortBy(_.getAs[Long]("orderkey")).map(_.getAs[Double]("running_total"))
+      // ordered by orderkey != window order (orderdate), so just check positivity
+      assert(totals.forall(_ > 0))
+    }
+  }
+
+  test("event gaps: first event per user has null gap, others >= 0") {
+    val rows = Windows.eventGaps(spark, sfDir).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      assert(rs.count(_.isNullAt(2)) == 1)
+      rs.filter(!_.isNullAt(2)).foreach(r => assert(r.getLong(2) >= 0))
+    }
+  }
+
+  test("tumbling counts sum to total events") {
+    val total = Tables.events(spark, sfDir).count()
+    val sum = EventTime.tumblingHourly(spark, sfDir).agg(org.apache.spark.sql.functions.sum("n"))
+      .first().getLong(0)
+    assert(sum == total)
+  }
+
+  test("sliding windows: each event lands in 4 windows") {
+    val total = Tables.events(spark, sfDir).count()
+    val sum = EventTime.slidingWindows(spark, sfDir).agg(org.apache.spark.sql.functions.sum("n"))
+      .first().getLong(0)
+    assert(sum == total * 4)
+  }
+
+  test("sessions: event counts sum to total; sessions disjoint in time") {
+    val total = Tables.events(spark, sfDir).count()
+    val rows = EventTime.sessionize(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sessions = rs.sortBy(_.getAs[Long]("session_id"))
+      sessions.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_epoch") - a.getAs[Long]("end_epoch") > 1800)
+        case _ =>
+      }
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling counts match the batch query totals") {
+    val events = EventStream.readEvents(spark, sfDir)
+    assert(events.isStreaming)
+    EventStream.runToCompletion(EventStream.tumblingCounts(events), "tumbling_test")
+    val streamed = spark.table("tumbling_test")
+      .agg(sum("n")).first().getLong(0)
+    val batch = Tables.events(spark, sfDir).count()
+    assert(streamed == batch)
+  }
+
+  test("streaming session windows produce bounded sessions") {
+    val events = EventStream.readEvents(spark, sfDir)
+    EventStream.runToCompletion(EventStream.sessionCounts(events), "session_test")
+    val rows = spark.table("session_test").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sfDir).count())
+  }
+
+  test("streaming dedup passes distinct event_ids through") {
+    val events = EventStream.readEvents(spark, sfDir)
+    EventStream.runToCompletion(EventStream.streamingDedup(events), "dedup_test",
+      OutputMode.Append())
+    val n = spark.table("dedup_test").select("event_id").distinct().count()
+    assert(n == spark.table("dedup_test").count())
+    assert(n == Tables.events(spark, sfDir).select("event_id").distinct().count())
+  }
+
+  test("flatMapGroupsWithState emits per-user running totals") {
+    val events = EventStream.readEvents(spark, sfDir)
+    EventStream.runToCompletion(
+      EventStream.runningUserTotals(spark, events), "state_test", OutputMode.Append())
+    val rows = spark.table("state_test").collect()
+    assert(rows.nonEmpty)
+    // last emission per user should equal the batch per-user count
+    val lastN = rows.groupBy(_.getAs[Long]("userId"))
+      .view.mapValues(_.map(_.getAs[Long]("nEvents")).max).toMap
+    val batch = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lastN == batch)
+  }
+}

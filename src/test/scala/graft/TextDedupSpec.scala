@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  test("token counts: n_unique <= n_tokens, subwords >= tokens") {
+    val rows = Text.tokenCounts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_unique_tokens") <= r.getAs[Int]("n_tokens"))
+      assert(r.getAs[Int]("n_subwords") >= r.getAs[Int]("n_tokens"))
+    }
+  }
+
+  test("quality ratios are in [0, 1]") {
+    Text.qualityScores(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Double]("letter_ratio") >= 0 && r.getAs[Double]("letter_ratio") <= 1)
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+      assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1)
+    }
+  }
+
+  test("lang id predicts a known language code with score >= 0") {
+    val rows = Text.langId(spark, sfDir).collect()
+    val langs = Set("en", "de", "fr", "es", "zh")
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("lang_pred")))
+      assert(r.getAs[Int]("score") >= 0)
+    }
+    // heuristic should beat 5-class chance (0.2) on the synthetic corpus
+    val acc = rows.count(r => r.getAs[String]("lang_pred") == r.getAs[String]("lang_true"))
+      .toDouble / rows.length
+    assert(acc > 0.3, s"lang-id accuracy $acc")
+  }
+
+  test("fingerprints: identical normalized text -> identical fp") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "  hello world "),
+      (3L, "different text")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("exact dedup groups sum to corpus size") {
+    val rows = Dedup.exactDedup(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_copies")).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("minhash est_sim approximates exact jaccard on planted dups") {
+    val rows = Dedup.minhashPairs(spark, sfDir).collect()
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_sim")
+      val jac = r.getAs[Double]("jaccard")
+      assert(jac >= 0.2 && est >= 0.25)
+      assert(math.abs(est - jac) < 0.5, s"est $est vs jaccard $jac")
+    }
+  }
+
+  test("simhash groups: identical docs collide") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "entirely unrelated words here")).toDF("doc_id", "text")
+    val hashes = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+  }
+
+  test("ngram jaccard pairs are symmetric-deduped and above threshold") {
+    val rows = Dedup.ngramJaccardPairs(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("pairsCol emits all C(n,2) ordered pairs") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.pairsCol
+    val df = Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("ids")
+    val pairs = df.select(explode(pairsCol(col("ids"))).as("p"))
+      .select("p.a", "p.b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+}

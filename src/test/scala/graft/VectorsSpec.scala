@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class VectorsSpec extends SparkSpec {
+
+  test("dot/cosine columns compute correct values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val row = df.select(
+      Vectors.dotCol(col("a"), col("b")).as("dot"),
+      Vectors.cosineCol(col("a"), col("b")).as("cos")).first()
+    assert(math.abs(row.getDouble(0) - 32.0) < 1e-9)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(row.getDouble(1) - expected) < 1e-9)
+  }
+
+  test("brute force ANN: 5 neighbors per query, descending cosine") {
+    val rows = Vectors.annBruteForce(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      rs.foreach(r => assert(r.getAs[Double]("cos") >= -1.0001 && r.getAs[Double]("cos") <= 1.0001))
+    }
+  }
+
+  test("LSH ANN recall: top-1 of LSH appears in brute-force top-5 often") {
+    val bf = Vectors.annBruteForce(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val lsh = Vectors.annLsh(spark, sfDir).collect()
+      .filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+    assert(lsh.nonEmpty)
+    val hits = lsh.count { case (q, c) => bf.get(q).exists(_.contains(c)) }
+    assert(hits.toDouble / lsh.length >= 0.3, s"$hits/${lsh.length} recalled")
+  }
+
+  test("near-dup pairs are ordered and above threshold") {
+    Vectors.cosineNearDupPairs(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") >= 0.45)
+    }
+  }
+
+  test("label centroids cover all labels with n = count * dim") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Vectors.labelCentroids(spark, sfDir).collect()
+    assert(rows.length == emb.select("label").distinct().count())
+    val total = rows.map(_.getAs[Long]("n_values")).sum
+    assert(total == emb.count() * 64)
+  }
+}
