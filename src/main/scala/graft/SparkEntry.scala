@@ -27,6 +27,10 @@ object SparkEntry {
     "p3_topk"           -> (Relational.topK(_, _)),
     "j1_join_inner"     -> (Relational.joinInner(_, _)),
     "e4_arith_project"  -> (Relational.arithmeticProject(_, _)),
+    "join_left_outer"   -> (AsOf.leftOuterOrderCounts(_, _)),
+    "join_full_outer"   -> (AsOf.fullOuterNationCounts(_, _)),
+    "join_asof"         -> (AsOf.eventAsof(_, _)),
+    "join_range"        -> (AsOf.eventRangeJoin(_, _)),
     // --- OLAP completion (SURVEY.md §7.3 step 2) ---
     "q1_pricing_summary"-> (Aggregates.pricingSummary(_, _)),
     "q3_top_orders"     -> (Aggregates.revenueTopOrders(_, _)),
@@ -103,6 +107,46 @@ object SparkEntry {
         |       l_quantity + l_tax AS qty_plus_tax,
         |       l_extendedprice / l_quantity AS unit_price
         |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey AS custkey, coalesce(n, 0) AS n_urgent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+        |ON c_custkey = o.o_custkey ORDER BY custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+        |           GROUP BY 1 HAVING (c_nationkey % 3) <> 0),
+        |     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+        |           GROUP BY 1 HAVING (s_nationkey % 3) <> 1)
+        |SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nationkey""".stripMargin,
+
+    "join_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+        |     pairs AS (
+        |       SELECT c.user_id, c.event_id AS cid, c.es AS click_es,
+        |              v.event_id AS view_id, v.value AS view_value,
+        |              row_number() OVER (PARTITION BY c.event_id
+        |                                 ORDER BY v.es DESC, v.event_id DESC) AS rn
+        |       FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |       LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |         ON v.user_id = c.user_id AND v.es <= c.es)
+        |SELECT user_id, click_es, view_id, round(view_value, 2) AS view_value
+        |FROM pairs WHERE rn = 1 ORDER BY user_id, click_es""".stripMargin,
+
+    "join_range" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |       c.event_id AS click_id, p.es - c.es AS lag_sec
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.es >= p.es - 600 AND c.es <= p.es
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
