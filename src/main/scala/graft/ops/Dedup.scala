@@ -23,7 +23,10 @@ object Dedup {
 
   // ---- shingling ------------------------------------------------------
 
-  /** Word k-shingles of normalized text, distinct. */
+  /** Word k-shingles of normalized text, distinct — the composable
+    * higher-order-function form (interpreted lambdas; kept as the reference
+    * implementation for the kernel-equivalence spec). Hot paths use
+    * [[graft.functions.TextKernels.shinglesKernel]] instead. */
   def shinglesCol(text: Column, k: Int): Column = {
     val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
     array_distinct(
@@ -32,9 +35,11 @@ object Dedup {
         i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
-  /** MinHash signature: NUM_PERMS permutations approximated by seeding
-    * xxhash64 with the permutation index — sig[i] = min over shingles of
-    * h(shingle, i). One array expression, fully codegen'd. */
+  /** MinHash signature, HOF form: sig[i] = min over shingles of
+    * xxhash64(shingle, i). numPerms nested array traversals per row —
+    * reference implementation only; hot paths use
+    * [[graft.functions.TextKernels.minhashSigKernel]] (one base hash per
+    * shingle + Carter-Wegman mixing). */
   def minhashSigCol(shingles: Column, numPerms: Int): Column =
     transform(
       sequence(lit(0), lit(numPerms - 1)),
@@ -75,10 +80,12 @@ object Dedup {
     // Shingle sets and signatures are each consumed by 2-3 downstream joins;
     // persist so the shingling/hash work runs once instead of per-join
     // (at scale these are the expensive map-side passes over every document).
+    import graft.functions.TextKernels
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesCol(col("text"), 3).as("shingles"))
+      .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles"))
       .persist()
-    val sigs = docs.select(col("doc_id"), minhashSigCol(col("shingles"), NumPerms).as("sig"))
+    val sigs = docs.select(col("doc_id"),
+        TextKernels.minhashSigKernel(col("shingles"), NumPerms).as("sig"))
       .persist()
 
     val banded = sigs.select(
@@ -157,8 +164,9 @@ object Dedup {
 
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
+    import graft.functions.TextKernels
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesCol(col("text"), 3).as("sh"))
+      .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"), col("sh"))
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val common = postings

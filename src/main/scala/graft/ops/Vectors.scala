@@ -24,14 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** dot(a, b) via zip_with + aggregate. */
+  /** dot/cosine via the codegen'd native expressions
+    * ([[graft.functions.DotProduct]]/[[graft.functions.CosineSimilarity]]);
+    * the composable higher-order-function forms are kept for the
+    * equivalence spec. */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-
-  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    graft.functions.VectorExpressions.vecCosine(a, b)
+
+  /** Reference implementations as higher-order functions (interpreted —
+    * ~4-5x slower; used to cross-check the native expressions). */
+  def dotColHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def cosineColHof(a: Column, b: Column): Column =
+    dotColHof(a, b) / (sqrt(dotColHof(a, a)) * sqrt(dotColHof(b, b)))
 
   private[ops] val Dim = 64
   private[ops] val Tables_ = 8  // L: number of independent LSH tables
@@ -59,7 +68,7 @@ object Vectors {
       struct(lit(t).as("t"), lshCodeCol(vec, t).as("code"))): _*)
 
   private def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs), col("embedding").cast("array<double>").as(vecAs))
+    df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
       .select(col(idAs), col(vecAs), explode(lshBucketsCol(col(vecAs))).as("bkt"))
       .select(col(idAs), col(vecAs), col("bkt.t").as("t"), col("bkt.code").as("code"))
 
@@ -68,9 +77,9 @@ object Vectors {
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = emb.select(col("vec_id").as("c_id"),
-      col("embedding").cast("array<double>").as("c_vec"), col("label"))
+      col("embedding").as("c_vec"), col("label"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("label"),
@@ -89,7 +98,7 @@ object Vectors {
     * pair. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("vec"))
     val corpus = withBuckets(emb, "c_id", "c_vec").select(col("t"), col("code"), col("c_id"))
     val queries = withBuckets(emb.filter(col("vec_id") < 10), "q_id", "q_vec")
       .select(col("t"), col("code"), col("q_id"))
@@ -116,7 +125,7 @@ object Vectors {
   def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     val emb = Tables.embeddings(spark, dir)
-    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("vec"))
     val pairs = withBuckets(emb, "id", "v").select(col("t"), col("code"), col("id"))
       .groupBy(col("t"), col("code"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column↔Expression conversion (the classic
+  * `Column(expr)` constructor was sealed off in Spark 4's Connect-compatible
+  * Column API). Lives under `org.apache.spark.sql` solely for access; the
+  * standard pattern OSS Spark libraries use to expose custom Catalyst
+  * expressions as `Column` functions.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
