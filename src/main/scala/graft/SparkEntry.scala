@@ -43,6 +43,10 @@ object SparkEntry {
     "join_anti"         -> (Aggregates.antiJoin(_, _)),
     "set_ops"           -> (Aggregates.setOps(_, _)),
     "join_cross_small"  -> (Aggregates.crossSmall(_, _)),
+    "skew_salted_join"  -> (Skew.saltedOrderRevenue(_, _)),
+    "skew_two_stage_agg"-> (Skew.twoStageAgg(_, _)),
+    "sql_tpch_q6"       -> (graft.api.GraftSql.tpchQ6(_, _)),
+    "sql_subquery"      -> (graft.api.GraftSql.aboveCustomerAvg(_, _)),
     "w1_rank_per_cust"  -> (Windows.topOrdersPerCustomer(_, _)),
     "w2_running_total"  -> (Windows.runningTotal(_, _)),
     "w3_event_gaps"     -> (Windows.eventGaps(_, _)),
@@ -56,6 +60,7 @@ object SparkEntry {
     "text_lang_stats"   -> (Text.langStats(_, _)),
     "text_lang_id"      -> (Text.langId(_, _)),
     "text_fingerprint"  -> (Text.fingerprints(_, _)),
+    "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
     "dedup_minhash"     -> (Dedup.minhashPairs(_, _)),
@@ -64,6 +69,7 @@ object SparkEntry {
     // --- similarity search ---
     "ann_brute_force"   -> (Vectors.annBruteForce(_, _)),
     "ann_lsh"           -> (Vectors.annLsh(_, _)),
+    "ann_ivf"           -> (Vectors.annIvf(_, _)),
     "emb_near_dup"      -> (Vectors.cosineNearDupPairs(_, _)),
     "emb_label_stats"   -> (Vectors.labelCentroids(_, _)),
     // --- multimodal columns ---
@@ -231,6 +237,33 @@ object SparkEntry {
       """SELECT r.r_name AS region, n.n_name AS nation
         |FROM region r CROSS JOIN nation n ORDER BY region, nation""".stripMargin,
 
+    "skew_salted_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "skew_two_stage_agg" ->
+      """SELECT l_returnflag AS returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY returnflag""".stripMargin,
+
+    "sql_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "sql_subquery" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       o_totalprice AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY custkey, orderkey""".stripMargin,
+
     "w1_rank_per_cust" ->
       """SELECT custkey, orderkey, totalprice, rk FROM (
         |  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
@@ -319,6 +352,22 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_brute_force" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 10),
+        |     s AS (SELECT q_id, vec_id AS c_id, label,
+        |                  list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])) AS cos,
+        |                  row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])) DESC,
+        |                             vec_id ASC) AS rk
+        |           FROM embeddings CROSS JOIN q WHERE vec_id <> q_id)
+        |SELECT q_id, rk, c_id, label, round(cos, 4) AS cos
+        |FROM s WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "mm_media_stats" ->
       """SELECT doc_id, 'image/fake-' || lang AS mime,

@@ -1,0 +1,53 @@
+package graft.api
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text front-end (absent in the reference — SURVEY.md §2.6 lists "no
+  * SQL parser"; here it is Spark SQL for free). Registers every driver
+  * table as a temp view once per session, then any ANSI query runs through
+  * the same Catalyst pipeline as the DataFrame API.
+  */
+object GraftSql {
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def register(spark: SparkSession, dir: String): Unit = {
+    tables.foreach { t =>
+      val df = t match {
+        case "events" => Tables.events(spark, dir)
+        case other => Tables.load(spark, dir, other)
+      }
+      df.createOrReplaceTempView(t)
+    }
+  }
+
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    register(spark, dir)
+    spark.sql(query)
+  }
+
+  /** TPC-H Q6 (forecast revenue change) as SQL text — scan + pushed filter
+    * + single global agg, the simplest whole-pipeline SQL check. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |""".stripMargin)
+
+  /** Correlated scalar subquery in SQL (reference has no subqueries at
+    * all): orders above their customer's average order value. */
+  def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       o_totalprice AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY custkey, orderkey
+        |""".stripMargin)
+}

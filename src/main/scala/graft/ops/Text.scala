@@ -107,12 +107,24 @@ object Text {
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. Deterministic and SQL-expressible, so it
-    * oracle-checks byte-for-byte. */
+    * oracle-checks byte-for-byte. (The xxhash64 rolling fingerprint lives
+    * in [[fingerprintsFast]]; DuckDB has no xxhash64, so that variant gets
+    * the rows-only check.) */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_md5"),
-        xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_xx64"))
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** 64-bit fingerprint variant: xxhash64 of the normalized text plus the
+    * SimHash rolling fingerprint — the cheap keys a 100 TB dedup pass
+    * actually shuffles (8-byte vs 16-byte md5, no hex encoding). */
+  def fingerprintsFast(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_xx64"),
+        graft.functions.TextKernels.simhashKernel(col("text")).as("fp_simhash"))
       .orderBy("doc_id")
 }

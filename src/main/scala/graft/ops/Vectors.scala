@@ -142,6 +142,49 @@ object Vectors {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF-style ANN: coarse quantization + probe-limited search — the
+    * third scale path next to brute force and LSH.
+    *
+    *   - nlist coarse centroids, chosen deterministically (the first nlist
+    *     corpus vectors; production would k-means, which only changes how
+    *     the centroid table is built, not the query plan);
+    *   - assignment: every vector gets the centroid with max cosine — a
+    *     broadcast of the tiny centroid table against a map-side argmax,
+    *     NO shuffle of the corpus;
+    *   - search: each query probes its nprobe closest centroid lists only,
+    *     so the candidate join touches ~nprobe/nlist of the corpus instead
+    *     of all of it. At 100 TB the inverted lists would be the parquet
+    *     partitioning key (partition pruning does the probe limiting).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val nprobe = 4
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    // assign: argmax cosine over the broadcast centroid table, map-side only
+    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs)).orderBy(col("cent_cos").desc, col("cent_id").asc)
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+        .crossJoin(broadcast(centroids))
+        .select(col(idAs), col(vecAs), col("cent_id"),
+          cosineCol(col(vecAs), col("cent_vec")).as("cent_cos"))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .drop("cent_cos", "crk")
+    }
+    val corpus = assign(emb, "c_id", "c_vec", keep = 1) // inverted lists
+    val queries = assign(emb.filter(col("vec_id") < 10), "q_id", "q_vec", keep = nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    corpus.join(broadcast(queries), Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosineCol(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Per-label embedding statistics via posexplode — numeric array
     * aggregation without UDAFs (oracle: DuckDB unnest). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
