@@ -165,9 +165,11 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     import graft.functions.TextKernels
+    // consumed by the postings explode + two size joins -> persist
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"), col("sh"))
+      .persist()
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val common = postings
       .groupBy(col("shingle"))
