@@ -36,6 +36,8 @@ object SparkEntry {
     "q3_top_orders"     -> (Aggregates.revenueTopOrders(_, _)),
     "q5_nation_revenue" -> (Aggregates.revenueByNation(_, _)),
     "agg_distinct"      -> (Aggregates.distinctCustomers(_, _)),
+    "q14_promo"         -> (Aggregates.promoRevenue(_, _)),
+    "ev_json_props"     -> (Aggregates.jsonProps(_, _)),
     "agg_approx_distinct" -> (Aggregates.approxDistinct(_, _)),
     "agg_rollup"        -> (Aggregates.rollupStatusPriority(_, _)),
     "agg_cube"          -> (Aggregates.cubeFlagStatus(_, _)),
@@ -195,6 +197,20 @@ object SparkEntry {
         |       count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT p.p_type AS ptype, count(*) AS n_items,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       round(avg(p.p_retailprice), 4) AS avg_retail
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY ptype""".stripMargin,
+
+    "ev_json_props" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY etype""".stripMargin,
 
     "agg_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,

@@ -72,6 +72,36 @@ object Aggregates {
       .orderBy(col("revenue").desc, col("nation"))
   }
 
+  /** TPC-H Q14-style promo revenue share: lineitem ⋈ part with a
+    * conditional aggregate. part is a mid-size dim — broadcast here; at
+    * 100 TB it would be a shuffle join co-partitioned on partkey. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(p("p_type").as("ptype"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+        round(avg("p_retailprice"), 4).as("avg_retail"))
+      .orderBy("ptype")
+  }
+
+  /** Semi-structured column handling: parse the events JSON `props` with
+    * a declared schema (from_json — codegen'd Jackson parse, no UDF) and
+    * aggregate the extracted field. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_type").as("etype"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("etype")
+  }
+
   /** Exact count-distinct per group (Spark plans distinct via expand +
     * two-phase agg; at scale prefer [[approxDistinct]]). */
   def distinctCustomers(spark: SparkSession, dir: String): DataFrame =

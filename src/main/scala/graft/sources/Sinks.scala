@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File sinks (absent in the reference — its only sink is in-process
+  * collect, SURVEY.md §2.1 S3). At 100 TB the write layout IS the read
+  * plan: partition columns give partition pruning on the next scan,
+  * bucketing gives shuffle-free joins on the bucket key.
+  */
+object Sinks {
+
+  /** Hive-style partitioned parquet write: one directory per distinct
+    * value of each partition column. Reads with a predicate on the
+    * partition column scan only matching directories (partition pruning —
+    * visible as `PartitionFilters` in explain). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Bucketed + sorted table write: co-locates rows by hash(bucket key) so
+    * a later join/agg on that key needs no shuffle. Requires a catalog
+    * table (bucket metadata lives in the metastore). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Round-trip demo used by the spec: partition lineitem by returnflag,
+    * read back one partition, prove pruning via the file count actually
+    * scanned. */
+  def partitionedRoundTrip(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    val l = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    writePartitioned(l, outPath, "l_returnflag")
+    spark.read.parquet(outPath).filter(col("l_returnflag") === "R")
+  }
+}
