@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_minhash"     -> (Dedup.minhashPairs(_, _)),
     "dedup_simhash"     -> (Dedup.simhashGroups(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+    "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     // --- similarity search ---
     "ann_brute_force"   -> (Vectors.annBruteForce(_, _)),
     "ann_lsh"           -> (Vectors.annLsh(_, _)),

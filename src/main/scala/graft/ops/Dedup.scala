@@ -162,6 +162,63 @@ object Dedup {
     */
   val MaxDf = 100
 
+  /** Connected components over a near-duplicate pair graph by min-label
+    * propagation: every doc starts labeled with its own id; each round a
+    * doc adopts the smallest label among itself and its neighbors;
+    * converged when no label changes. O(diameter) rounds — near-dup
+    * clusters are tiny/star-shaped, so a handful of distributed joins; at
+    * web scale the same loop runs with the large-star/small-star
+    * optimization, which this structure accommodates (each round is just
+    * joins + groupBy-min).
+    *
+    * This is the operator that turns pairwise dedup output into "keep one
+    * representative per duplicate cluster".
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // undirected edge list, both directions
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters from the MinHash pair graph: component label =
+    * smallest doc_id in the cluster (the keeper); singletons excluded. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("keep_id"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy("keep_id")
+  }
+
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     import graft.functions.TextKernels

@@ -1,0 +1,95 @@
+package graft
+
+import graft.api.Rivulus
+import graft.ops.{Dedup, Skew}
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants over seeded random inputs (SURVEY.md §7.3
+  * step 5): the reference's own optimizer invariant (filter/select
+  * commute when the projection keeps the predicate columns,
+  * `optimizer.rs:17-39`), salting result-invariance, and clustering
+  * sanity on planted duplicate groups.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def randomPeople(seed: Int, n: Int) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    (1 to n).map(i =>
+      (i.toLong, s"name${rng.nextInt(20)}", rng.nextInt(80).toLong, rng.nextDouble() * 100))
+      .toDF("id", "name", "age", "score")
+  }
+
+  test("property: filter∘select == select∘filter when columns preserved") {
+    for (seed <- 1 to 5) {
+      val df = randomPeople(seed, 200)
+      val pred = col("age") > 40
+      val a = Rivulus(df).select(col("id"), col("age")).filter(pred)
+        .collect().map(_.toSeq).toSet
+      val b = Rivulus(df).filter(pred).select(col("id"), col("age"))
+        .collect().map(_.toSeq).toSet
+      assert(a == b, s"seed $seed")
+    }
+  }
+
+  test("property: salted join equals plain join on random skewed data") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      // heavy skew: 80% of rows share key 1
+      val big = (1 to 500).map { i =>
+        (if (rng.nextDouble() < 0.8) 1L else rng.nextInt(20).toLong, i.toLong)
+      }.toDF("k", "v")
+      val small = (0L to 20L).map(k => (k, s"dim$k")).toDF("k2", "d")
+      val plain = big.join(small, big("k") === small("k2")).count()
+      val salted = Skew.saltedJoin(big, small, "k", "k2", 4).count()
+      assert(plain == salted, s"seed $seed")
+    }
+  }
+
+  test("property: connected components labels are cluster minima") {
+    import spark.implicits._
+    // planted clusters: chain {1-2-3}, pair {10,11}, triangle {20,21,22}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("property: minhash signature match-rate tracks jaccard (seeded)") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    val rng = new scala.util.Random(11)
+    val base = (1 to 60).map(_ => s"w${rng.nextInt(1000)}").distinct
+    // doc pairs at controlled overlap levels
+    val rows = Seq(0.9, 0.5, 0.1).zipWithIndex.map { case (overlap, i) =>
+      val shared = base.take((base.length * overlap).toInt)
+      val extraA = (1 to base.length - shared.length).map(j => s"a$i$j")
+      val extraB = (1 to base.length - shared.length).map(j => s"b$i$j")
+      (i.toLong, (shared ++ extraA).mkString(" "), (shared ++ extraB).mkString(" "))
+    }.toDF("i", "ta", "tb")
+    val sigs = rows.select(col("i"),
+      TextKernels.minhashSigKernel(TextKernels.shinglesKernel(col("ta"), 1), 256).as("sa"),
+      TextKernels.minhashSigKernel(TextKernels.shinglesKernel(col("tb"), 1), 256).as("sb"))
+      .collect()
+    val ests = sigs.map { r =>
+      val a = r.getAs[scala.collection.Seq[Long]]("sa")
+      val b = r.getAs[scala.collection.Seq[Long]]("sb")
+      r.getLong(0) -> a.zip(b).count { case (x, y) => x == y }.toDouble / 256
+    }.toMap
+    // higher overlap must give strictly higher estimated similarity
+    assert(ests(0L) > ests(1L) && ests(1L) > ests(2L), ests.toString)
+  }
+
+  test("reference error parity: unknown column fails analysis") {
+    val df = randomPeople(1, 10)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Rivulus(df).select(col("nonexistent")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Rivulus(df).filter(col("missing") > 1).collect()
+    }
+  }
+}
