@@ -37,6 +37,9 @@ object SparkEntry {
     "q5_nation_revenue" -> (Aggregates.revenueByNation(_, _)),
     "agg_distinct"      -> (Aggregates.distinctCustomers(_, _)),
     "q14_promo"         -> (Aggregates.promoRevenue(_, _)),
+    "agg_percentiles"   -> (Aggregates.percentiles(_, _)),
+    "agg_monthly"       -> (Aggregates.monthlyRevenue(_, _)),
+    "text_string_funcs" -> (Text.stringFunctions(_, _)),
     "ev_json_props"     -> (Aggregates.jsonProps(_, _)),
     "agg_approx_distinct" -> (Aggregates.approxDistinct(_, _)),
     "agg_rollup"        -> (Aggregates.rollupStatusPriority(_, _)),
@@ -205,6 +208,30 @@ object SparkEntry {
         |       round(avg(p.p_retailprice), 4) AS avg_retail
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY ptype""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT o_orderstatus AS status,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        |       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "agg_monthly" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "text_string_funcs" ->
+      """SELECT c_custkey AS custkey,
+        |       upper(c_mktsegment) AS seg_upper,
+        |       substring(c_name, 1, 8) AS name_prefix,
+        |       concat_ws('|', c_mktsegment, c_name) AS joined,
+        |       coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |       reverse(c_mktsegment) AS seg_rev,
+        |       length(c_name) AS name_len
+        |FROM customer ORDER BY custkey""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_type AS etype, count(*) AS n,

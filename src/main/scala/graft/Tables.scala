@@ -37,6 +37,16 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The documents/embeddings tables arrive as a single small parquet file
+    * (one scan partition), which would serialize every per-row-heavy
+    * derived computation (shingling, MinHash, LSH codes) onto one core.
+    * Spread them across the session's parallelism BEFORE the heavy columns
+    * are computed — the shuffle moves only the raw rows (KBs here; at real
+    * scale inputs come in many splits and this guard makes it a no-op). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = spread(load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(load(spark, dir, "embeddings"))
 }

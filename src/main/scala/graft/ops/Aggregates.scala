@@ -102,6 +102,29 @@ object Aggregates {
       .orderBy("etype")
   }
 
+  /** Exact percentiles per group (Spark `percentile` = exact linear
+    * interpolation, matching DuckDB quantile_cont bit-for-bit after
+    * rounding; at 100 TB swap for percentile_approx — same plan shape,
+    * sketch-mergeable). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("status")
+
+  /** Calendar rollup: revenue by order month — date_trunc + two-stage agg,
+    * the universal time-series reporting shape. */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+
   /** Exact count-distinct per group (Spark plans distinct via expand +
     * two-phase agg; at scale prefer [[approxDistinct]]). */
   def distinctCustomers(spark: SparkSession, dir: String): DataFrame =

@@ -209,7 +209,10 @@ object Dedup {
   /** Near-dup clusters from the MinHash pair graph: component label =
     * smallest doc_id in the cluster (the keeper); singletons excluded. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // persist: the undirected-edge union reads the pair list twice, and
+    // every propagation round joins against it — without this the whole
+    // MinHash pipeline re-runs per read
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")).persist()
     connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),

@@ -105,6 +105,22 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Breadth check over the scalar string-function surface (the reference
+    * has zero string functions, SURVEY.md §2.4): case mapping, slicing,
+    * concat, regexp extraction, padding, reversal — all codegen'd. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey").as("custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("name_digits"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("custkey")
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. Deterministic and SQL-expressible, so it
     * oracle-checks byte-for-byte. (The xxhash64 rolling fingerprint lives
