@@ -29,9 +29,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // queries may persist reused intermediates; drop them so one query's
-      // cache never skews the next query's measurement
+      // queries may persist reused intermediates; drop them synchronously
+      // (and let GC settle) so one query's cache/garbage never skews the
+      // next query's measurement
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -38,6 +38,9 @@ object SparkEntry {
     "agg_distinct"      -> (Aggregates.distinctCustomers(_, _)),
     "q14_promo"         -> (Aggregates.promoRevenue(_, _)),
     "agg_percentiles"   -> (Aggregates.percentiles(_, _)),
+    "agg_stats"         -> (Aggregates.statsAggregates(_, _)),
+    "sql_grouping_sets" -> (graft.api.GraftSql.groupingSets(_, _)),
+    "text_top_tokens"   -> (Text.topTokens(_, _)),
     "agg_monthly"       -> (Aggregates.monthlyRevenue(_, _)),
     "text_string_funcs" -> (Text.stringFunctions(_, _)),
     "ev_json_props"     -> (Aggregates.jsonProps(_, _)),
@@ -216,6 +219,31 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
         |       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |       round(stddev_pop(l_extendedprice), 4) AS std_price,
+        |       round(var_pop(l_discount), 6) AS var_disc,
+        |       round(skewness(l_extendedprice) * (count(*) - 2.0) /
+        |             sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_price
+        |FROM lineitem GROUP BY 1 ORDER BY returnflag""".stripMargin,
+
+    "sql_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
 
     "agg_monthly" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,

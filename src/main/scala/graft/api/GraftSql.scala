@@ -39,6 +39,17 @@ object GraftSql {
         |  AND l_quantity < 24
         |""".stripMargin)
 
+  /** Explicit GROUPING SETS (the general form of rollup/cube) in SQL. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority
+        |""".stripMargin)
+
   /** Correlated scalar subquery in SQL (reference has no subqueries at
     * all): orders above their customer's average order value. */
   def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =

@@ -102,6 +102,20 @@ object Aggregates {
       .orderBy("etype")
   }
 
+  /** Statistical aggregate breadth: correlation, covariance, stddev,
+    * skewness — single-pass moment aggregations (mergeable partials, so
+    * map-side combine applies like any sum). */
+  def statsAggregates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_qty_price"),
+        round(stddev_pop("l_extendedprice"), 4).as("std_price"),
+        round(var_pop("l_discount"), 6).as("var_disc"),
+        round(skewness(col("l_extendedprice")), 4).as("skew_price"))
+      .orderBy("returnflag")
+
   /** Exact percentiles per group (Spark `percentile` = exact linear
     * interpolation, matching DuckDB quantile_cont bit-for-bit after
     * rounding; at 100 TB swap for percentile_approx — same plan shape,

@@ -105,6 +105,20 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Corpus heavy hitters: explode tokens -> two-stage count -> top-k.
+    * The shuffle carries (token, partial_count) pairs — at 100 TB the
+    * partial map-side count collapses each partition to its vocabulary
+    * before anything moves. Exact (oracle-able); the sketch alternative at
+    * extreme cardinality is count-min + freqItems, same plan shape. */
+  def topTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokensCol(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
   /** Breadth check over the scalar string-function surface (the reference
     * has zero string functions, SURVEY.md §2.4): case mapping, slicing,
     * concat, regexp extraction, padding, reversal — all codegen'd. */
