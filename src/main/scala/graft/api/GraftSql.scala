@@ -12,13 +12,20 @@ object GraftSql {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Registers the dir's tables as temp views, once per (session, dir) —
+    * repeated sql() calls skip the 10 parquet footer reads. */
   def register(spark: SparkSession, dir: String): Unit = {
-    tables.foreach { t =>
-      val df = t match {
-        case "events" => Tables.events(spark, dir)
-        case other => Tables.load(spark, dir, other)
+    if (registered.add((spark, dir))) {
+      tables.foreach { t =>
+        val df = t match {
+          case "events" => Tables.events(spark, dir)
+          case other => Tables.load(spark, dir, other)
+        }
+        df.createOrReplaceTempView(t)
       }
-      df.createOrReplaceTempView(t)
     }
   }
 

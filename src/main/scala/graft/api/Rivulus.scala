@@ -81,13 +81,9 @@ final case class Rivulus(df: DataFrame) {
     * Spark equivalent of incremental batch consumption is
     * `toLocalIterator`, which pulls one partition at a time instead of
     * materializing the whole result on the driver. */
-  def collectStreaming(): Iterator[Row] = df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]].asScala
-
-  private implicit class JIter[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
+  def collectStreaming(): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
   }
 }
 

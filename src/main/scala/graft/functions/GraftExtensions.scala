@@ -12,16 +12,37 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(args(0), args(1))))
+      dotBuilder))
     ext.injectFunction((
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(args(0), args(1))))
+      cosineBuilder))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def arity2(name: String)(args: Seq[Expression])(
+      mk: (Expression, Expression) => Expression): Expression = {
+    require(args.length == 2, s"$name takes exactly 2 arguments, got ${args.length}")
+    mk(args(0), args(1))
+  }
+
+  val dotBuilder: Seq[Expression] => Expression =
+    args => arity2("vec_dot")(args)(DotProduct)
+  val cosineBuilder: Seq[Expression] => Expression =
+    args => arity2("vec_cosine")(args)(CosineSimilarity)
+
+  /** Register on a live session (extensions only bind at builder time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "vec_dot", dotBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "vec_cosine", cosineBuilder)
   }
 }

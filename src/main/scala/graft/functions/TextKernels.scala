@@ -40,12 +40,14 @@ object TextKernels {
     mix64(h)
   }
 
-  /** Normalized (lowercase, whitespace-collapsed) distinct word k-shingles,
-    * in first-occurrence order — semantics identical to the composable
-    * `shinglesCol`. Single pass, one LinkedHashSet. */
+  /** Normalized (lowercase, whitespace-split, empty tokens dropped)
+    * distinct word k-shingles, in first-occurrence order — semantics
+    * identical to the composable `shinglesCol`. Single pass, one
+    * LinkedHashSet. NULL text yields NULL (StaticInvoke propagateNull);
+    * all-whitespace text yields the single empty shingle. */
   def shingles(text: UTF8String, k: Int): ArrayData = {
-    if (text == null) return new GenericArrayData(Array.empty[Any])
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    val toks0 = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = if (toks0.isEmpty) Array("") else toks0
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length <= k) {
       out.add(toks.mkString(" "))
@@ -92,9 +94,9 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
-  /** 64-bit SimHash of whitespace tokens: per-token hash votes on each bit. */
+  /** 64-bit SimHash of whitespace tokens: per-token hash votes on each bit.
+    * NULL text yields NULL (StaticInvoke propagateNull). */
   def simhash64(text: UTF8String): Long = {
-    if (text == null) return 0L
     val toks = text.toString.toLowerCase.split("\\s+")
     val votes = new Array[Int](64)
     var t = 0

@@ -94,9 +94,10 @@ object AsOf {
     purchases.join(clicks, Seq("user_id", "bucket"))
       .filter(col("click_es") >= col("purchase_es") - bucketSec &&
         col("click_es") <= col("purchase_es"))
+      // no distinct needed: a click lives in exactly one bucket and the two
+      // probed buckets differ, so each (purchase, click) pair matches once
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (col("purchase_es") - col("click_es")).as("lag_sec"))
-      .distinct()
       .orderBy("user_id", "purchase_id", "click_id")
   }
 

@@ -28,7 +28,9 @@ object Dedup {
     * implementation for the kernel-equivalence spec). Hot paths use
     * [[graft.functions.TextKernels.shinglesKernel]] instead. */
   def shinglesCol(text: Column, k: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    // drop empty tokens so any-whitespace edges (tabs, newlines) can't
+    // produce phantom "" tokens — matches the kernel's split semantics
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
@@ -203,6 +205,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "a component's diameter exceeds the cap; raise maxIter " +
+          "(unconverged labels would silently split true clusters)")
     labels
   }
 
@@ -225,22 +232,31 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     import graft.functions.TextKernels
-    // consumed by the postings explode + two size joins -> persist
+    // Jaccard over the CAPPED feature space: shingles with document
+    // frequency > MaxDf (boilerplate) are excluded from BOTH the
+    // intersection and the per-doc sizes, so the reported similarity is
+    // exact over the retained features (counting capped shingles only in
+    // the denominator would systematically understate similarity of
+    // boilerplate-heavy near-dups).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("sz"), col("sh"))
       .persist()
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val common = postings
+    val kept = postings
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxDf))
+      .filter(size(col("ids")) <= MaxDf)
+      .persist()
+    val sizes = kept.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = kept
+      .filter(size(col("ids")) >= 2)
       .select(explode(pairsCol(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(docs.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))

@@ -80,28 +80,27 @@ object Text {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
   /** Language-ID prediction: score = count of language-marker tokens,
-    * argmax over languages, with a deterministic lang-code tiebreak.
-    * Pure per-row expression work (array intersection against tiny literal
-    * arrays) — embarrassingly parallel at any scale. */
+    * argmax over languages; ties resolve to the alphabetically-first
+    * language code. Pure per-row expression work (array intersection
+    * against tiny literal arrays) — embarrassingly parallel at any scale. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokensCol(lower(col("text")))
-    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+    val scoresArr = array(langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
         size(filter(toks, t => t.isin(markers: _*))).as("score"),
         lit(lang).as("lang"))
-    }
-    // argmax: array_max on (score, lang) structs orders by score then lang;
-    // to make ties pick the alphabetically-first lang, compare on
-    // (score, reversed-lang) — greatest struct = highest score, first lang.
+    }: _*)
+    val best = array_max(scoresArr.getField("score"))
+    // among max-score entries pick the smallest lang code (deterministic)
+    val pred = array_min(
+      transform(filter(scoresArr, s => s.getField("score") === best),
+        s => s.getField("lang")))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         col("lang").as("lang_true"),
-        array_max(array(scores.map(s =>
-          struct(s.getField("score").as("score"), s.getField("lang").as("lang"))): _*))
-          .getField("lang").as("lang_pred_raw"),
-        array_max(array(scores: _*)).getField("score").as("score"))
-      .withColumn("lang_pred", col("lang_pred_raw")).drop("lang_pred_raw")
+        pred.as("lang_pred"),
+        best.as("score"))
       .orderBy("doc_id")
   }
 

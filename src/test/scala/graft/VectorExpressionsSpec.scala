@@ -47,15 +47,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 0.0) // zero norm -> 0, not NaN
   }
 
-  test("sql-registered functions work via extensions") {
-    // register on the shared session's extension point at runtime
-    val spark2 = spark.newSession()
-    new graft.functions.GraftExtensions()
-    // extensions are builder-time; for an existing session exercise the
-    // Column API path against spark.sql over a temp view instead
-    import spark2.implicits._
+  test("sql-registered functions work (live-session registration)") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
     Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b").createOrReplaceTempView("vt")
-    val viaCol = spark2.table("vt").select(vecCosine(col("a"), col("b"))).first().getDouble(0)
-    assert(math.abs(viaCol) < 1e-9) // orthogonal
+    val row = spark.sql(
+      "SELECT vec_cosine(a, b) AS c, vec_dot(a, a) AS d FROM vt").first()
+    assert(math.abs(row.getDouble(0)) < 1e-9) // orthogonal
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
+    // arity error surfaces as a clear message, not IndexOutOfBounds
+    val e = intercept[Exception](spark.sql("SELECT vec_dot(a) FROM vt").collect())
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
 }
