@@ -55,6 +55,11 @@ object SparkEntry {
     "skew_two_stage_agg"-> (Skew.twoStageAgg(_, _)),
     "sql_tpch_q6"       -> (graft.api.GraftSql.tpchQ6(_, _)),
     "sql_subquery"      -> (graft.api.GraftSql.aboveCustomerAvg(_, _)),
+    "agg_pivot"         -> (Aggregates.pivotStatusPriority(_, _)),
+    "agg_decimal_exact" -> (Aggregates.decimalExact(_, _)),
+    "date_arith"        -> (Aggregates.dateArithmetic(_, _)),
+    "agg_unpivot"       -> (Aggregates.unpivotMetrics(_, _)),
+    "w4_window_breadth" -> (Windows.windowBreadth(_, _)),
     "w1_rank_per_cust"  -> (Windows.topOrdersPerCustomer(_, _)),
     "w2_running_total"  -> (Windows.runningTotal(_, _)),
     "w3_event_gaps"     -> (Windows.eventGaps(_, _)),
@@ -335,6 +340,63 @@ object SparkEntry {
         |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
         |                          WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY custkey, orderkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderstatus AS status,
+        |       coalesce(round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2), 0) AS p_urgent,
+        |       coalesce(round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2), 0) AS p_high,
+        |       coalesce(round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2), 0) AS p_medium,
+        |       coalesce(round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2), 0) AS p_notspec,
+        |       coalesce(round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2), 0) AS p_low
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "agg_decimal_exact" ->
+      """SELECT o_orderstatus AS status,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |       min(CAST(o_totalprice AS DECIMAL(18,2))) AS lo,
+        |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS hi,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "date_arith" ->
+      """SELECT o_orderkey AS orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy,
+        |       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders ORDER BY orderkey""".stripMargin,
+
+    "agg_unpivot" ->
+      """WITH m AS (SELECT o_orderstatus AS status,
+        |                  round(min(o_totalprice), 2) AS min_price,
+        |                  round(avg(o_totalprice), 2) AS avg_price,
+        |                  round(max(o_totalprice), 2) AS max_price
+        |           FROM orders GROUP BY 1)
+        |SELECT status, metric, value FROM (
+        |  SELECT status, 'min' AS metric, min_price AS value FROM m
+        |  UNION ALL SELECT status, 'avg', avg_price FROM m
+        |  UNION ALL SELECT status, 'max', max_price FROM m)
+        |ORDER BY status, metric""".stripMargin,
+
+    "w4_window_breadth" ->
+      """SELECT o_orderstatus AS status, o_orderkey AS orderkey,
+        |       o_totalprice AS price,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       dense_rank() OVER w AS drank,
+        |       lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |       first_value(o_orderkey) OVER wf AS cheapest_key,
+        |       last_value(o_orderkey) OVER wf AS priciest_key
+        |FROM orders WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC),
+        |       wf AS (PARTITION BY o_orderstatus
+        |              ORDER BY o_totalprice ASC, o_orderkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY status, orderkey""".stripMargin,
 
     "w1_rank_per_cust" ->
       """SELECT custkey, orderkey, totalprice, rk FROM (

@@ -102,6 +102,65 @@ object Aggregates {
       .orderBy("etype")
   }
 
+  /** Exact money arithmetic: DECIMAL(18,2) aggregation — no FP drift, so
+    * the oracle matches with NO rounding anywhere (the double-typed
+    * queries all need round() on both engines; decimal is the type a
+    * financial pipeline would actually use at scale). */
+  def decimalExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .groupBy("status")
+      .agg(
+        sum("price").as("total"),
+        min("price").as("lo"),
+        max("price").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("status")
+
+  /** Date/time scalar breadth: extraction, truncation, differencing, and
+    * offset arithmetic on the orders timeline. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").as("orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_eoy"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .orderBy("orderkey")
+
+  /** Pivot: order counts + revenue by status (rows) x priority (columns).
+    * Explicit pivot values keep the schema static — at scale an implicit
+    * pivot would need a driver-side distinct pass first. */
+  def pivotStatusPriority(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", prios)
+      .agg(round(sum("o_totalprice"), 2))
+      .na.fill(0.0)
+      .withColumnsRenamed(prios.zip(Seq("p_urgent", "p_high", "p_medium",
+        "p_notspec", "p_low")).toMap)
+      .orderBy("status")
+  }
+
+  /** Unpivot (wide->long): per-status min/avg/max price re-shaped into
+    * (status, metric, value) rows — the inverse of pivot, via stack. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(avg("o_totalprice"), 2).as("avg_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .selectExpr("status",
+        "stack(3, 'min', min_price, 'avg', avg_price, 'max', max_price) AS (metric, value)")
+      .orderBy("status", "metric")
+
   /** Statistical aggregate breadth: correlation, covariance, stddev,
     * skewness — single-pass moment aggregations (mergeable partials, so
     * map-side combine applies like any sum). */

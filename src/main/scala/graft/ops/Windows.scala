@@ -45,6 +45,30 @@ object Windows {
       .orderBy("custkey", "orderkey")
   }
 
+  /** Ranking-function breadth over one window spec: ntile quartiles,
+    * percent_rank, cume_dist, dense_rank, lead, and first/last value with
+    * an explicit full-partition frame. One shuffle on the partition key
+    * serves all seven functions (same WindowExec). */
+  def windowBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0) // thin slice keeps the oracle dump small
+      .select(
+        col("o_orderstatus").as("status"),
+        col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).as("drank"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        first(col("o_orderkey")).over(wFull).as("cheapest_key"),
+        last(col("o_orderkey")).over(wFull).as("priciest_key"))
+      .orderBy("status", "orderkey")
+  }
+
   /** lag/lead deltas: per-user gap between consecutive events (seconds).
     * The canonical event-sequence analysis shape: shuffle once on user_id,
     * sort within partition, no global sort of the fact table. */
