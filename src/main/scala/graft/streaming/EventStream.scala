@@ -103,6 +103,48 @@ object EventStream {
       .toDF()
   }
 
+  /** Per-user running totals on the Spark 4 `transformWithState` API — the
+    * successor to flatMapGroupsWithState: typed `ValueState` handles, TTL
+    * configs, and timer callbacks managed by the state-store layer (RocksDB
+    * in production) instead of a single user-opaque state object. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserRunning] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prior = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      var n = prior.nEvents
+      var s = prior.sumValue
+      rows.foreach { case (_, v) => n += 1; s += v }
+      val next = UserRunning(key, n, s)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** runningUserTotals on transformWithState (requires the RocksDB state
+    * store provider — set in the caller's session conf). */
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** Drive a streaming query over the finite file source to completion into
     * an in-memory sink table named `queryName` (used by tests). Aggregations
     * need Complete mode on a finite replay — with Append, windows behind the

@@ -33,6 +33,23 @@ class StreamingSpec extends SparkSpec {
     assert(n == Tables.events(spark, sfDir).select("event_id").distinct().count())
   }
 
+  test("transformWithState (Spark 4 stateful API) emits per-user running totals") {
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = EventStream.readEvents(spark2, sfDir)
+    EventStream.runToCompletion(
+      EventStream.runningUserTotalsTws(spark2, events), "tws_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val rows = spark2.table("tws_test").collect()
+    assert(rows.nonEmpty)
+    val lastN = rows.groupBy(_.getAs[Long]("userId"))
+      .view.mapValues(_.map(_.getAs[Long]("nEvents")).max).toMap
+    val batch = Tables.events(spark2, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lastN == batch)
+  }
+
   test("flatMapGroupsWithState emits per-user running totals") {
     val events = EventStream.readEvents(spark, sfDir)
     EventStream.runToCompletion(
