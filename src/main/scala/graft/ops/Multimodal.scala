@@ -98,6 +98,27 @@ object Multimodal {
         col("width").cast("long").as("width"), col("height").cast("long").as("height"))
       .orderBy("doc_id")
 
+  /** Resize plumbing: deterministic down-sampling of the payload (every
+    * k-th byte) with metadata updated to match — the same partition-local
+    * map shape a real image resize (e.g. imageio scaled rewrite) plugs
+    * into; payload shrinks k-fold, no shuffle. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    val sampleBytes = udf((payload: Array[Byte]) => {
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+      out
+    })
+    media.select(
+      col("doc_id"),
+      struct(
+        col("meta.mime").as("mime"),
+        (col("meta.width") / factor).cast("int").as("width"),
+        (col("meta.height") / factor).cast("int").as("height"),
+        col("meta.channels").as("channels")).as("meta"),
+      sampleBytes(col("payload")).as("payload"))
+  }
+
   /** Frame-sampling plumbing: treat the payload as a "video" of fixed-size
     * frames and sample every k-th frame — the array-slice pattern used for
     * real frame extraction (explode on a computed frame index). */

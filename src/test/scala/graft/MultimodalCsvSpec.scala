@@ -28,6 +28,19 @@ class MultimodalCsvSpec extends SparkSpec {
     }
   }
 
+  test("resize shrinks payload and metadata consistently") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val resized = Multimodal.resize(media, 4)
+    val before = media.select(col("doc_id"), length(col("payload")).as("n"),
+      col("meta.width").as("w")).collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    resized.select(col("doc_id"), length(col("payload")).as("n"),
+      col("meta.width").as("w")).collect().foreach { r =>
+      val (n0, w0) = before(r.getLong(0))
+      assert(r.getInt(1) == (n0 + 3) / 4)
+      assert(r.getInt(2) == w0 / 4)
+    }
+  }
+
   test("frame sample emits every 4th frame index") {
     val rows = Multimodal.frameSample(spark, sfDir).collect()
     assert(rows.nonEmpty)
