@@ -12,22 +12,30 @@ object GraftSql {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  // Weak keys: a discarded session must not be pinned by this cache.
+  // Values record which dir the session's views currently point at, so
+  // switching dirs re-registers instead of serving stale tables.
+  private val currentDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Registers the dir's tables as temp views, once per (session, dir) —
-    * repeated sql() calls skip the 10 parquet footer reads. */
-  def register(spark: SparkSession, dir: String): Unit = {
-    if (registered.add((spark, dir))) {
-      tables.foreach { t =>
-        val df = t match {
-          case "events" => Tables.events(spark, dir)
-          case other => Tables.load(spark, dir, other)
+  /** Registers the dir's tables as temp views. Idempotent per (session,
+    * dir); switching dir on the same session replaces the views. The
+    * whole check-and-create is synchronized so a concurrent first caller
+    * never sees a partially-registered set. */
+  def register(spark: SparkSession, dir: String): Unit =
+    currentDir.synchronized {
+      if (currentDir.get(spark) != dir) {
+        tables.foreach { t =>
+          val df = t match {
+            case "events" => Tables.events(spark, dir)
+            case other => Tables.load(spark, dir, other)
+          }
+          df.createOrReplaceTempView(t)
         }
-        df.createOrReplaceTempView(t)
+        currentDir.put(spark, dir)
       }
     }
-  }
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)

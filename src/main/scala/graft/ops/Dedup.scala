@@ -238,9 +238,10 @@ object Dedup {
     // exact over the retained features (counting capped shingles only in
     // the denominator would systematically understate similarity of
     // boilerplate-heavy near-dups).
+    // docs has a single consumer (postings) since sizes moved to the
+    // capped posting lists — no persist needed
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("sh"))
-      .persist()
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val kept = postings
       .groupBy(col("shingle"))

@@ -103,12 +103,14 @@ object Multimodal {
     * map shape a real image resize (e.g. imageio scaled rewrite) plugs
     * into; payload shrinks k-fold, no shuffle. */
   def resize(media: DataFrame, factor: Int): DataFrame = {
-    val sampleBytes = udf((payload: Array[Byte]) => {
-      val out = new Array[Byte]((payload.length + factor - 1) / factor)
-      var i = 0
-      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
-      out
-    })
+    val sampleBytes = udf((payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val out = new Array[Byte]((payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+        out
+      })
     media.select(
       col("doc_id"),
       struct(
