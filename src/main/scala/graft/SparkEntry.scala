@@ -37,6 +37,7 @@ object SparkEntry {
     "q5_nation_revenue" -> (Aggregates.revenueByNation(_, _)),
     "agg_distinct"      -> (Aggregates.distinctCustomers(_, _)),
     "q14_promo"         -> (Aggregates.promoRevenue(_, _)),
+    "q19_disjunctive"   -> (Aggregates.disjunctivePredicateJoin(_, _)),
     "agg_percentiles"   -> (Aggregates.percentiles(_, _)),
     "agg_stats"         -> (Aggregates.statsAggregates(_, _)),
     "sql_grouping_sets" -> (graft.api.GraftSql.groupingSets(_, _)),
@@ -216,6 +217,17 @@ object SparkEntry {
         |       round(avg(p.p_retailprice), 4) AS avg_retail
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY ptype""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "agg_percentiles" ->
       """SELECT o_orderstatus AS status,

@@ -102,6 +102,27 @@ object Aggregates {
       .orderBy("etype")
   }
 
+  /** TPC-H Q19-style disjunctive predicate join: revenue over an OR of
+    * three (brand, size, quantity) condition groups. Catalyst extracts the
+    * common l_partkey = p_partkey conjunct so this still plans as an
+    * equi-join (not a nested loop), with the disjunction as a post-join
+    * filter — the classic test that complex predicates don't break join
+    * planning. */
+  def disjunctivePredicateJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && (
+      (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+        l("l_quantity").between(1, 11)) ||
+      (p("p_brand") === "Brand#2" && p("p_size").between(1, 25) &&
+        l("l_quantity").between(10, 20)) ||
+      (p("p_brand") === "Brand#3" && p("p_size").between(1, 35) &&
+        l("l_quantity").between(20, 30))))
+      .agg(
+        round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Exact money arithmetic: DECIMAL(18,2) aggregation — no FP drift, so
     * the oracle matches with NO rounding anywhere (the double-typed
     * queries all need round() on both engines; decimal is the type a

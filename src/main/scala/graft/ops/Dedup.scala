@@ -198,8 +198,12 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // round 1 always changes labels (any node with an edge adopts a
+      // neighbor min) — skip its convergence job
+      val changed =
+        if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
