@@ -68,6 +68,8 @@ object SparkEntry {
     "ev_tumbling"       -> (EventTime.tumblingHourly(_, _)),
     "ev_sliding"        -> (EventTime.slidingWindows(_, _)),
     "ev_sessionize"     -> (EventTime.sessionize(_, _)),
+    "ev_session_native" -> (EventTime.sessionizeNative(_, _)),
+    "text_sampling"     -> (Text.sampledCorpus(_, _)),
     // --- text analysis ---
     "text_tokens"       -> (Text.tokenCounts(_, _)),
     "text_quality"      -> (Text.qualityScores(_, _)),

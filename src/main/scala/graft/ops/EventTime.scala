@@ -40,6 +40,18 @@ object EventTime {
         col("etype"), col("n"))
       .orderBy("win_start", "etype")
 
+  /** Sessionization via the native `session_window` function (same
+    * 30-minute gap as [[sessionize]]) — one groupBy instead of the
+    * lag/flag/running-sum window chain; EventTimeSpec cross-checks the two
+    * independent implementations produce identical session structure. */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Gap-based sessionization (30-minute inactivity gap): the classic
     * lag → new-session flag → running sum pattern. One shuffle on user_id;
     * session state never leaves the executor. Expressible identically in

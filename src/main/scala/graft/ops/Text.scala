@@ -104,6 +104,21 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Corpus sampling: seeded uniform sample plus per-language stratified
+    * sample (sampleBy) — the two shapes a training-data pipeline uses for
+    * eval splits and language rebalancing. Seeded so plans are stable
+    * across runs; rows-only checked (Spark's RNG is not DuckDB's). */
+  def sampledCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uniform = docs.sample(withReplacement = false, fraction = 0.2, seed = 42)
+      .select(col("doc_id"), lit("uniform").as("split"))
+    val strata = docs.select(col("lang")).distinct().collect()
+      .map(_.getString(0) -> 0.1).toMap
+    val stratified = docs.stat.sampleBy("lang", strata, 7L)
+      .select(col("doc_id"), lit("stratified").as("split"))
+    uniform.unionByName(stratified).orderBy("split", "doc_id")
+  }
+
   /** Corpus heavy hitters: explode tokens -> two-stage count -> top-k.
     * The shuffle carries (token, partial_count) pairs — at 100 TB the
     * partial map-side count collapses each partition to its vocabulary

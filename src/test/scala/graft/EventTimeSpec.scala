@@ -47,6 +47,27 @@ class EventTimeSpec extends SparkSpec {
     assert(sum == total * 4)
   }
 
+  test("native session_window agrees with lag-based sessionize") {
+    val lagBased = EventTime.sessionize(spark, sfDir).collect()
+    val native = EventTime.sessionizeNative(spark, sfDir).collect()
+    // two independent implementations of the same 30-min-gap rule:
+    // same number of sessions per user, same event totals
+    val a = lagBased.groupBy(_.getAs[Long]("user_id")).view
+      .mapValues(rs => (rs.length, rs.map(_.getAs[Long]("n_events")).sum)).toMap
+    val b = native.groupBy(_.getAs[Long]("user_id")).view
+      .mapValues(rs => (rs.length, rs.map(_.getAs[Long]("n_events")).sum)).toMap
+    assert(a == b)
+  }
+
+  test("sampling: uniform ~20%, stratified ~10% per language") {
+    val rows = graft.ops.Text.sampledCorpus(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count().toDouble
+    val uni = rows.count(_.getString(1) == "uniform") / n
+    val strat = rows.count(_.getString(1) == "stratified") / n
+    assert(uni > 0.08 && uni < 0.35, s"uniform fraction $uni")
+    assert(strat > 0.02 && strat < 0.25, s"stratified fraction $strat")
+  }
+
   test("sessions: event counts sum to total; sessions disjoint in time") {
     val total = Tables.events(spark, sfDir).count()
     val rows = EventTime.sessionize(spark, sfDir).collect()
