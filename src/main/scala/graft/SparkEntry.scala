@@ -282,7 +282,7 @@ object SparkEntry {
 
     "ev_json_props" ->
       """SELECT event_type AS etype, count(*) AS n,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY etype""".stripMargin,
@@ -366,7 +366,7 @@ object SparkEntry {
 
     "agg_decimal_exact" ->
       """SELECT o_orderstatus AS status,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
         |       min(CAST(o_totalprice AS DECIMAL(18,2))) AS lo,
         |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS hi,
         |       count(*) AS n
@@ -456,8 +456,8 @@ object SparkEntry {
         |     f AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
         |                          OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS ns
         |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-        |     g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |     g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |           FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(es) AS start_epoch, max(es) AS end_epoch,
@@ -522,5 +522,113 @@ object SparkEntry {
         |       octet_length(encode(text)) AS n_bytes,
         |       (doc_id % 640) + 32 AS width, (doc_id % 480) + 32 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // deterministic hash-mod sampling (Knuth multiplicative hash of doc_id)
+    // — reproducible across engines, unlike RNG-based sample/sampleBy
+    "text_sampling" ->
+      """WITH u AS (SELECT doc_id, 'uniform' AS split FROM documents
+        |           WHERE (doc_id * 2654435761) % 4294967296 < 858993459),
+        |     s AS (SELECT doc_id, 'stratified' AS split FROM documents
+        |           WHERE CAST(((doc_id + 7) * 2246822519) % 4294967296 AS DOUBLE) <
+        |                 (CASE WHEN lang = 'en' THEN 0.05 ELSE 0.15 END) * 4294967296)
+        |SELECT doc_id, split FROM (SELECT * FROM u UNION ALL SELECT * FROM s)
+        |ORDER BY split, doc_id""".stripMargin,
+
+    // marker-token language ID; CASE order (de<en<es<fr<zh) reproduces the
+    // tie-break "smallest lang code among max scores"
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_true,
+        |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |     s AS (SELECT doc_id, lang_true,
+        |                  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+        |                  len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS s_en,
+        |                  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','no','por','que','una'], x))) AS s_es,
+        |                  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','pas','pour','que','une','dans'], x))) AS s_fr,
+        |                  len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))) AS s_zh
+        |           FROM t)
+        |SELECT doc_id, lang_true,
+        |       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |            WHEN s_fr >= s_zh THEN 'fr'
+        |            ELSE 'zh' END AS lang_pred,
+        |       CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS INT) AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // lag-based rewrite of session_window semantics: new session iff the
+    // inter-event gap is >= 30 min at MICROSECOND precision (session_window
+    // merges events strictly inside [start, prev + gap))
+    "ev_session_native" ->
+      """WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS eus FROM events),
+        |     f AS (SELECT *, CASE WHEN lag(eus) OVER w IS NULL
+        |                           OR eus - lag(eus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eus ASC)),
+        |     g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY eus ASC
+        |                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |           FROM f)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // string-space recomputation of the int64-hashed Spark plan: identical
+    // output unless xxhash64 collides (~n²/2⁶⁴)
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     sh AS (SELECT doc_id,
+        |                   list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                                                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |            FROM toks),
+        |     post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |     kept AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= 100),
+        |     kp AS (SELECT p.doc_id, p.shingle FROM post p JOIN kept k ON p.shingle = k.shingle),
+        |     sizes AS (SELECT doc_id, count(*) AS sz FROM kp GROUP BY 1),
+        |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |               FROM kp a JOIN kp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |               GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |         round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) AS jaccard
+        |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        |             JOIN sizes sb ON doc_b = sb.doc_id) q
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same pair pipeline + recursive-CTE transitive closure; label = min id
+    // reachable (matches min-label-propagation connected components)
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |     toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     sh AS (SELECT doc_id,
+        |                   list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                                                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |            FROM toks),
+        |     post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |     kept AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= 100),
+        |     kp AS (SELECT p.doc_id, p.shingle FROM post p JOIN kept k ON p.shingle = k.shingle),
+        |     sizes AS (SELECT doc_id, count(*) AS sz FROM kp GROUP BY 1),
+        |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |               FROM kp a JOIN kp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |               GROUP BY 1, 2),
+        |     prs AS (SELECT doc_a, doc_b FROM (
+        |               SELECT doc_a, doc_b,
+        |                      round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) AS jaccard
+        |               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        |                          JOIN sizes sb ON doc_b = sb.doc_id) q
+        |             WHERE jaccard >= 0.5),
+        |     und AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |             UNION ALL SELECT doc_b AS src, doc_a AS dst FROM prs),
+        |     reach(src, dst) AS (
+        |       SELECT src, dst FROM und
+        |       UNION
+        |       SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |     labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |                FROM reach GROUP BY src)
+        |SELECT label AS keep_id, count(*) AS cluster_size,
+        |       array_to_string(list_sort(list(id)), ',') AS members
+        |FROM labels GROUP BY 1 ORDER BY keep_id""".stripMargin,
   )
 }

@@ -45,7 +45,11 @@ object Tables {
     * scale inputs come in many splits and this guard makes it a no-op). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles is file-listing metadata — unlike df.rdd.getNumPartitions
+    // it does NOT instantiate the RDD lineage (an extra planning pass) on
+    // every load. One file < parallelism ⇒ spread; many-split real-scale
+    // inputs make this a no-op.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = spread(load(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spread(load(spark, dir, "embeddings"))

@@ -38,21 +38,26 @@ object Aggregates {
 
   /** TPC-H Q3-style: 3-way join + agg + top-10 by revenue. customer filter
     * reduces the build side before the join; both joins shuffle on their key
-    * at scale (orderkey join co-partitions lineitem/orders). */
+    * at scale (orderkey join co-partitions lineitem/orders). No hints —
+    * AQE broadcasts the filtered customer side when its post-filter size
+    * fits, and degrades gracefully to shuffle when it doesn't. */
   def revenueTopOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey").as("orderkey"))
       .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("orderkey").asc)
       .limit(10)
   }
 
-  /** TPC-H Q5-style: 5-way star join + agg by nation. Dimension tables
-    * (region/nation/supplier) broadcast; the fact-fact lineitem⋈orders join
+  /** TPC-H Q5-style: 5-way star join + agg by nation. region/nation keep
+    * explicit broadcast hints (spec-bounded at 5/25 rows at EVERY scale
+    * factor — always broadcast-safe); supplier/customer get no hint so AQE
+    * decides from actual size (supplier is ~1M rows at sf100 — a forced
+    * hint there becomes a driver OOM). The fact-fact lineitem⋈orders join
     * shuffles on orderkey. s_nationkey = c_nationkey is the classic Q5
     * "local supplier" constraint. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
@@ -63,7 +68,7 @@ object Aggregates {
     val l = Tables.lineitem(spark, dir)
     val s = Tables.supplier(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -73,12 +78,14 @@ object Aggregates {
   }
 
   /** TPC-H Q14-style promo revenue share: lineitem ⋈ part with a
-    * conditional aggregate. part is a mid-size dim — broadcast here; at
-    * 100 TB it would be a shuffle join co-partitioned on partkey. */
+    * conditional aggregate. part is a mid-size dim (~20M rows at sf100) —
+    * no broadcast hint; AQE broadcasts at small SF and switches to a
+    * shuffle join co-partitioned on partkey when part outgrows the
+    * threshold. */
   def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(p("p_type").as("ptype"))
       .agg(
         count(lit(1)).as("n_items"),
@@ -111,7 +118,7 @@ object Aggregates {
   def disjunctivePredicateJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && (
+    l.join(p, l("l_partkey") === p("p_partkey") && (
       (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
         l("l_quantity").between(1, 11)) ||
       (p("p_brand") === "Brand#2" && p("p_size").between(1, 25) &&

@@ -183,9 +183,14 @@ object Dedup {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) materializes AND truncates lineage: without
+    // it the logical plan nests one join deeper per round, so analysis/
+    // optimization cost and stage DAG size grow with iteration count —
+    // the classic iterative-DataFrame scale-killer. With it every round
+    // plans against a flat cached RDD scan, O(1) plan depth forever.
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -194,18 +199,19 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // carry the previous label through the round so the convergence
+      // probe below is a filter over the just-checkpointed result — no
+      // extra join, no second materialization of the round's work
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       // round 1 always changes labels (any node with an edge adopts a
       // neighbor min) — skip its convergence job
       val changed =
         if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+        else next.filter(col("label") =!= col("prev")).limit(1).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }
@@ -217,13 +223,19 @@ object Dedup {
     labels
   }
 
-  /** Near-dup clusters from the MinHash pair graph: component label =
-    * smallest doc_id in the cluster (the keeper); singletons excluded. */
+  /** Near-dup clusters: component label = smallest doc_id in the cluster
+    * (the keeper); singletons excluded. The pair graph here is the exact
+    * n-gram Jaccard one — deterministic, so the whole query (pairs +
+    * closure) is DuckDB-oracle-able (recursive-CTE transitive closure on
+    * the oracle side). At 100 TB the MinHash pair graph
+    * ([[minhashPairs]]) plugs into the same [[connectedComponents]]
+    * unchanged — the clustering operator is agnostic to the pair source
+    * (DedupSpec covers that composition). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // persist: the undirected-edge union reads the pair list twice, and
     // every propagation round joins against it — without this the whole
-    // MinHash pipeline re-runs per read
-    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    // pair pipeline re-runs per read
+    val pairs = ngramJaccardCore(spark, dir).select(col("doc_a"), col("doc_b")).persist()
     connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -233,7 +245,10 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardCore(spark, dir).orderBy("doc_a", "doc_b")
+
+  private def ngramJaccardCore(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     import graft.functions.TextKernels
     // Jaccard over the CAPPED feature space: shingles with document
@@ -246,7 +261,15 @@ object Dedup {
     // capped posting lists — no persist needed
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("sh"))
-    val postings = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // hash each shingle to an int64 BEFORE the groupBy: the posting
+    // shuffle then carries 8-byte keys instead of ~20-40-byte strings
+    // (~5-10× fewer shuffle bytes — the dominant cost of this query).
+    // An xxhash64 collision (~n_shingles²/2⁶⁴) would merge two posting
+    // lists; negligible, and the DuckDB oracle computes the same answer
+    // in string space, so a collision would surface as a hash mismatch.
+    val postings = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     val kept = postings
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
@@ -266,6 +289,5 @@ object Dedup {
         round(col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 }

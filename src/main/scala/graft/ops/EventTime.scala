@@ -43,12 +43,20 @@ object EventTime {
   /** Sessionization via the native `session_window` function (same
     * 30-minute gap as [[sessionize]]) — one groupBy instead of the
     * lag/flag/running-sum window chain; EventTimeSpec cross-checks the two
-    * independent implementations produce identical session structure. */
+    * independent implementations produce identical session structure.
+    * Session start is emitted as epoch seconds so the oracle compare is
+    * independent of timestamp physical types. Note the boundary semantics:
+    * session_window merges an event iff it lands strictly inside
+    * [start, prev + gap) — a gap of exactly 30 min starts a NEW session —
+    * so the oracle's lag-based rewrite uses `>= gap` at microsecond
+    * precision (the lag-based [[sessionize]] uses `> gap` at second
+    * precision; both are valid gap conventions, pinned per-query). */
   def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .select(col("user_id"), col("session_window.start").as("session_start"),
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 

@@ -74,13 +74,15 @@ object Relational {
 
   /** J1: single-key inner equi-join (reference `inner_join`,
     * `src/logical_plan/builder.rs:84-94`, exec `src/physical_plan/plan.rs:
-    * 174-254`). Customer is the small side → Catalyst broadcasts it (the
-    * reference hard-codes left as build side and admits the smaller side
-    * should build, `planner.rs:100-108`). */
+    * 174-254`). No broadcast hint: AQE picks broadcast when customer's
+    * actual size is under the threshold and falls back to a shuffle join
+    * when it isn't (a forced hint would OOM the driver at 100× — customer
+    * is ~15M rows at sf100). The reference hard-codes left as build side
+    * and admits the smaller side should build, `planner.rs:100-108`. */
   def joinInner(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
       .select(
         o("o_orderkey").as("orderkey"),
         o("o_totalprice").as("totalprice"),

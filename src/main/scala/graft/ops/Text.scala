@@ -104,17 +104,31 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Corpus sampling: seeded uniform sample plus per-language stratified
-    * sample (sampleBy) — the two shapes a training-data pipeline uses for
-    * eval splits and language rebalancing. Seeded so plans are stable
-    * across runs; rows-only checked (Spark's RNG is not DuckDB's). */
+  /** Corpus sampling via deterministic hash-mod bucketing: a Knuth
+    * multiplicative hash of doc_id lands each row in [0, 2^32); rows under
+    * `fraction * 2^32` are kept. Two shapes a training-data pipeline uses:
+    * a uniform eval split, and per-language stratified rebalancing
+    * (downsample the dominant language, keep the tail).
+    *
+    * Why hash-mod instead of `df.sample`/`sampleBy`: (a) fully in-plan —
+    * no driver-side strata discovery (`sampleBy` needs the key list up
+    * front), no RNG state; (b) reproducible across engines, so the query
+    * is DuckDB-oracle-able instead of rows-only; (c) stable under
+    * re-partitioning — `sample`'s seed is per-partition, so the same row
+    * can flip in/out when partitioning changes; a content hash can't.
+    * This is the split-assignment scheme production corpus pipelines use. */
   def sampledCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val uniform = docs.sample(withReplacement = false, fraction = 0.2, seed = 42)
+    val M = 4294967296L // 2^32
+    val hUni = pmod(col("doc_id") * lit(2654435761L), lit(M))
+    val uniform = docs.filter(hUni < lit(858993459L)) // 20% of 2^32
       .select(col("doc_id"), lit("uniform").as("split"))
-    val strata = docs.select(col("lang")).distinct().collect()
-      .map(_.getString(0) -> 0.1).toMap
-    val stratified = docs.stat.sampleBy("lang", strata, 7L)
+    // independent salt+multiplier so the stratified split is uncorrelated
+    // with the uniform one; en (the dominant language) downsampled to 5%,
+    // tail languages kept at 15%
+    val hStr = pmod((col("doc_id") + lit(7L)) * lit(2246822519L), lit(M))
+    val frac = when(col("lang") === "en", lit(0.05)).otherwise(lit(0.15))
+    val stratified = docs.filter(hStr.cast("double") < frac * M.toDouble)
       .select(col("doc_id"), lit("stratified").as("split"))
     uniform.unionByName(stratified).orderBy("split", "doc_id")
   }
