@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
     "dedup_minhash"     -> (Dedup.minhashPairs(_, _)),
     "dedup_simhash"     -> (Dedup.simhashGroups(_, _)),
+    "dedup_simhash_near"-> (Dedup.simhashNearPairs(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     // --- similarity search ---

@@ -95,6 +95,56 @@ object Rivulus {
   def fromRows(spark: SparkSession, schema: StructType, rows: Seq[Row]): Rivulus =
     Rivulus(spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema))
 
+  /** Schema-inferring variant mirroring the reference's `Series::new`
+    * (`/root/reference/src/datatypes/series.rs:185-229`): per column the
+    * dtype comes from the values; integer columns promote to Float64 when
+    * doubles co-occur (reference's Int64→Float64 promotion); genuinely
+    * mixed types are rejected like `SeriesError::MixedTypes`, and a
+    * zero-row input / all-null column is rejected like
+    * `SeriesError::EmptyData` (nothing to infer from). */
+  def fromRowsInferred(spark: SparkSession, names: Seq[String],
+                       rows: Seq[Seq[Any]]): Rivulus = {
+    import org.apache.spark.sql.types._
+    if (rows.isEmpty)
+      throw new IllegalArgumentException("EmptyData: cannot infer a schema from zero rows")
+    val fields = names.zipWithIndex.map { case (name, i) =>
+      val vs = rows.map(_(i)).filter(_ != null)
+      if (vs.isEmpty)
+        throw new IllegalArgumentException(
+          s"EmptyData: column '$name' has no non-null values to infer from")
+      val kinds = vs.map {
+        case _: Int | _: Long     => "int"
+        case _: Double | _: Float => "float"
+        case _: String            => "str"
+        case _: Boolean           => "bool"
+        case v => throw new IllegalArgumentException(
+          s"MixedTypes: unsupported value type ${v.getClass.getName} in column '$name'")
+      }.distinct.sorted
+      val dt = kinds match {
+        case Seq("int")                       => LongType
+        case Seq("float") | Seq("float", "int") => DoubleType // Int64 → Float64
+        case Seq("str")                       => StringType
+        case Seq("bool")                      => BooleanType
+        case ks => throw new IllegalArgumentException(
+          s"MixedTypes: column '$name' mixes ${ks.mkString(", ")}")
+      }
+      StructField(name, dt, nullable = true)
+    }
+    val coerced = rows.map { r =>
+      Row.fromSeq(r.zipWithIndex.map { case (v, i) =>
+        (v, fields(i).dataType) match {
+          case (null, _)               => null
+          case (x: Int, LongType)      => x.toLong
+          case (x: Int, DoubleType)    => x.toDouble
+          case (x: Long, DoubleType)   => x.toDouble
+          case (x: Float, DoubleType)  => x.toDouble
+          case (x, _)                  => x
+        }
+      })
+    }
+    fromRows(spark, StructType(fields), coerced)
+  }
+
   /** Reference `LazyFrame::from_csv` (`builder.rs:41-55`): declared-schema
     * CSV scan. Parsing semantics matched to `src/execution/file_stream.rs:
     * 59-114`: header skipped, `""` and `"null"` → null, configurable

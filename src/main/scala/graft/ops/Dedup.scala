@@ -77,13 +77,19 @@ object Dedup {
     * unique candidate pair only. Estimated similarity gates the exact
     * verify so most false candidates never touch shingle sets.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsDf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) DataFrame — lets the recall specs run
+    * the identical pipeline on synthetic corpora with planted near-dups
+    * (driver data has none). */
+  def minhashPairsDf(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     // Shingle sets and signatures are each consumed by 2-3 downstream joins;
     // persist so the shingling/hash work runs once instead of per-join
     // (at scale these are the expensive map-side passes over every document).
     import graft.functions.TextKernels
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles"))
       .persist()
     val sigs = docs.select(col("doc_id"),
@@ -153,6 +159,43 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("keep_id")
+
+  /** SimHash near-dup pairs at hamming distance ≤ 3 via the 4×16-bit
+    * pigeonhole banding that [[simhashGroups]]' scaladoc describes: two
+    * 64-bit fingerprints within hamming 3 must agree on at least one of
+    * the four 16-bit chunks, so candidates come from per-chunk equality
+    * buckets (4 narrow explode+groupBy passes — never an all-pairs join),
+    * and `bit_count(xor)` verifies the exact distance per candidate.
+    * The bucket shuffle carries (chunk, key, doc_id) triples; bucket size
+    * is capped like every other LSH path. SimHashBandingSpec proves the
+    * banding is EXACT for ≤3 (set-equal to brute-force all-pairs) on a
+    * planted corpus. */
+  def simhashNearPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashNearPairsDf(Tables.documents(spark, dir))
+
+  def simhashNearPairsDf(documents: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.pairsCol
+    val fp = simhash(documents, "doc_id", "text")
+      .withColumnRenamed("simhash", "fp")
+      .persist()
+    val chunked = fp.select(col("doc_id"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("ck.c").as("c"), col("ck.key").as("key"))
+    val cands = chunked.groupBy(col("c"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+      .select(explode(pairsCol(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    cands
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Exact n-gram Jaccard via shingle inverted index — the scalable exact
     * algorithm: explode distinct shingles to postings, cap posting-list

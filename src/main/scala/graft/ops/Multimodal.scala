@@ -71,22 +71,64 @@ object Multimodal {
     (mean, hist.map(_ / n))
   }
 
+  /** REAL codec path: decode `payload` with `javax.imageio` (JDK
+    * built-in — PNG/JPEG/BMP/GIF, no external deps) into mean luminance +
+    * an 8-bin luminance histogram, plus the true pixel dimensions.
+    * Returns None when the bytes aren't a decodable image (the driver's
+    * synthetic payloads are utf-8 text, which keeps those results on the
+    * deterministic stub path); MultimodalCsvSpec exercises this on real
+    * PNGs generated in-test. */
+  private def imageDecode(payload: Array[Byte]): Option[(Double, Array[Float], Int, Int)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0L
+      val hist = new Array[Float](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          sum += lum; hist(lum >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w.toLong * h, 1L)
+      Some((sum.toDouble / n, hist.map(_ / n.toFloat), w, h))
+    }
+  }
+
   /** Per-partition decode/feature-extract over the binary column — the
     * `mapPartitions` shape a real codec uses (amortizes any per-partition
-    * codec/native-lib init across rows). */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    * codec/native-lib init across rows). Real images decode through
+    * [[imageDecode]] (metadata dimensions corrected from the pixels);
+    * non-image payloads take the deterministic stub. */
+  def decodeFeaturesDf(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, dir).as[MediaRow]
-    media.mapPartitions { rows =>
+    media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (mean, feat) = stubDecode(r.payload, r.meta)
-        var crc = new java.util.zip.CRC32()
+        val (mean, feat, w, h) = imageDecode(r.payload) match {
+          case Some((m, f, iw, ih)) => (m, f, iw, ih)
+          case None =>
+            val (m, f) = stubDecode(r.payload, r.meta)
+            (m, f, r.meta.width, r.meta.height)
+        }
+        val crc = new java.util.zip.CRC32()
         crc.update(r.payload)
         MediaFeatures(r.doc_id, r.meta.mime, r.payload.length.toLong,
-          crc.getValue, r.meta.width, r.meta.height, mean, feat)
+          crc.getValue, w, h, mean, feat)
       }
     }.toDF()
   }
+
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeFeaturesDf(spark, mediaTable(spark, dir))
 
   /** Oracle-able slice of the media pipeline: payload byte length + typed
     * metadata, reproducible in DuckDB from the same documents table

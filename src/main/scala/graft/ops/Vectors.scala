@@ -122,9 +122,14 @@ object Vectors {
     * explode from capped bucket lists; vectors join back per pair).
     * (Driver data has no planted high-cosine dups; 0.45 sits just above
     * the similarity noise floor, max ≈ 0.51.) */
-  def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairsDf(Tables.embeddings(spark, dir))
+
+  /** Core over any (vec_id, embedding) DataFrame — lets the recall specs
+    * run the identical pipeline on synthetic corpora with planted
+    * duplicates (driver data has none). */
+  def cosineNearDupPairsDf(emb: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
-    val emb = Tables.embeddings(spark, dir)
     val vecs = emb.select(col("vec_id"), col("embedding").as("vec"))
     val pairs = withBuckets(emb, "id", "v").select(col("t"), col("code"), col("id"))
       .groupBy(col("t"), col("code"))
@@ -142,15 +147,71 @@ object Vectors {
       .orderBy("id_a", "id_b")
   }
 
+  /** The full centroid table collapsed to ONE row holding an array of
+    * (cent_id, cent_vec) structs — broadcastable, so centroid assignment
+    * becomes a pure map-side operation (a crossJoin with one row + a
+    * per-row argsort over ≤nlist entries), with NO shuffle of the corpus.
+    * A window/groupBy argmax would shuffle every corpus vector instead. */
+  private def centsRow(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cent_id"), col("cent_vec"))).as("cents"))
+
+  /** Attach each input row's top-`keep` centroids by cosine as `cent_id`
+    * (one output row per kept centroid). `df` must carry an `embedding`
+    * column; all other columns pass through. Ties break to the smaller
+    * cent_id (deterministic). */
+  private def assignCentroid(df: DataFrame, centsOne: DataFrame, keep: Int): DataFrame = {
+    val scored = transform(col("cents"), c => struct(
+      cosineCol(col("embedding"), c.getField("cent_vec")).as("cos"),
+      c.getField("cent_id").as("cent_id")))
+    val byCosDescIdAsc = (l: Column, r: Column) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cent_id") < r.getField("cent_id"), -1)
+        .when(l.getField("cent_id") > r.getField("cent_id"), 1)
+        .otherwise(0)
+    val passThrough = df.columns.map(col)
+    df.crossJoin(broadcast(centsOne))
+      .select(passThrough :+
+        explode(slice(array_sort(scored, byCosDescIdAsc), 1, keep)).as("sc"): _*)
+      .withColumn("cent_id", col("sc.cent_id"))
+      .drop("sc")
+  }
+
+  /** Lloyd's k-means over the embedding corpus as pure DataFrame ops:
+    * assignment is the map-side broadcast argmax above (no corpus
+    * shuffle); the update step posexplodes assigned vectors and two-stage
+    * averages per (cent_id, dim) — the shuffle carries partial-sum
+    * triples, never whole vectors per group. Each iteration
+    * localCheckpoints the (tiny) centroid table so plan depth stays O(1)
+    * across iterations (same lineage discipline as connectedComponents).
+    * Init = first nlist corpus vectors (deterministic; k-means++ would
+    * only change this seeding step). Centroids are unnormalized means —
+    * equivalent under cosine argmax, which is scale-invariant. */
+  def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    var cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), v => v.cast("double")).as("cent_vec"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      cents = assignCentroid(emb.select(col("vec_id"), col("embedding")), centsRow(cents), keep = 1)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cent_vec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF-style ANN: coarse quantization + probe-limited search — the
     * third scale path next to brute force and LSH.
     *
-    *   - nlist coarse centroids, chosen deterministically (the first nlist
-    *     corpus vectors; production would k-means, which only changes how
-    *     the centroid table is built, not the query plan);
-    *   - assignment: every vector gets the centroid with max cosine — a
-    *     broadcast of the tiny centroid table against a map-side argmax,
-    *     NO shuffle of the corpus;
+    *   - nlist coarse centroids from 2 Lloyd's iterations
+    *     ([[kmeansCentroids]] — distributed, deterministic);
+    *   - assignment: every vector gets the centroid with max cosine via
+    *     the single-row broadcast argmax — NO shuffle of the corpus;
     *   - search: each query probes its nprobe closest centroid lists only,
     *     so the candidate join touches ~nprobe/nlist of the corpus instead
     *     of all of it. At 100 TB the inverted lists would be the parquet
@@ -160,21 +221,14 @@ object Vectors {
     val nlist = 16
     val nprobe = 4
     val emb = Tables.embeddings(spark, dir)
-    val centroids = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    // assign: argmax cosine over the broadcast centroid table, map-side only
-    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs)).orderBy(col("cent_cos").desc, col("cent_id").asc)
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
-        .crossJoin(broadcast(centroids))
-        .select(col(idAs), col(vecAs), col("cent_id"),
-          cosineCol(col(vecAs), col("cent_vec")).as("cent_cos"))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .drop("cent_cos", "crk")
-    }
-    val corpus = assign(emb, "c_id", "c_vec", keep = 1) // inverted lists
-    val queries = assign(emb.filter(col("vec_id") < 10), "q_id", "q_vec", keep = nprobe)
+    val cOne = centsRow(kmeansCentroids(emb, nlist, iters = 2)).localCheckpoint()
+    val corpus = assignCentroid(
+      emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1)
+      .select(col("cent_id"), col("c_id"), col("embedding").as("c_vec"))
+    val queries = assignCentroid(
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+      cOne, keep = nprobe)
+      .select(col("cent_id"), col("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     corpus.join(broadcast(queries), Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))

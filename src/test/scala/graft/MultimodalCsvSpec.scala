@@ -70,4 +70,32 @@ class MultimodalCsvSpec extends SparkSpec {
     assert(rows(2).isNullAt(3)) // trailing empty -> null
     assert(rows(3).getDouble(3) == 7.25)
   }
+
+  test("decodeFeatures decodes REAL PNG payloads via javax.imageio") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    def png(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // metadata deliberately claims 0x0 — real decode must correct it
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.MediaMeta("image/png", 0, 0, 3), png(0x000000, 8, 6)),
+      Multimodal.MediaRow(2L, Multimodal.MediaMeta("image/png", 0, 0, 3), png(0xffffff, 8, 6)))
+      .toDS().toDF()
+    val out = Multimodal.decodeFeaturesDf(spark, media).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    val (black, white) = (out(0), out(1))
+    assert(black.getAs[Int]("width") == 8 && black.getAs[Int]("height") == 6)
+    assert(white.getAs[Int]("width") == 8 && white.getAs[Int]("height") == 6)
+    assert(math.abs(black.getAs[Double]("mean_intensity") - 0.0) < 1e-9)
+    // white luminance = (255*299 + 255*587 + 255*114)/1000 = 255
+    assert(math.abs(white.getAs[Double]("mean_intensity") - 255.0) < 1e-9)
+    assert(math.abs(black.getAs[Seq[Float]]("feature").head - 1.0f) < 1e-6) // bin 0
+    assert(math.abs(white.getAs[Seq[Float]]("feature").last - 1.0f) < 1e-6) // bin 7
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate fixtures: the driver corpora contain no real
+  * near-duplicates (VERDICT r1: `emb_near_dup` finds only noise pairs), so
+  * these suites synthesize corpora with KNOWN duplicate pairs and assert
+  * the LSH pipelines actually find them — the assertions that validate the
+  * tuned parameters (bands×rows, tables×bits, thresholds) rather than just
+  * the plan shapes. The SimHash banding test is stronger than recall: the
+  * 4×16-bit pigeonhole is provably EXACT for hamming ≤ 3, so the banded
+  * result must set-equal brute force.
+  */
+class RecallSpec extends SparkSpec {
+
+  // fixed seed — fully deterministic fixtures
+  private val rng = new scala.util.Random(1234)
+
+  /** 40 base docs of 80 tokens over a 2k vocab; docs 100+i are near-dups
+    * of base doc i with 3 of 80 tokens replaced (shingle Jaccard ≈ 0.8),
+    * the first 5 of them byte-identical (Jaccard 1, hamming 0). */
+  private lazy val plantedDocs = {
+    import spark.implicits._
+    val vocab = Array.tabulate(2000)(i => s"w$i")
+    val bases = Array.tabulate(40)(_ => Array.fill(80)(vocab(rng.nextInt(vocab.length))))
+    val rows = bases.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) } ++
+      (0 until 5).map(i => ((100 + i).toLong, bases(i).mkString(" "))) ++
+      (5 until 15).map { i =>
+        val toks = bases(i).clone()
+        (0 until 3).foreach(_ => toks(rng.nextInt(toks.length)) = vocab(rng.nextInt(vocab.length)))
+        ((100 + i).toLong, toks.mkString(" "))
+      }
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("MinHash-LSH recall >= 0.9 on planted near-dup pairs") {
+    val found = Dedup.minhashPairsDf(plantedDocs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val planted = (0 until 15).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val recall = planted.count(found).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall (found ${found.size} pairs total)")
+  }
+
+  test("MinHash-LSH finds no pairs among independent random docs") {
+    import spark.implicits._
+    val vocab = Array.tabulate(2000)(i => s"w$i")
+    val rand = new scala.util.Random(99)
+    val indep = (0 until 40)
+      .map(i => (i.toLong, Array.fill(80)(vocab(rand.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashPairsDf(indep).count() == 0)
+  }
+
+  test("SimHash hamming<=3 banding is EXACT: set-equals brute force") {
+    val banded = Dedup.simhashNearPairsDf(plantedDocs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val fps = Dedup.simhash(plantedDocs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    // the 5 exact duplicates guarantee hamming-0 pairs exist
+    assert(brute.size >= 5, s"expected >=5 brute pairs, got ${brute.size}")
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
+  test("embedding LSH near-dup recall >= 0.9 on planted high-cosine pairs") {
+    import spark.implicits._
+    val dim = 64
+    val base = Array.tabulate(30)(_ => Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      (0 until 12).map { i =>
+        ((100 + i).toLong, base(i).map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+      }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val found = Vectors.cosineNearDupPairsDf(emb).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0 until 12).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val recall = planted.count(found).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall (found ${found.size} pairs total)")
+  }
+
+  test("k-means centroids: <= nlist rows, 64 double dims, stable ids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Vectors.kmeansCentroids(emb, nlist = 8, iters = 2).collect()
+    assert(cents.nonEmpty && cents.length <= 8)
+    cents.foreach { r =>
+      assert(r.getSeq[Double](r.fieldIndex("cent_vec")).length == 64)
+    }
+  }
+
+  test("IVF ANN (k-means centroids) recalls brute-force top-3") {
+    val bf = Vectors.annBruteForce(spark, sfDir).collect()
+      .filter(_.getAs[Int]("rk") <= 3)
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val ivf = Vectors.annIvf(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = bf.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty[Long]) intersect bf(q)).size.toDouble / 3.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"mean recall@3 = $mean (nprobe 4 of nlist 16)")
+  }
+}

@@ -164,4 +164,49 @@ class ReferenceParitySpec extends SparkSpec {
     val refJoin = Rivulus(l).innerJoinNullEq(Rivulus(r), "k", "k2").collect()
     assert(refJoin.length == 2) // null == null matches (reference behavior)
   }
+
+  // Reference `test_collect_streaming_vs_collect` (`builder.rs:596-614`):
+  // the eager and streaming collect paths are pinned to the same results.
+  test("collect equals collectStreaming on the parity queries") {
+    val queries = Seq(
+      Rivulus(people).filter(col("age") > lit(26)).select(col("name"), col("score")),
+      Rivulus(users).innerJoin(Rivulus(orders), "user_id", "user_id"),
+      Rivulus(people).select(col("name"), (col("score") * lit(2.0)).as("s2")).limit(2))
+    queries.foreach { q =>
+      val eager = q.collect().toSeq
+      val streamed = q.collectStreaming().toSeq
+      assert(eager.size == streamed.size)
+      assert(eager.groupBy(identity).view.mapValues(_.size).toMap ==
+        streamed.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+  }
+
+  // Reference `Series::new` dtype inference (`series.rs:185-229`):
+  // value-driven dtypes, Int64→Float64 promotion, MixedTypes/EmptyData
+  // rejection — the reference's DataFrame path needs no declared schema.
+  test("fromRowsInferred: dtype inference with Int64->Float64 promotion") {
+    val r = Rivulus.fromRowsInferred(spark, Seq("a", "b", "c", "d"),
+      Seq(Seq(1, "x", true, 7L), Seq(2.5, "y", false, null)))
+    val schema = r.df.schema
+    assert(schema("a").dataType == DoubleType) // promoted int → double
+    assert(schema("b").dataType == StringType)
+    assert(schema("c").dataType == BooleanType)
+    assert(schema("d").dataType == LongType)
+    assert(r.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 2.5))
+  }
+
+  test("fromRowsInferred rejects MixedTypes and EmptyData like the reference") {
+    val mixed = intercept[IllegalArgumentException] {
+      Rivulus.fromRowsInferred(spark, Seq("a"), Seq(Seq(1), Seq("x")))
+    }
+    assert(mixed.getMessage.contains("MixedTypes"))
+    val empty = intercept[IllegalArgumentException] {
+      Rivulus.fromRowsInferred(spark, Seq("a"), Seq.empty)
+    }
+    assert(empty.getMessage.contains("EmptyData"))
+    val allNull = intercept[IllegalArgumentException] {
+      Rivulus.fromRowsInferred(spark, Seq("a"), Seq(Seq(null), Seq(null)))
+    }
+    assert(allNull.getMessage.contains("EmptyData"))
+  }
 }
