@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops._
+
+/** Plan-shape assertions — the "would this survive 100×" checks made
+  * executable. The r1 verdict asked for the forced `broadcast()` hints to
+  * be dropped in favor of AQE size-based selection, with a test that AQE
+  * still picks broadcast at test scale (so dropping the hints cost
+  * nothing) — that's what the executed-plan assertions here pin. The
+  * others pin scan pushdown, top-k, and the as-of join's no-join shape.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Final adaptive plan string: collect() materializes the query, after
+    * which the AQE root prints the runtime-selected physical plan. */
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("j1_join_inner: AQE selects broadcast join with no hint in the code") {
+    val plan = executedPlan(Relational.joinInner(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q14_promo: AQE broadcasts the part side without a hint") {
+    val plan = executedPlan(Aggregates.promoRevenue(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q19_disjunctive: plans as an equi-join, never a nested loop") {
+    val plan = executedPlan(Aggregates.disjunctivePredicateJoin(spark, sfDir))
+    assert(plan.contains("HashJoin"), plan.take(2000)) // broadcast or shuffle hash
+    assert(!plan.contains("NestedLoop"))
+  }
+
+  test("sql_tpch_q6: filters pushed into the parquet scan, schema pruned") {
+    val df = graft.api.GraftSql.tpchQ6(spark, sfDir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters:"))
+    assert(formatted.contains("GreaterThanOrEqual(l_shipdate"), formatted.take(3000))
+    // column pruning: the scan reads only the 4 referenced columns
+    val readSchema = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"))
+  }
+
+  test("p3_topk plans as TakeOrderedAndProject (per-partition k-heap)") {
+    val plan = Relational.topK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("join_asof: union+window merge-scan has NO join operator") {
+    val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("Window"))
+  }
+}
