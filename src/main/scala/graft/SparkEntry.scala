@@ -76,6 +76,7 @@ object SparkEntry {
     "text_lang_stats"   -> (Text.langStats(_, _)),
     "text_lang_id"      -> (Text.langId(_, _)),
     "text_fingerprint"  -> (Text.fingerprints(_, _)),
+    "pipeline_clean_corpus" -> (Text.cleanCorpus(_, _)),
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
@@ -523,6 +524,18 @@ object SparkEntry {
         |       octet_length(encode(text)) AS n_bytes,
         |       (doc_id % 640) + 32 AS width, (doc_id % 480) + 32 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // length filter -> exact dedup (min doc_id per fingerprint) -> 90/10
+    // deterministic hash-mod split; 0.9 * 2^32 = 3865470566
+    "pipeline_clean_corpus" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents WHERE n_chars BETWEEN 50 AND 100000),
+        |     k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM d)
+        |SELECT doc_id, lang,
+        |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+        |            THEN 'train' ELSE 'val' END AS split
+        |FROM k WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
 
     // deterministic hash-mod sampling (Knuth multiplicative hash of doc_id)
     // — reproducible across engines, unlike RNG-based sample/sampleBy

@@ -175,6 +175,29 @@ object Text {
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_md5"))
       .orderBy("doc_id")
 
+  /** End-to-end corpus-cleaning pipeline — the composition a pre-training
+    * data pipeline actually runs, expressed as ONE declarative plan so
+    * Catalyst fuses the stages: length filter → exact dedup (keep the
+    * smallest doc_id per fingerprint) → deterministic train/val split
+    * (90/10 hash-mod, same scheme as [[sampledCorpus]]). The only shuffle
+    * is the dedup window on the 16-byte fingerprint; filters reach the
+    * scan. Fully deterministic, so the whole pipeline oracle-checks. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 4294967296L // 2^32
+    val scored = Tables.documents(spark, dir)
+      .filter(col("n_chars").between(50, 100000))
+      .select(col("doc_id"), col("lang"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    scored
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id") * lit(2654435761L), lit(M)) < lit(3865470566L), "train")
+          .otherwise("val").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit fingerprint variant: xxhash64 of the normalized text plus the
     * SimHash rolling fingerprint — the cheap keys a 100 TB dedup pass
     * actually shuffles (8-byte vs 16-byte md5, no hex encoding). */

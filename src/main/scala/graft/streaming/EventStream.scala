@@ -145,6 +145,33 @@ object EventStream {
       .toDF()
   }
 
+  /** Stream-stream interval join: for each purchase, the clicks by the
+    * same user in the preceding 10 minutes. BOTH sides carry watermarks
+    * and the join condition carries the time interval — that pair is what
+    * lets Spark bound the join state (each side's buffered rows are
+    * evicted once the watermark passes the interval bound; without it a
+    * stream-stream join's state grows with the stream). The reference's
+    * streaming engine has `todo!()` where its join would be
+    * (`src/physical_plan/streaming.rs:128-131`); the batch analog here is
+    * [[graft.ops.AsOf.eventRangeJoin]]. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "inner")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec"))
+  }
+
   /** Drive a streaming query over the finite file source to completion into
     * an in-memory sink table named `queryName` (used by tests). Aggregations
     * need Complete mode on a finite replay — with Append, windows behind the

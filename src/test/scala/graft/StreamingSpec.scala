@@ -33,6 +33,32 @@ class StreamingSpec extends SparkSpec {
     assert(n == Tables.events(spark, sfDir).select("event_id").distinct().count())
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val events = EventStream.readEvents(spark, sfDir)
+    EventStream.runToCompletion(
+      EventStream.purchaseClickJoin(events), "ssjoin_test", OutputMode.Append())
+    val streamed = spark.table("ssjoin_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("click_id"), r.getAs[Long]("lag_sec"))).toSet
+    // independent batch execution of the same interval-join logic
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val batch = p.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("transformWithState (Spark 4 stateful API) emits per-user running totals") {
     val spark2 = spark.newSession()
     spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
