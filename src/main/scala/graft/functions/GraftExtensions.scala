@@ -23,6 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       cosineBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(TextKernels.getClass.getName, "graft_shingles"),
+      shinglesBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(TextKernels.getClass.getName, "graft_minhash"),
+      minhashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(TextKernels.getClass.getName, "graft_simhash"),
+      simhashBuilder))
   }
 }
 
@@ -40,9 +52,35 @@ object GraftExtensions {
   val cosineBuilder: Seq[Expression] => Expression =
     args => arity2("vec_cosine")(args)(CosineSimilarity)
 
+  // text-kernel SQL entry points (same StaticInvoke shapes as the Column
+  // wrappers in TextKernels — one static call per row inside codegen)
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.types._
+
+  val shinglesBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 2, s"graft_shingles(text, k) takes 2 arguments, got ${args.length}")
+    StaticInvoke(TextKernels.getClass, ArrayType(StringType, containsNull = false),
+      "shingles", Seq(args(0), args(1)),
+      inputTypes = Seq(StringType, IntegerType), returnNullable = false)
+  }
+  val minhashBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 2, s"graft_minhash(shingles, numPerms) takes 2 arguments, got ${args.length}")
+    StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
+      "minhashSig", Seq(args(0), args(1)),
+      inputTypes = Seq(ArrayType(StringType), IntegerType), returnNullable = false)
+  }
+  val simhashBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 1, s"graft_simhash(text) takes 1 argument, got ${args.length}")
+    StaticInvoke(TextKernels.getClass, LongType, "simhash64", Seq(args(0)),
+      inputTypes = Seq(StringType), returnNullable = false)
+  }
+
   /** Register on a live session (extensions only bind at builder time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "vec_dot", dotBuilder)
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "vec_cosine", cosineBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_shingles", shinglesBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_simhash", simhashBuilder)
   }
 }

@@ -273,7 +273,7 @@ object Dedup {
     * the oracle side). At 100 TB the MinHash pair graph
     * ([[minhashPairs]]) plugs into the same [[connectedComponents]]
     * unchanged — the clustering operator is agnostic to the pair source
-    * (DedupSpec covers that composition). */
+    * (RecallSpec covers that composition on planted duplicates). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // persist: the undirected-edge union reads the pair list twice, and
     // every propagation round joins against it — without this the whole

@@ -82,6 +82,23 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (found ${found.size} pairs total)")
   }
 
+  test("connected components over the MinHash pair graph (100 TB composition)") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Dedup.minhashPairsDf(plantedDocs).select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(labels.nonEmpty)
+    // every planted (i, 100+i) pair that made it into the graph shares a label
+    (0 until 15).foreach { i =>
+      (labels.get(i.toLong), labels.get((100 + i).toLong)) match {
+        case (Some(a), Some(b)) => assert(a == b, s"pair ($i, ${100 + i}) split")
+        case _ => ()
+      }
+    }
+    // labels are cluster minima: the label node labels itself
+    labels.values.toSet.foreach((l: Long) => assert(labels(l) == l))
+  }
+
   test("k-means centroids: <= nlist rows, 64 double dims, stable ids") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Vectors.kmeansCentroids(emb, nlist = 8, iters = 2).collect()

@@ -59,4 +59,24 @@ class VectorExpressionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT vec_dot(a) FROM vt").collect())
     assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
+
+  test("sql-registered text kernels match the Column wrappers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftExtensions.register(spark)
+    Seq(("the quick brown fox jumps", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("tt")
+    val viaSql = spark.sql(
+      """SELECT graft_shingles(text, 3) AS sh,
+        |       graft_minhash(graft_shingles(text, 3), 8) AS mh,
+        |       graft_simhash(text) AS sim FROM tt""".stripMargin).first()
+    val viaCol = spark.table("tt").select(
+      graft.functions.TextKernels.shinglesKernel(col("text"), 3).as("sh"),
+      graft.functions.TextKernels.minhashSigKernel(
+        graft.functions.TextKernels.shinglesKernel(col("text"), 3), 8).as("mh"),
+      graft.functions.TextKernels.simhashKernel(col("text")).as("sim")).first()
+    assert(viaSql.getSeq[String](0) == viaCol.getSeq[String](0))
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+    assert(viaSql.getLong(2) == viaCol.getLong(2))
+  }
 }
