@@ -37,6 +37,8 @@ object SparkEntry {
     "q5_nation_revenue" -> (Aggregates.revenueByNation(_, _)),
     "agg_distinct"      -> (Aggregates.distinctCustomers(_, _)),
     "q14_promo"         -> (Aggregates.promoRevenue(_, _)),
+    "q4_priority"       -> (Aggregates.orderPriorityCheck(_, _)),
+    "q10_returns"       -> (Aggregates.returnsTopCustomers(_, _)),
     "q19_disjunctive"   -> (Aggregates.disjunctivePredicateJoin(_, _)),
     "agg_percentiles"   -> (Aggregates.percentiles(_, _)),
     "agg_stats"         -> (Aggregates.statsAggregates(_, _)),
@@ -232,6 +234,24 @@ object SparkEntry {
         |       AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, custkey ASC LIMIT 20""".stripMargin,
 
     "agg_percentiles" ->
       """SELECT o_orderstatus AS status,

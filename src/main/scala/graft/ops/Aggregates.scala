@@ -94,6 +94,40 @@ object Aggregates {
       .orderBy("ptype")
   }
 
+  /** TPC-H Q4-style order-priority check: a date-windowed LEFT SEMI join
+    * (EXISTS) + count by priority. The semi join shuffles only orderkeys
+    * from lineitem — Spark never materializes matched rows, and AQE picks
+    * broadcast/shuffle from the post-filter orders size. */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("priority")
+  }
+
+  /** TPC-H Q10-style returned-item revenue: 4-way join filtered to
+    * returned lineitems, grouped per customer, top-20 by lost revenue.
+    * nation keeps a broadcast hint (spec-bounded 25 rows); the fact joins
+    * and customer are AQE-selected. Top-k via TakeOrderedAndProject. */
+  def returnsTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey").as("custkey"), c("c_name").as("name"),
+        n("n_name").as("nation"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("custkey").asc)
+      .limit(20)
+  }
+
   /** Semi-structured column handling: parse the events JSON `props` with
     * a declared schema (from_json — codegen'd Jackson parse, no UDF) and
     * aggregate the extracted field. */
