@@ -47,6 +47,7 @@ object SparkEntry {
     "agg_monthly"       -> (Aggregates.monthlyRevenue(_, _)),
     "text_string_funcs" -> (Text.stringFunctions(_, _)),
     "ev_json_props"     -> (Aggregates.jsonProps(_, _)),
+    "ev_json_variant"   -> (Aggregates.jsonVariantProps(_, _)),
     "agg_approx_distinct" -> (Aggregates.approxDistinct(_, _)),
     "agg_rollup"        -> (Aggregates.rollupStatusPriority(_, _)),
     "agg_cube"          -> (Aggregates.cubeFlagStatus(_, _)),
@@ -303,6 +304,13 @@ object SparkEntry {
         |FROM customer ORDER BY custkey""".stripMargin,
 
     "ev_json_props" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY etype""".stripMargin,
+
+    "ev_json_variant" ->
       """SELECT event_type AS etype, count(*) AS n,
         |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,

@@ -143,6 +143,21 @@ object Aggregates {
       .orderBy("etype")
   }
 
+  /** Same aggregation as [[jsonProps]] through Spark 4's VARIANT type:
+    * `parse_json` once into a binary-encoded variant, then typed
+    * `variant_get` path extraction. For heterogeneous/deep JSON this is
+    * the scale path — the parse happens once per row regardless of how
+    * many paths are later extracted, and the binary encoding pushes
+    * through shuffles smaller than JSON text. */
+  def jsonVariantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("etype"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("etype")
+
   /** TPC-H Q19-style disjunctive predicate join: revenue over an OR of
     * three (brand, size, quantity) condition groups. Catalyst extracts the
     * common l_partkey = p_partkey conjunct so this still plans as an

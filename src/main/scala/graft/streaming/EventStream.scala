@@ -69,12 +69,17 @@ object EventStream {
         col("user_id"), col("n_events"), col("sum_value"))
 
   /** Streaming exact dedup on a key with watermark-bounded state — the
-    * standard training-data-pipeline "seen-set" operator. Spark keeps one
-    * state row per key inside the watermark horizon. */
+    * standard training-data-pipeline "seen-set" operator.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): when the
+    * dedup key excludes the event-time column, plain `dropDuplicates` keeps
+    * one state row per key FOREVER — unbounded state on an unbounded
+    * stream. The WithinWatermark variant evicts each key once the watermark
+    * passes its event time, bounding state to the 2-hour horizon while
+    * still deduplicating any duplicate that arrives within it. */
   def streamingDedup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   case class UserRunning(userId: Long, nEvents: Long, sumValue: Double)
 
