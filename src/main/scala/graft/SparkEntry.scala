@@ -30,6 +30,7 @@ object SparkEntry {
     "join_left_outer"   -> (AsOf.leftOuterOrderCounts(_, _)),
     "join_full_outer"   -> (AsOf.fullOuterNationCounts(_, _)),
     "join_asof"         -> (AsOf.eventAsof(_, _)),
+    "join_asof_fwd"     -> (AsOf.eventAsofForward(_, _)),
     "join_range"        -> (AsOf.eventRangeJoin(_, _)),
     // --- OLAP completion (SURVEY.md §7.3 step 2) ---
     "q1_pricing_summary"-> (Aggregates.pricingSummary(_, _)),
@@ -164,6 +165,20 @@ object SparkEntry {
         |       LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
         |         ON v.user_id = c.user_id AND v.es <= c.es)
         |SELECT user_id, click_es, view_id, round(view_value, 2) AS view_value
+        |FROM pairs WHERE rn = 1 ORDER BY user_id, click_es""".stripMargin,
+
+    "join_asof_fwd" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+        |     pairs AS (
+        |       SELECT c.user_id, c.event_id AS cid, c.es AS click_es,
+        |              v.event_id AS next_view_id, v.value AS view_value,
+        |              row_number() OVER (PARTITION BY c.event_id
+        |                                 ORDER BY v.es ASC, v.event_id ASC) AS rn
+        |       FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |       LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |         ON v.user_id = c.user_id AND v.es >= c.es)
+        |SELECT user_id, click_es, next_view_id, round(view_value, 2) AS next_view_value
         |FROM pairs WHERE rn = 1 ORDER BY user_id, click_es""".stripMargin,
 
     "join_range" ->

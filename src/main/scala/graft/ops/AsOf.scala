@@ -57,6 +57,51 @@ object AsOf {
     }.drop("side", "tb", "lv", "asof")
   }
 
+  /** Forward as-of join: for each `right` row, the EARLIEST `left` row
+    * with the same key and leftTime >= rightTime (the mirror of
+    * [[asofJoin]] — same union + merge-scan shape, with the window frame
+    * flipped to currentRow→unboundedFollowing and `first` instead of
+    * `last`). Right rows sort before left rows at equal timestamps
+    * (side 0 < 1) so an equal-time left row IS visible — asof >=; among
+    * equal-time left rows the min-tiebreak one sorts first and wins. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, time: String,
+                      leftVals: Seq[String], tiebreak: String): DataFrame = {
+    val lTagged = left.select(
+      col(key).as("k"), col(time).as("t"), lit(1).as("side"),
+      col(tiebreak).as("tb"),
+      struct(leftVals.map(col): _*).as("lv"))
+    val rTagged = right.select(
+      col(key).as("k"), col(time).as("t"), lit(0).as("side"),
+      lit(null).cast(lTagged.schema("tb").dataType).as("tb"),
+      lit(null).cast(lTagged.schema("lv").dataType).as("lv"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("tb").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = rTagged.unionByName(lTagged)
+      .withColumn("asof", first(col("lv"), ignoreNulls = true).over(w))
+    val rightRows = unioned.filter(col("side") === 0)
+    leftVals.foldLeft(rightRows) { (df, c) =>
+      df.withColumn(s"asof_$c", col("asof").getField(c))
+    }.drop("side", "tb", "lv", "asof")
+  }
+
+  /** Forward as-of self-join on events: each 'click' event picks up the
+    * next at-or-after 'view' event of the same user. */
+  def eventAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("es"), col("event_id").as("view_id"), col("value").as("view_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("es"), col("event_id"))
+    asofJoinForward(views, clicks, "user_id", "es", Seq("view_id", "view_value"), "view_id")
+      .select(col("k").as("user_id"), col("t").as("click_es"),
+        col("asof_view_id").as("next_view_id"),
+        round(col("asof_view_value"), 2).as("next_view_value"))
+      .orderBy("user_id", "click_es")
+  }
+
   /** As-of self-join on events: each 'click' event picks up the most recent
     * prior-or-equal 'view' event of the same user. */
   def eventAsof(spark: SparkSession, dir: String): DataFrame = {
