@@ -83,6 +83,44 @@ class PropertySpec extends SparkSpec {
     assert(ests(0L) > ests(1L) && ests(1L) > ests(2L), ests.toString)
   }
 
+  test("property: as-of joins (backward + forward) equal brute force on random series") {
+    import spark.implicits._
+    import graft.ops.AsOf
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      // few keys + duplicate timestamps on purpose (tie semantics covered)
+      val left = (1 to 120).map(i =>
+        (rng.nextInt(5).toLong, rng.nextInt(40).toLong, i.toLong, rng.nextDouble()))
+        .toDF("k", "t", "lid", "lval")
+      val right = (1 to 80).map(i =>
+        (rng.nextInt(5).toLong, rng.nextInt(40).toLong, (1000 + i).toLong))
+        .toDF("k", "t", "rid")
+      val lRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+      val back = AsOf.asofJoin(
+          left, right.select(col("k"), col("t")), "k", "t", Seq("lid"), "lid")
+        .collect().map(r => ((r.getAs[Long]("k"), r.getAs[Long]("t")),
+          Option(r.getAs[java.lang.Long]("asof_lid")).map(_.toLong)))
+      back.foreach { case ((k, t), got) =>
+        val cand = lRows.filter(l => l._1 == k && l._2 <= t)
+        val want = if (cand.isEmpty) None
+          else Some(cand.maxBy(l => (l._2, l._3))._3) // latest time, max tiebreak
+        assert(got == want, s"seed $seed backward k=$k t=$t")
+      }
+
+      val fwd = AsOf.asofJoinForward(
+          left, right.select(col("k"), col("t")), "k", "t", Seq("lid"), "lid")
+        .collect().map(r => ((r.getAs[Long]("k"), r.getAs[Long]("t")),
+          Option(r.getAs[java.lang.Long]("asof_lid")).map(_.toLong)))
+      fwd.foreach { case ((k, t), got) =>
+        val cand = lRows.filter(l => l._1 == k && l._2 >= t)
+        val want = if (cand.isEmpty) None
+          else Some(cand.minBy(l => (l._2, l._3))._3) // earliest time, min tiebreak
+        assert(got == want, s"seed $seed forward k=$k t=$t")
+      }
+    }
+  }
+
   test("reference error parity: unknown column fails analysis") {
     val df = randomPeople(1, 10)
     intercept[org.apache.spark.sql.AnalysisException] {
