@@ -132,9 +132,14 @@ object Dedup {
   /** 64-bit SimHash per document: explode tokens → per-token xxhash64 →
     * per-doc two-phase aggregation where each of the 64 bits sums +1/-1
     * votes → reassemble the sign bits into a long. The explode + partial
-    * aggregation shape means each token is hashed exactly once and the
-    * shuffle carries only (doc_id, 64 longs) partials — scales to any
-    * corpus size. */
+    * aggregation shape means a document's vote accumulation can span
+    * partitions — the variant for PATHOLOGICALLY large single documents
+    * (no single task ever holds a whole document). For realistic corpora
+    * the one-pass map-side kernel
+    * ([[graft.functions.TextKernels.simhashKernel]]) is cheaper — no
+    * explode, no 64-aggregate shuffle — and the simhash queries use it;
+    * this form stays as the giant-doc escape hatch and the independent
+    * implementation the property tests cross-check against. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df.select(col(idCol),
       explode(Text.tokensCol(lower(col(textCol)))).as("tok"))
@@ -151,11 +156,14 @@ object Dedup {
   }
 
   /** SimHash fingerprints + collision groups: documents sharing a simhash
-    * (hamming distance 0) cluster together; near-dup search at scale would
-    * band the 64 bits into 4×16-bit chunks (hamming ≤3 ⇒ some chunk equal —
-    * the standard pigeonhole trick) and self-join per chunk. */
+    * (hamming distance 0) cluster together; [[simhashNearPairs]] extends
+    * this to hamming ≤ 3 via 4×16-bit pigeonhole banding. Fingerprints
+    * come from the one-pass codegen kernel — pure map-side work; the only
+    * shuffle carries (8-byte fp, doc_id). */
   def simhashGroups(spark: SparkSession, dir: String): DataFrame =
-    simhash(Tables.documents(spark, dir), "doc_id", "text")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhashKernel(col("text")).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("keep_id")
@@ -175,8 +183,9 @@ object Dedup {
 
   def simhashNearPairsDf(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
-    val fp = simhash(documents, "doc_id", "text")
-      .withColumnRenamed("simhash", "fp")
+    val fp = documents
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhashKernel(col("text")).as("fp"))
       .persist()
     val chunked = fp.select(col("doc_id"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),

@@ -53,9 +53,13 @@ class RecallSpec extends SparkSpec {
   }
 
   test("SimHash hamming<=3 banding is EXACT: set-equals brute force") {
+    import org.apache.spark.sql.functions.col
     val banded = Dedup.simhashNearPairsDf(plantedDocs).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    val fps = Dedup.simhash(plantedDocs, "doc_id", "text").collect()
+    val fps = plantedDocs
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhashKernel(col("text")).as("simhash"))
+      .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
     val brute = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
