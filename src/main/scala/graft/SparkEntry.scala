@@ -68,6 +68,8 @@ object SparkEntry {
     "w1_rank_per_cust"  -> (Windows.topOrdersPerCustomer(_, _)),
     "w2_running_total"  -> (Windows.runningTotal(_, _)),
     "w3_event_gaps"     -> (Windows.eventGaps(_, _)),
+    "w5_range_frame"    -> (Windows.rangeFrameHourly(_, _)),
+    "agg_percentiles_approx" -> (Aggregates.percentilesApprox(_, _)),
     // --- event-time analytics ---
     "ev_tumbling"       -> (EventTime.tumblingHourly(_, _)),
     "ev_sliding"        -> (EventTime.slidingWindows(_, _)),
@@ -478,6 +480,16 @@ object SparkEntry {
         |       lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
         |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_sec
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "w5_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+        |SELECT user_id, event_id, es,
+        |       count(*) OVER w AS n_last_hour,
+        |       round(sum(value) OVER w, 2) AS value_last_hour
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,

@@ -267,6 +267,22 @@ object Aggregates {
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("status")
 
+  /** Sketch-based quantiles: `percentile_approx` (Greenwald-Khanna) — the
+    * 100 TB path next to the exact [[percentiles]]: bounded-memory,
+    * mergeable partials, accuracy knob. Deterministic for a given input
+    * but not reproducible in DuckDB (different sketch) → rows-only check;
+    * AggregatesSpec pins it within rank-error bounds of the exact
+    * quantiles. */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        round(expr("percentile_approx(o_totalprice, 0.5, 1000)"), 4).as("p50"),
+        round(expr("percentile_approx(o_totalprice, 0.9, 1000)"), 4).as("p90"),
+        round(expr("percentile_approx(o_totalprice, 0.99, 1000)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("status")
+
   /** Calendar rollup: revenue by order month — date_trunc + two-stage agg,
     * the universal time-series reporting shape. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =

@@ -69,6 +69,24 @@ object Windows {
       .orderBy("status", "orderkey")
   }
 
+  /** RANGE-frame sliding aggregate: per event, the count/value-sum of the
+    * same user's events in the trailing hour — a VALUE-based frame
+    * (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds),
+    * the window shape [[runningTotal]]'s ROWS frame can't express: the
+    * frame extends by time distance, not row count, and equal-timestamp
+    * peers are all included. Same single shuffle on user_id. */
+  def rangeFrameHourly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      .select(col("user_id"), col("event_id"), col("es"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum("value").over(w), 2).as("value_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** lag/lead deltas: per-user gap between consecutive events (seconds).
     * The canonical event-sequence analysis shape: shuffle once on user_id,
     * sort within partition, no global sort of the fact table. */

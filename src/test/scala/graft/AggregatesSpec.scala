@@ -80,4 +80,19 @@ class AggregatesSpec extends SparkSpec {
     val n = Tables.nation(spark, sfDir).count()
     assert(Aggregates.crossSmall(spark, sfDir).count() == r * n)
   }
+
+  test("percentile_approx tracks exact percentiles within 5% relative error") {
+    val exact = Aggregates.percentiles(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val approx = Aggregates.percentilesApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e50, e90) = exact(r.getAs[String]("status"))
+      assert(math.abs(r.getAs[Double]("p50") - e50) / e50 < 0.05,
+        s"${r.getAs[String]("status")} p50 ${r.getAs[Double]("p50")} vs $e50")
+      assert(math.abs(r.getAs[Double]("p90") - e90) / e90 < 0.05,
+        s"${r.getAs[String]("status")} p90 ${r.getAs[Double]("p90")} vs $e90")
+    }
+  }
 }
