@@ -75,6 +75,7 @@ object SparkEntry {
     "ev_sliding"        -> (EventTime.slidingWindows(_, _)),
     "ev_sessionize"     -> (EventTime.sessionize(_, _)),
     "ev_session_native" -> (EventTime.sessionizeNative(_, _)),
+    "ev_funnel"         -> (EventTime.funnel(_, _)),
     "text_sampling"     -> (Text.sampledCorpus(_, _)),
     // --- text analysis ---
     "text_tokens"       -> (Text.tokenCounts(_, _)),
@@ -520,6 +521,19 @@ object SparkEntry {
         |       min(es) AS start_epoch, max(es) AS end_epoch,
         |       round(sum(value), 2) AS sum_value
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |     v AS (SELECT user_id, min(es) AS v_es FROM e
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |     c AS (SELECT e.user_id, min(es) AS c_es FROM e JOIN v USING (user_id)
+        |           WHERE event_type = 'click' AND es >= v_es GROUP BY 1),
+        |     p AS (SELECT e.user_id, min(es) AS p_es FROM e JOIN c USING (user_id)
+        |           WHERE event_type = 'purchase' AND es >= c_es GROUP BY 1)
+        |SELECT count(*) AS n_view, count(c_es) AS n_view_click,
+        |       count(p_es) AS n_view_click_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars_m,

@@ -60,6 +60,29 @@ object EventTime {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Ordered funnel: users who did view → click → purchase IN ORDER
+    * (each stage's first occurrence at-or-after the previous stage's).
+    * Three aggregations all keyed on user_id — the shuffles co-partition,
+    * and each stage's input shrinks to the users still in the funnel.
+    * Emits one row of stage counts (the funnel report shape). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("es"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("es").as("v_es"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("es") >= col("v_es"))
+      .groupBy("user_id").agg(min("es").as("c_es"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("es") >= col("c_es"))
+      .groupBy("user_id").agg(min("es").as("p_es"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("c_es")).as("n_view_click"),
+        count(col("p_es")).as("n_view_click_purchase"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap): the classic
     * lag → new-session flag → running sum pattern. One shuffle on user_id;
     * session state never leaves the executor. Expressible identically in
