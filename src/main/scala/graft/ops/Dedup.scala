@@ -217,13 +217,16 @@ object Dedup {
   val MaxDf = 100
 
   /** Connected components over a near-duplicate pair graph by min-label
-    * propagation: every doc starts labeled with its own id; each round a
-    * doc adopts the smallest label among itself and its neighbors;
-    * converged when no label changes. O(diameter) rounds — near-dup
-    * clusters are tiny/star-shaped, so a handful of distributed joins; at
-    * web scale the same loop runs with the large-star/small-star
-    * optimization, which this structure accommodates (each round is just
-    * joins + groupBy-min).
+    * propagation with POINTER JUMPING: every doc starts labeled with its
+    * own id; each round a doc adopts the smallest label among itself and
+    * its neighbors, then additionally its current label's label
+    * (label(u) ← label(label(u))). The jump doubles the hop distance a
+    * label travels per round, so convergence is O(log diameter) instead
+    * of O(diameter) — a pathological chain-shaped cluster of length 1000
+    * converges in ~10 rounds, not 1000 (PropertySpec proves a 60-chain in
+    * ≤12). Fixpoint correctness is unchanged: at convergence the label
+    * function is stable under neighbor-min, hence equal across every
+    * edge, hence constant (= minimum id) per component.
     *
     * This is the operator that turns pairwise dedup output into "keep one
     * representative per duplicate cluster".
@@ -254,9 +257,17 @@ object Dedup {
       // carry the previous label through the round so the convergence
       // probe below is a filter over the just-checkpointed result — no
       // extra join, no second materialization of the round's work
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
+      // pointer jump: adopt the label of the node you're labeled with
+      // (labels are node ids, so this is a self-join of the tiny label
+      // table — cheap next to the edge join, and it turns O(diameter)
+      // rounds into O(log diameter))
+      val mapping = prop.select(col("id").as("lid"), col("l1").as("l2"))
+      val next = prop.join(mapping, col("l1") === col("lid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
         .localCheckpoint()
       // round 1 always changes labels (any node with an edge adopts a
       // neighbor min) — skip its convergence job

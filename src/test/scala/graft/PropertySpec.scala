@@ -83,6 +83,18 @@ class PropertySpec extends SparkSpec {
     assert(ests(0L) > ests(1L) && ests(1L) > ests(2L), ests.toString)
   }
 
+  test("property: CC converges on a 60-node chain within 12 rounds (pointer jumping)") {
+    import spark.implicits._
+    val n = 60
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    // plain min-label propagation would need n-1 = 59 rounds here; the
+    // label-of-label jump doubles reach per round => O(log n)
+    val ls = Dedup.connectedComponents(edges, "a", "b", maxIter = 12).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(ls.size == n)
+    assert(ls.values.forall(_ == 0L), "all chain nodes must label to the minimum id")
+  }
+
   test("property: as-of joins (backward + forward) equal brute force on random series") {
     import spark.implicits._
     import graft.ops.AsOf
