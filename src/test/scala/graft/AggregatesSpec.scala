@@ -81,6 +81,19 @@ class AggregatesSpec extends SparkSpec {
     assert(Aggregates.crossSmall(spark, sfDir).count() == r * n)
   }
 
+  test("approx_count_distinct (rsd 0.01) within 5% of exact distinct counts") {
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority")).agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Aggregates.approxDistinct(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getAs[String]("priority")).toDouble
+      val a = r.getAs[Long]("approx_customers").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"${r.getAs[String]("priority")}: $a vs $e")
+    }
+  }
+
   test("percentile_approx tracks exact percentiles within 5% relative error") {
     val exact = Aggregates.percentiles(spark, sfDir).collect()
       .map(r => r.getAs[String]("status") ->

@@ -51,6 +51,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q1 aggregation executes inside WholeStageCodegen") {
+    val df = Aggregates.pricingSummary(spark, sfDir)
+    df.collect()
+    // codegen'd operators print with a "*(stageId)" prefix in the plan
+    // tree (WholeStageCodegenExec.generateTreeString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(2000))
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))
