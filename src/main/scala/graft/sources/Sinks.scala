@@ -31,6 +31,19 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** CSV sink with the reference source's conventions (`;`-style
+    * configurable delimiter, `null` literal for NULLs, header) so a write
+    * round-trips through [[CsvSource.read]] losslessly — sink conventions
+    * that don't round-trip with the companion source are how export
+    * pipelines corrupt nulls into empty strings. */
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    df.write
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("nullValue", "null")
+      .mode("overwrite")
+      .csv(path)
+
   /** Round-trip demo used by the spec: partition lineitem by returnflag,
     * read back one partition, prove pruning via the file count actually
     * scanned. */

@@ -33,4 +33,47 @@ class SinksSpec extends SparkSpec {
     assert(agg.count() == o.select("o_custkey").distinct().count())
     spark2.sql("DROP TABLE IF EXISTS orders_bkt")
   }
+
+  test("csv sink round-trips nulls and booleans through CsvSource") {
+    import org.apache.spark.sql.types._
+    import graft.api.Rivulus
+    val out = java.nio.file.Files.createTempDirectory("graftcsvsink").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("active", BooleanType)))
+    val df = Rivulus.fromRows(spark, schema, Seq(
+      org.apache.spark.sql.Row(1L, "alice", 9.5, true),
+      org.apache.spark.sql.Row(2L, null, null, false),
+      org.apache.spark.sql.Row(3L, "carol", 7.25, null))).df
+    graft.sources.Sinks.writeCsv(df, out, delimiter = ";")
+    val back = graft.sources.CsvSource.read(spark, out, schema, delimiter = ";")
+      .orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2)) // nulls survive
+    assert(back(2).isNullAt(3))
+    assert(back(0).getString(1) == "alice" && back(2).getDouble(2) == 7.25)
+  }
+
+  test("jsonl source quarantines corrupt lines instead of failing or dropping") {
+    import org.apache.spark.sql.types._
+    import graft.sources.JsonlSource
+    val dir = java.nio.file.Files.createTempDirectory("graftjsonl")
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "bonjour", "lang": "fr"}
+        |{not valid json at all
+        |{"doc_id": 4, "text": "hola", "lang": "es"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val raw = JsonlSource.read(spark, f.toString, schema).persist()
+    val (clean, bad) = JsonlSource.partition(raw)
+    assert(clean.count() == 3)
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(bad.count() == 1)
+    assert(bad.first().getString(0).contains("not valid json"))
+    raw.unpersist()
+  }
 }
