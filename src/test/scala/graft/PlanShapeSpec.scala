@@ -61,6 +61,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("w1 rank filter plans as WindowGroupLimit (per-partition top-k heap)") {
+    // rk <= 3 pushes into the window operator: each partition keeps a
+    // 3-heap per key instead of ranking every row then filtering
+    val plan = Windows.topOrdersPerCustomer(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))
