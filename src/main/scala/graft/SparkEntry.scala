@@ -84,6 +84,8 @@ object SparkEntry {
     "text_lang_id"      -> (Text.langId(_, _)),
     "text_fingerprint"  -> (Text.fingerprints(_, _)),
     "pipeline_clean_corpus" -> (Text.cleanCorpus(_, _)),
+    "pipeline_pack_sequences" -> (Text.packSequences(_, _)),
+    "pipeline_temp_resample"  -> (Text.temperatureResample(_, _)),
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
@@ -605,6 +607,30 @@ object SparkEntry {
         |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
         |            THEN 'train' ELSE 'val' END AS split
         |FROM k WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+
+    // contiguous-fill sequence packing; CAST pins DuckDB's HUGEINT window sum
+    "pipeline_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |     c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                              ROWS UNBOUNDED PRECEDING) - n_tokens
+        |                          AS BIGINT) AS tokens_before
+        |           FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |       CAST(floor(tokens_before / 2048.0) AS BIGINT) AS bin,
+        |       tokens_before % 2048 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // p_l = share_l^(alpha-1) normalized to the rarest language; alpha=0.5
+    "pipeline_temp_resample" ->
+      """WITH r AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |     w AS (SELECT lang, CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share FROM r),
+        |     p AS (SELECT lang, pow(share, -0.5) / max(pow(share, -0.5)) OVER () AS p FROM w)
+        |SELECT doc_id, d.lang AS lang, round(p, 6) AS keep_p
+        |FROM documents d JOIN p ON d.lang = p.lang
+        |WHERE CAST(((doc_id + 13) * 2654435761) % 4294967296 AS DOUBLE) < p * 4294967296
+        |ORDER BY doc_id""".stripMargin,
 
     // deterministic hash-mod sampling (Knuth multiplicative hash of doc_id)
     // — reproducible across engines, unlike RNG-based sample/sampleBy

@@ -198,6 +198,54 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing for training batches: assign documents to
+    * fixed-token-budget bins (context windows) by contiguous fill in
+    * doc_id order within each language shard — bin = floor(tokens-before
+    * / budget), the standard streaming-pack approximation of bin packing
+    * (greedy first-fit needs sequential state; the contiguous fill is
+    * order-deterministic, one window shuffle, and within 1 doc of greedy
+    * occupancy per boundary). Output: one row per document with its bin
+    * and intra-bin offset. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("tokens_before") / budget).as("bin"),
+        (col("tokens_before") % budget).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-based language rebalancing (the `p_l ∝ share_l^α`
+    * mixture trick from multilingual pre-training): a language's keep
+    * probability is `(share_l)^(α-1)` normalized so the rarest language
+    * keeps everything — downsampling dominant languages, keeping the
+    * tail. Per-doc keep decision is the deterministic multiplicative
+    * hash, so the whole query is in-plan and oracle-able; the per-lang
+    * rates come from a broadcast-joined aggregate, never a driver
+    * collect. */
+  def temperatureResample(spark: SparkSession, dir: String, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val all = Window.partitionBy() // 5-row aggregate — single-partition window is fine
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") / sum(col("n")).over(all))
+      .withColumn("p", pow(col("share"), alpha - 1.0) /
+        max(pow(col("share"), alpha - 1.0)).over(all))
+      .select(col("lang"), col("p"))
+    val M = 4294967296L
+    val h = pmod((col("doc_id") + lit(13L)) * lit(2654435761L), lit(M))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(h.cast("double") < col("p") * M.toDouble)
+      .select(col("doc_id"), col("lang"), round(col("p"), 6).as("keep_p"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit fingerprint variant: xxhash64 of the normalized text plus the
     * SimHash rolling fingerprint — the cheap keys a 100 TB dedup pass
     * actually shuffles (8-byte vs 16-byte md5, no hex encoding). */
