@@ -243,8 +243,11 @@ object Dedup {
     // optimization cost and stage DAG size grow with iteration count —
     // the classic iterative-DataFrame scale-killer. With it every round
     // plans against a flat cached RDD scan, O(1) plan depth forever.
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // The first propagation round is folded into initialization: with
+    // identity labels, round 1's neighbor-min is just min(id, min nbr) —
+    // one groupBy over the edge list, no join, one fewer loop round.
+    var labels = und.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -269,11 +272,10 @@ object Dedup {
         .select(col("id"), col("prev"),
           least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
         .localCheckpoint()
-      // round 1 always changes labels (any node with an edge adopts a
-      // neighbor min) — skip its convergence job
-      val changed =
-        if (iter == 0) 1L
-        else next.filter(col("label") =!= col("prev")).limit(1).count()
+      // the fold-in above means even the first loop round can already be
+      // at the fixpoint (all pair clusters converge at init), so every
+      // round probes — a limit-1 filter over the just-checkpointed RDD
+      val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
       labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
