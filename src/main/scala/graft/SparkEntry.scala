@@ -40,6 +40,9 @@ object SparkEntry {
     "q14_promo"         -> (Aggregates.promoRevenue(_, _)),
     "q4_priority"       -> (Aggregates.orderPriorityCheck(_, _)),
     "q10_returns"       -> (Aggregates.returnsTopCustomers(_, _)),
+    "q13_custdist"      -> (Aggregates.customerDistribution(_, _)),
+    "q18_large_orders"  -> (Aggregates.largeOrders(_, _)),
+    "q22_idle_rich"     -> (Aggregates.idleRichCustomers(_, _)),
     "q19_disjunctive"   -> (Aggregates.disjunctivePredicateJoin(_, _)),
     "agg_percentiles"   -> (Aggregates.percentiles(_, _)),
     "agg_stats"         -> (Aggregates.statsAggregates(_, _)),
@@ -273,6 +276,33 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, custkey ASC LIMIT 20""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+        |             GROUP BY 1 HAVING sum(l_quantity) > 250.0)
+        |SELECT c.c_name AS name, c.c_custkey AS custkey,
+        |       o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+        |       round(big.qty, 2) AS sum_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY totalprice DESC, orderkey ASC LIMIT 100""".stripMargin,
+
+    "q22_idle_rich" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_percentiles" ->
       """SELECT o_orderstatus AS status,

@@ -128,6 +128,61 @@ object Aggregates {
       .limit(20)
   }
 
+  /** TPC-H Q13-style customer distribution: two-level aggregation — first
+    * orders-per-customer over a LEFT join (customers with zero orders must
+    * appear), then customers-per-order-count. Both shuffles are on keys
+    * that shrink the data (custkey, then the tiny count domain). */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total lineitem
+    * quantity exceeds a threshold — the grouped-subquery-in-join shape.
+    * The lineitem aggregation collapses to one row per order BEFORE the
+    * joins, so the join input is already reduced ~4× and AQE can
+    * broadcast the survivors. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 250.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(c("c_name").as("name"), c("c_custkey").as("custkey"),
+        o("o_orderkey").as("orderkey"), o("o_totalprice").as("totalprice"),
+        round(col("qty"), 2).as("sum_qty"))
+      .orderBy(col("totalprice").desc, col("orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q22-style: customers with above-average balance and no URGENT
+    * orders, by segment — scalar aggregate subquery (broadcast single-row
+    * cross join, no driver collect) + anti join + group. (The classic
+    * "no orders at all" predicate is empty on the driver data — every
+    * rich customer orders — so the urgency filter keeps the shape with a
+    * non-trivial result.) */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("segment")
+  }
+
   /** Semi-structured column handling: parse the events JSON `props` with
     * a declared schema (from_json — codegen'd Jackson parse, no UDF) and
     * aggregate the extracted field. */
