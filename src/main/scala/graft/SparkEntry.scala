@@ -63,6 +63,7 @@ object SparkEntry {
     "skew_two_stage_agg"-> (Skew.twoStageAgg(_, _)),
     "sql_tpch_q6"       -> (graft.api.GraftSql.tpchQ6(_, _)),
     "sql_subquery"      -> (graft.api.GraftSql.aboveCustomerAvg(_, _)),
+    "sql_vec_cosine"    -> (graft.api.GraftSql.vecCosineSql(_, _)),
     "agg_pivot"         -> (Aggregates.pivotStatusPriority(_, _)),
     "agg_decimal_exact" -> (Aggregates.decimalExact(_, _)),
     "date_arith"        -> (Aggregates.dateArithmetic(_, _)),
@@ -434,6 +435,16 @@ object SparkEntry {
         |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
         |                          WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY custkey, orderkey""".stripMargin,
+
+    // DuckDB float32 gotcha: list_cosine_similarity over FLOAT[] computes
+    // in float32 — CAST both sides to DOUBLE[] to match Spark's double math
+    "sql_vec_cosine" ->
+      """SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 3 AND b.vec_id BETWEEN 3 AND 40
+        |ORDER BY q_id, c_id""".stripMargin,
 
     "agg_pivot" ->
       """SELECT o_orderstatus AS status,

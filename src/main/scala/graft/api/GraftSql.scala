@@ -65,6 +65,22 @@ object GraftSql {
         |ORDER BY status, priority
         |""".stripMargin)
 
+  /** The custom codegen expression [[graft.functions.CosineSimilarity]]
+    * invoked FROM SQL TEXT (via the live-session function registration) —
+    * and oracle-checked against DuckDB's independent
+    * `list_cosine_similarity`, so the custom Catalyst expression's math
+    * is pinned by a second engine, not just by our own HOF cross-check. */
+  def vecCosineSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    sql(spark, dir,
+      """SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |       round(vec_cosine(a.embedding, b.embedding), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 3 AND b.vec_id BETWEEN 3 AND 40
+        |ORDER BY q_id, c_id
+        |""".stripMargin)
+  }
+
   /** Correlated scalar subquery in SQL (reference has no subqueries at
     * all): orders above their customer's average order value. */
   def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =
