@@ -124,7 +124,9 @@ class RecallSpec extends SparkSpec {
     val recalls = bf.keys.toSeq.map { q =>
       (ivf.getOrElse(q, Set.empty[Long]) intersect bf(q)).size.toDouble / 3.0
     }
+    // measured 0.90 with k-means centroids (was ~0.5 with the first-nlist
+    // placeholder); 0.6 leaves margin for FP wobble in the parallel means
     val mean = recalls.sum / recalls.length
-    assert(mean >= 0.3, s"mean recall@3 = $mean (nprobe 4 of nlist 16)")
+    assert(mean >= 0.6, s"mean recall@3 = $mean (nprobe 4 of nlist 16)")
   }
 }
