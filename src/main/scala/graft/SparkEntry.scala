@@ -631,6 +631,47 @@ object SparkEntry {
         |SELECT q_id, rk, c_id, label, round(cos, 4) AS cos
         |FROM s WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
+    // the LSH hyperplanes are deterministic ±1 literals, rendered into the
+    // SQL — the full multi-table LSH pipeline pinned by an independent
+    // engine (float32 gotcha: CAST embeddings to DOUBLE[])
+    "ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |codes AS (
+         |${graft.ops.Vectors.lshOracleCodes}
+         |),
+         |q AS (SELECT * FROM codes WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         |         FROM q JOIN codes c ON q.t = c.t AND q.code = c.code
+         |                            AND c.vec_id <> q.vec_id),
+         |s AS (SELECT cand.q_id, cand.c_id,
+         |             list_cosine_similarity(qa.e, ca.e) AS cos,
+         |             row_number() OVER (PARTITION BY cand.q_id
+         |               ORDER BY list_cosine_similarity(qa.e, ca.e) DESC,
+         |                        cand.c_id ASC) AS rk
+         |      FROM cand JOIN v qa ON cand.q_id = qa.vec_id
+         |                JOIN v ca ON cand.c_id = ca.vec_id)
+         |SELECT q_id, rk, c_id, round(cos, 4) AS cos
+         |FROM s WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    // same rendered-hyperplane trick as ann_lsh: bucket-capped candidate
+    // pairs + exact-cosine verify, fully reproduced in DuckDB
+    "emb_near_dup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |codes AS (
+         |${graft.ops.Vectors.lshOracleCodes}
+         |),
+         |g AS (SELECT t, code FROM codes GROUP BY 1, 2
+         |      HAVING count(*) BETWEEN 2 AND 2000),
+         |kc AS (SELECT c.vec_id, c.t, c.code FROM codes c JOIN g USING (t, code)),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM kc a JOIN kc b ON a.t = b.t AND a.code = b.code
+         |                             AND a.vec_id < b.vec_id),
+         |s AS (SELECT id_a, id_b, list_cosine_similarity(va.e, vb.e) AS cos
+         |      FROM pairs JOIN v va ON id_a = va.vec_id
+         |                 JOIN v vb ON id_b = vb.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cos
+         |FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
     "mm_media_stats" ->
       """SELECT doc_id, 'image/fake-' || lang AS mime,
         |       octet_length(encode(text)) AS n_bytes,

@@ -67,6 +67,22 @@ object Vectors {
     array((0 until Tables_).map(t =>
       struct(lit(t).as("t"), lshCodeCol(vec, t).as("code"))): _*)
 
+  /** The hyperplane codes rendered as DuckDB SQL — the planes are
+    * deterministic ±1 literals, so the ENTIRE LSH pipeline is
+    * reproducible in the oracle engine (one UNION ALL branch per table,
+    * each code bit a `list_dot_product(e, [±1, …]) > 0` test). Both
+    * engines iterate the dot product left-to-right over exact ±1·float
+    * products, so the sign test cannot diverge at the FP level. */
+  def lshOracleCodes: String =
+    (0 until Tables_).map { t =>
+      val bits = (0 until Bits).map { p =>
+        val arr = planes(t)(p).map(w => if (w > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, $arr) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, $bits AS code FROM v"
+    }.mkString("\nUNION ALL\n")
+
   private def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
     df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
       .select(col(idAs), col(vecAs), explode(lshBucketsCol(col(vecAs))).as("bkt"))
