@@ -71,6 +71,21 @@ object Multimodal {
     (mean, hist.map(_ / n))
   }
 
+  /** Media table from a directory of real files via Spark's `binaryFile`
+    * source — the production ingestion path the synthetic [[mediaTable]]
+    * stands in for. Each file becomes one row: stable 64-bit id from the
+    * path hash, payload = file bytes, claimed dimensions 0 (the decode
+    * step corrects them from the pixels). `binaryFile` splits at file
+    * granularity, so decode parallelism = file count — at scale media
+    * lands in many files and this is exactly the right unit. */
+  def fromBinaryFiles(spark: SparkSession, path: String, mime: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        struct(lit(mime).as("mime"), lit(0).as("width"), lit(0).as("height"),
+          lit(3).as("channels")).as("meta"),
+        col("content").as("payload"))
+
   /** REAL codec path: decode `payload` with `javax.imageio` (JDK
     * built-in — PNG/JPEG/BMP/GIF, no external deps) into mean luminance +
     * an 8-bin luminance histogram, plus the true pixel dimensions.

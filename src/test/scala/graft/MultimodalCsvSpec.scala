@@ -47,6 +47,31 @@ class MultimodalCsvSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("frame_idx") % 4 == 0))
   }
 
+  test("binaryFile source -> imageio decode end-to-end on real files") {
+    import graft.ops.Multimodal
+    def png(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dir = Files.createTempDirectory("graftbin")
+    Files.write(dir.resolve("a.png"), png(0x000000, 5, 4))
+    Files.write(dir.resolve("b.png"), png(0xffffff, 7, 3))
+    val media = Multimodal.fromBinaryFiles(spark, dir.toString, "image/png")
+    val out = Multimodal.decodeFeaturesDf(spark, media).collect()
+      .sortBy(_.getAs[Double]("mean_intensity"))
+    assert(out.length == 2)
+    assert(out(0).getAs[Int]("width") == 5 && out(0).getAs[Int]("height") == 4)
+    assert(out(1).getAs[Int]("width") == 7 && out(1).getAs[Int]("height") == 3)
+    assert(out(0).getAs[Double]("mean_intensity") == 0.0)
+    assert(out(1).getAs[Double]("mean_intensity") == 255.0)
+    // ids are stable path hashes, distinct per file
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+  }
+
   test("csv source: reference lexing (null tokens, booleans, ; delimiter)") {
     val dir = Files.createTempDirectory("graftcsv")
     val f = dir.resolve("t.csv")
