@@ -89,6 +89,7 @@ object SparkEntry {
     "text_fingerprint"  -> (Text.fingerprints(_, _)),
     "pipeline_clean_corpus" -> (Text.cleanCorpus(_, _)),
     "pipeline_pack_sequences" -> (Text.packSequences(_, _)),
+    "text_gopher_filter"      -> (Text.gopherQualityFilter(_, _)),
     "pipeline_temp_resample"  -> (Text.temperatureResample(_, _)),
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
     // --- dedup ---
@@ -689,6 +690,25 @@ object SparkEntry {
         |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
         |            THEN 'train' ELSE 'val' END AS split
         |FROM k WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules (public): the mean-word-length COALESCE guards the
+    // all-whitespace edge where DuckDB's list_sum of [] is NULL but
+    // Spark's aggregate init is 0
+    "text_gopher_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                              x -> x <> '') AS t
+        |           FROM documents),
+        |     s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |                  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+        |                    / greatest(len(t), 1) AS ml,
+        |                  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                                       w -> list_contains(t, w))) AS INT) AS stop_hits
+        |           FROM d)
+        |SELECT doc_id, n_words, round(ml, 4) AS mean_word_len, stop_hits,
+        |       (n_words BETWEEN 50 AND 100000) AND (ml BETWEEN 3 AND 10)
+        |        AND stop_hits >= 2 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // contiguous-fill sequence packing; CAST pins DuckDB's HUGEINT window sum
     "pipeline_pack_sequences" ->

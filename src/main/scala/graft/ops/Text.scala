@@ -198,6 +198,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, public): word count in
+    * [50, 100k], mean word length in [3, 10], and ≥2 of the 8 canonical
+    * English stopwords present. Emits per-document rule inputs + the
+    * combined keep flag rather than filtering, so downstream can audit
+    * WHY a document fails (the operational shape of corpus filtering —
+    * you never throw away the reason). All codegen'd HOF expressions,
+    * map-side only. Non-English docs naturally fail the stopword rule —
+    * that is the rule working as published, not a bug. */
+  def gopherQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+    val nW = size(toks).cast("long")
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (a, x) => a + x).cast("double") / greatest(nW.cast("double"), lit(1.0))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(
+      array(stops.map(lit): _*), s => array_contains(toks, s)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nW.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"), stopHits.as("stop_hits"),
+        (nW.between(50L, 100000L) && meanLen.between(3.0, 10.0) &&
+          (stopHits >= 2)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for training batches: assign documents to
     * fixed-token-budget bins (context windows) by contiguous fill in
     * doc_id order within each language shard — bin = floor(tokens-before
