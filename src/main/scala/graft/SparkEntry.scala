@@ -105,6 +105,7 @@ object SparkEntry {
     "ann_ivf"           -> (Vectors.annIvf(_, _)),
     "emb_near_dup"      -> (Vectors.cosineNearDupPairs(_, _)),
     "emb_label_stats"   -> (Vectors.labelCentroids(_, _)),
+    "emb_knn_classify"  -> (Vectors.knnClassify(_, _)),
     // --- multimodal columns ---
     "mm_media_stats"    -> (Multimodal.mediaStats(_, _)),
     "mm_frame_sample"   -> (Multimodal.frameSample(_, _)),
@@ -540,7 +541,7 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |       event_type AS etype, count(*) AS n,
         |       round(sum(value), 2) AS sum_value,
-        |       round(avg(value), 4) AS avg_value
+        |       round(sum(value), 2) / count(*) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_sliding" ->
@@ -672,6 +673,24 @@ object SparkEntry {
          |                 JOIN v vb ON id_b = vb.vec_id)
          |SELECT id_a, id_b, round(cos, 4) AS cos
          |FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // kNN majority vote over the brute-force top-5 (same CTE as
+    // ann_brute_force), ties to the smallest label
+    "emb_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 10),
+        |     s AS (SELECT q_id, vec_id AS c_id, label,
+        |                  list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])) AS cos,
+        |                  row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])) DESC,
+        |                             vec_id ASC) AS rk
+        |           FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |     v AS (SELECT q_id, label, count(*) AS votes FROM s
+        |           WHERE rk <= 5 GROUP BY 1, 2),
+        |     r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                      ORDER BY votes DESC, label ASC) AS vrk FROM v)
+        |SELECT q_id, label AS pred_label, votes
+        |FROM r WHERE vrk = 1 ORDER BY q_id""".stripMargin,
 
     "mm_media_stats" ->
       """SELECT doc_id, 'image/fake-' || lang AS mime,

@@ -24,7 +24,14 @@ object EventTime {
       .agg(
         count(lit(1)).as("n"),
         round(sum("value"), 2).as("sum_value"),
-        round(avg("value"), 4).as("avg_value"))
+        // avg = UNROUNDED quotient of the agreed 2dp sum: round(avg, 4)
+        // is flaky with thousands of groups — FP wobble aside, sum/count
+        // lands on exact decimal ties (…51125) where Java's HALF_UP
+        // string-based round and DuckDB's binary round disagree (observed
+        // 3/3600 groups at sf0.1). The quotient of the same double by the
+        // same integer is bit-identical in both engines; no second
+        // rounding step, nothing to disagree about.
+        (round(sum("value"), 2) / count(lit(1))).as("avg_value"))
       .orderBy("hour_epoch", "etype")
 
   /** Sliding windows via the native `window()` function: 1-hour window

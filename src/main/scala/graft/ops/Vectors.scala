@@ -255,6 +255,22 @@ object Vectors {
       .orderBy("q_id", "rk")
   }
 
+  /** kNN majority-vote classification on top of the exact neighbor
+    * search: each query's label = mode of its 5 nearest neighbors' labels
+    * (ties to the smallest label id). The downstream-consumer shape of
+    * similarity search — the vote aggregation runs on the tiny top-k
+    * result, so its cost is independent of corpus size. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val nn = annBruteForce(spark, dir) // q_id, rk, c_id, label, cos
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label").asc)
+    nn.groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(w))
+      .filter(col("vrk") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("q_id")
+  }
+
   /** Per-label embedding statistics via posexplode — numeric array
     * aggregation without UDAFs (oracle: DuckDB unnest). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
