@@ -33,6 +33,54 @@ class StreamingSpec extends SparkSpec {
     assert(n == Tables.events(spark, sfDir).select("event_id").distinct().count())
   }
 
+  test("append-mode windows finalize exactly once; super-late rows cannot resurrect them") {
+    // The watermark's hard guarantee is one-directional: a window is
+    // never finalized before the watermark passes it, and once emitted +
+    // evicted it is emitted EXACTLY once — a row arriving after eviction
+    // must not resurrect the window (downstream consumers rely on
+    // append-mode's at-most-once-per-window emission). (Spark docs are
+    // explicit that a late row arriving while the state is still alive
+    // MAY still be aggregated — so that is deliberately not asserted.)
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    val watch = JFiles.createTempDirectory("graftlate")
+    val stage = JFiles.createTempDirectory("graftlatestage")
+    var mt = System.currentTimeMillis() - 600000
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      val out = stage.resolve(name + "_dir").toString
+      rows.toDF("event_id", "ts", "value").coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = watch.resolve(name + ".parquet")
+      JFiles.copy(part.toPath, dst)
+      mt += 60000 // strictly increasing mtimes => deterministic batch order
+      dst.toFile.setLastModified(mt)
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Int) = new java.sql.Timestamp(t0 + min * 60000L)
+    // batch a: the window's event + a far-future event (advances the
+    // watermark to 590min once the batch commits)
+    writeBatch("a", Seq((1L, ts(1), 1.0), (2L, ts(600), 1.0)))
+    // batch b: unrelated on-time event; its batch applies the advanced
+    // watermark, finalizing and evicting window [0,10) with n=1
+    writeBatch("b", Seq((3L, ts(601), 1.0)))
+    // batch c: SUPER-late row for the already-evicted window [0,10)
+    writeBatch("c", Seq((4L, ts(5), 1.0)))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win_start"), col("n"))
+    EventStream.runToCompletion(agg, "late_test", OutputMode.Append())
+    val win0 = spark.table("late_test").collect()
+      .filter(_.getAs[Long]("win_start") == t0 / 1000)
+    assert(win0.length == 1,
+      s"window [0,10) must be emitted exactly once, got ${win0.length}")
+    assert(win0.head.getAs[Long]("n") == 1L,
+      s"the evicted window held only the on-time event, got n=${win0.head.getAs[Long]("n")}")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = EventStream.readEvents(spark, sfDir)
     EventStream.runToCompletion(
