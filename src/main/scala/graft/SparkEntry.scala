@@ -90,6 +90,8 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (Text.cleanCorpus(_, _)),
     "pipeline_pack_sequences" -> (Text.packSequences(_, _)),
     "text_gopher_filter"      -> (Text.gopherQualityFilter(_, _)),
+    "pipeline_decontaminate"  -> (Text.contaminationCheck(_, _)),
+    "pipeline_mixture"        -> (Text.mixtureReport(_, _)),
     "pipeline_temp_resample"  -> (Text.temperatureResample(_, _)),
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
     // --- dedup ---
@@ -728,6 +730,32 @@ object SparkEntry {
         |       (n_words BETWEEN 50 AND 100000) AND (ml BETWEEN 3 AND 10)
         |        AND stop_hits >= 2 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // eval-set 3-gram overlap in string space (Spark side hashes to int64;
+    // identical output barring 2^-64 collisions)
+    "pipeline_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     sh AS (SELECT doc_id,
+        |                   list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                                                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |            FROM toks),
+        |     post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |     ev AS (SELECT DISTINCT s FROM post WHERE doc_id < 10)
+        |SELECT p.doc_id, count(DISTINCT p.s) AS n_overlap
+        |FROM post p JOIN ev ON p.s = ev.s WHERE p.doc_id >= 10
+        |GROUP BY 1 HAVING count(DISTINCT p.s) >= 2 ORDER BY doc_id""".stripMargin,
+
+    // CASTs pin DuckDB's HUGEINT sums; share = cell tokens / corpus tokens
+    "pipeline_mixture" ->
+      """WITH m AS (SELECT source, lang, count(*) AS n_docs,
+        |                  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, total_tokens,
+        |       round(CAST(total_tokens AS DOUBLE) /
+        |             CAST(sum(total_tokens) OVER () AS DOUBLE), 6) AS token_share
+        |FROM m ORDER BY source, lang""".stripMargin,
 
     // contiguous-fill sequence packing; CAST pins DuckDB's HUGEINT window sum
     "pipeline_pack_sequences" ->

@@ -198,6 +198,43 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: corpus documents sharing ≥2 distinct
+    * 3-gram shingles with the eval set (here: doc_id < 10 stands in for
+    * the benchmark) — the overlap check run before training to avoid
+    * test-set leakage. The eval shingle set is tiny → broadcast, so the
+    * whole scan is map-side; shingles hash to int64 like the other dedup
+    * paths; the only shuffle is the per-doc overlap count. */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextKernels
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextKernels.shinglesKernel(col("text"), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+    val evalSet = sh.filter(col("doc_id") < 10).select(col("shingle")).distinct()
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(evalSet), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
+      .filter(col("n_overlap") >= 2)
+      .orderBy("doc_id")
+  }
+
+  /** Mixture accounting over the corpus `source` column: per (source,
+    * lang) document/token tallies plus each cell's share of the total
+    * token budget — the bookkeeping a data-mixture config is derived
+    * from. One groupBy shuffle; the share normalization is a single-row
+    * broadcast-style window over the tiny aggregate. */
+  def mixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(tokensCol(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"))
+      .withColumn("token_share",
+        round(col("total_tokens") / sum(col("total_tokens")).over(Window.partitionBy()), 6))
+      .orderBy("source", "lang")
+  }
+
   /** Gopher-style quality rules (Rae et al. 2021, public): word count in
     * [50, 100k], mean word length in [3, 10], and ≥2 of the 8 canonical
     * English stopwords present. Emits per-document rule inputs + the
