@@ -80,6 +80,7 @@ object SparkEntry {
     "ev_sessionize"     -> (EventTime.sessionize(_, _)),
     "ev_session_native" -> (EventTime.sessionizeNative(_, _)),
     "ev_funnel"         -> (EventTime.funnel(_, _)),
+    "ev_retention"      -> (EventTime.hourlyRetention(_, _)),
     "text_sampling"     -> (Text.sampledCorpus(_, _)),
     // --- text analysis ---
     "text_tokens"       -> (Text.tokenCounts(_, _)),
@@ -581,6 +582,19 @@ object SparkEntry {
         |SELECT count(*) AS n_view, count(c_es) AS n_view_click,
         |       count(p_es) AS n_view_click_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "ev_retention" ->
+      """WITH act AS (SELECT DISTINCT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+        |                             user_id FROM events),
+        |     active AS (SELECT h, count(*) AS n_active FROM act GROUP BY 1),
+        |     ret AS (SELECT a.h, count(*) AS n_retained
+        |             FROM act a JOIN act b ON a.user_id = b.user_id AND b.h = a.h + 3600
+        |             GROUP BY 1)
+        |SELECT active.h AS hour_epoch, n_active,
+        |       coalesce(n_retained, 0) AS n_retained,
+        |       round(CAST(coalesce(n_retained, 0) AS DOUBLE) / n_active, 6) AS retention
+        |FROM active LEFT JOIN ret ON active.h = ret.h
+        |ORDER BY hour_epoch""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars_m,

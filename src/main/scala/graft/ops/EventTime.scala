@@ -67,6 +67,29 @@ object EventTime {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Hourly cohort retention: of the users active in hour H, how many
+    * are active again in H+1. The distinct (hour, user) activity set is
+    * built once and self-joined on (user, next hour) — both sides shuffle
+    * on user_id, and the aggregates run over the already-deduplicated
+    * activity pairs, never raw events. */
+  def hourlyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"), col("user_id"))
+      .distinct()
+    val active = act.groupBy(col("h")).agg(count(lit(1)).as("n_active"))
+    val retained = act.as("a")
+      .join(act.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.h") === col("a.h") + 3600)
+      .groupBy(col("a.h").as("h"))
+      .agg(count(lit(1)).as("n_retained"))
+    active.join(retained, Seq("h"), "left")
+      .select(col("h").as("hour_epoch"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_active"), 6).as("retention"))
+      .orderBy("hour_epoch")
+  }
+
   /** Ordered funnel: users who did view → click → purchase IN ORDER
     * (each stage's first occurrence at-or-after the previous stage's).
     * Three aggregations all keyed on user_id — the shuffles co-partition,
