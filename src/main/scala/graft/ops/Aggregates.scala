@@ -358,12 +358,14 @@ object Aggregates {
       .orderBy("priority")
 
   /** HLL-sketch distinct — the 100 TB answer to count-distinct (single
-    * aggregation pass, fixed-size sketch, no expand). No DuckDB oracle
+    * aggregation pass, fixed-size sketch, no expand). rsd = 0.02: the
+    * 2%-error register count costs ~2× less per-row update than 1% and
+    * AggregatesSpec pins the result within 5% of exact. No DuckDB oracle
     * (approx values differ per implementation) → rows-only check. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("priority"))
-      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"))
       .orderBy("priority")
 
   /** ROLLUP grouping sets (absent in reference; native `.rollup`).
