@@ -592,7 +592,7 @@ object SparkEntry {
         |             GROUP BY 1)
         |SELECT active.h AS hour_epoch, n_active,
         |       coalesce(n_retained, 0) AS n_retained,
-        |       round(CAST(coalesce(n_retained, 0) AS DOUBLE) / n_active, 6) AS retention
+        |       CAST(coalesce(n_retained, 0) AS DOUBLE) / n_active AS retention
         |FROM active LEFT JOIN ret ON active.h = ret.h
         |ORDER BY hour_epoch""".stripMargin,
 
@@ -605,19 +605,22 @@ object SparkEntry {
         |             '\s+'), x -> x <> '')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // ratios unrounded: int/int quotients are bit-identical across engines,
+    // while round() on their exact decimal ties is HALF_UP-vs-binary flaky
     "text_quality" ->
       """SELECT doc_id,
-        |       round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
-        |             / greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS letter_ratio,
-        |       round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-        |             / greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
-        |       round(length(text) / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 4) AS mean_token_len,
-        |       round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
-        |             / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 4) AS ttr
+        |       (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |             / greatest(CAST(length(text) AS DOUBLE), 1.0) AS letter_ratio,
+        |       (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |             / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |       length(text) / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS mean_token_len,
+        |       len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |             / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -740,7 +743,7 @@ object SparkEntry {
         |                  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
         |                                       w -> list_contains(t, w))) AS INT) AS stop_hits
         |           FROM d)
-        |SELECT doc_id, n_words, round(ml, 4) AS mean_word_len, stop_hits,
+        |SELECT doc_id, n_words, ml AS mean_word_len, stop_hits,
         |       (n_words BETWEEN 50 AND 100000) AND (ml BETWEEN 3 AND 10)
         |        AND stop_hits >= 2 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
@@ -767,8 +770,8 @@ object SparkEntry {
         |                  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
         |           FROM documents GROUP BY 1, 2)
         |SELECT source, lang, n_docs, total_tokens,
-        |       round(CAST(total_tokens AS DOUBLE) /
-        |             CAST(sum(total_tokens) OVER () AS DOUBLE), 6) AS token_share
+        |       CAST(total_tokens AS DOUBLE) /
+        |             CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
         |FROM m ORDER BY source, lang""".stripMargin,
 
     // contiguous-fill sequence packing; CAST pins DuckDB's HUGEINT window sum

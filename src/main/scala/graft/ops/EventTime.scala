@@ -85,8 +85,10 @@ object EventTime {
     active.join(retained, Seq("h"), "left")
       .select(col("h").as("hour_epoch"), col("n_active"),
         coalesce(col("n_retained"), lit(0L)).as("n_retained"),
-        round(coalesce(col("n_retained"), lit(0L)).cast("double") /
-          col("n_active"), 6).as("retention"))
+        // unrounded int/int quotient — see Text.qualityScores on why
+        // round() on terminating decimal quotients is cross-engine flaky
+        (coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_active")).as("retention"))
       .orderBy("hour_epoch")
   }
 

@@ -47,14 +47,21 @@ object Text {
     val toks = tokensCol(t)
     val nToks = size(toks).cast("double")
     val meanTokLen = nChars / greatest(nToks, lit(1.0))
+    // ratios stay UNROUNDED: they are integer/integer quotients, and
+    // round(int/int, k) is cross-engine flaky when the denominator is
+    // 2^a·5^b (the quotient terminates exactly on a decimal tie, where
+    // Spark's HALF_UP and DuckDB's binary rounding disagree — same class
+    // of bug as ev_tumbling's avg). The quotient of identical integers
+    // is bit-identical in both engines; nothing to round, nothing to
+    // disagree about.
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        round(nLetters / greatest(nChars, lit(1.0)), 4).as("letter_ratio"),
-        round(nPunct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
-        round(meanTokLen, 4).as("mean_token_len"),
-        size(array_distinct(toks)).cast("double").divide(greatest(nToks, lit(1.0))).as("ttr_raw"))
-      .withColumn("ttr", round(col("ttr_raw"), 4)).drop("ttr_raw")
+        (nLetters / greatest(nChars, lit(1.0))).as("letter_ratio"),
+        (nPunct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+        meanTokLen.as("mean_token_len"),
+        size(array_distinct(toks)).cast("double")
+          .divide(greatest(nToks, lit(1.0))).as("ttr"))
       .orderBy("doc_id")
   }
 
@@ -64,7 +71,8 @@ object Text {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 4).as("avg_chars"),
+        // unrounded: integer-sum / count quotient (see qualityScores)
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"))
       .orderBy("lang")
@@ -231,7 +239,7 @@ object Text {
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"))
       .withColumn("token_share",
-        round(col("total_tokens") / sum(col("total_tokens")).over(Window.partitionBy()), 6))
+        col("total_tokens") / sum(col("total_tokens")).over(Window.partitionBy()))
       .orderBy("source", "lang")
   }
 
@@ -253,7 +261,7 @@ object Text {
       array(stops.map(lit): _*), s => array_contains(toks, s)))
     Tables.documents(spark, dir)
       .select(col("doc_id"), nW.as("n_words"),
-        round(meanLen, 4).as("mean_word_len"), stopHits.as("stop_hits"),
+        meanLen.as("mean_word_len"), stopHits.as("stop_hits"),
         (nW.between(50L, 100000L) && meanLen.between(3.0, 10.0) &&
           (stopHits >= 2)).as("keep"))
       .orderBy("doc_id")
