@@ -313,7 +313,13 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardCore(spark, dir).orderBy("doc_a", "doc_b")
 
-  private def ngramJaccardCore(spark: SparkSession, dir: String): DataFrame = {
+  private def ngramJaccardCore(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsDf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) DataFrame — unsorted; the recall/
+    * equivalence specs run it on planted corpora against an independent
+    * in-test reimplementation. */
+  def ngramJaccardPairsDf(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     import graft.functions.TextKernels
     // Jaccard over the CAPPED feature space: shingles with document
@@ -324,7 +330,7 @@ object Dedup {
     // boilerplate-heavy near-dups).
     // docs has a single consumer (postings) since sizes moved to the
     // capped posting lists — no persist needed
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("sh"))
     // hash each shingle to an int64 BEFORE the groupBy: the posting
     // shuffle then carries 8-byte keys instead of ~20-40-byte strings

@@ -95,6 +95,74 @@ class PropertySpec extends SparkSpec {
     assert(ls.values.forall(_ == 0L), "all chain nodes must label to the minimum id")
   }
 
+  test("property: CC labels equal union-find ground truth on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val n = 100
+      val edges = Seq.fill(120)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val labels = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      // union-find ground truth (path compression)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+      // same node set, and per-component min label agrees
+      assert(labels.keySet == truth.keySet, s"seed $seed node sets differ")
+      val trueMin = truth.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      labels.foreach { case (id, l) =>
+        assert(l == trueMin(id), s"seed $seed node $id: got $l want ${trueMin(id)}")
+      }
+    }
+  }
+
+  test("property: ngram-Jaccard pipeline equals an independent in-test reimplementation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val vocab = Array.tabulate(300)(i => s"w$i") // small vocab => shared shingles
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(30)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val texts = base ++ (0 until 8).map(i => ((100 + i).toLong, base(i)._2))
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairsDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // independent reimplementation: kernel-equivalent shingling, df cap,
+    // capped-space jaccard
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val ts = if (toks.isEmpty) Array("") else toks
+      if (ts.length <= 3) Set(ts.mkString(" "))
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = texts.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = sh.view.mapValues(_.filter(s => df(s) <= Dedup.MaxDf)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = (kept(a) intersect kept(b)).size
+      if inter > 0
+      j = BigDecimal(inter.toDouble / (kept(a).size + kept(b).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(want.nonEmpty, "planted identical docs must produce pairs")
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-9, s"$k: $j vs ${want(k)}") }
+  }
+
   test("property: as-of joins (backward + forward) equal brute force on random series") {
     import spark.implicits._
     import graft.ops.AsOf
