@@ -92,6 +92,7 @@ object SparkEntry {
     "pipeline_pack_sequences" -> (Text.packSequences(_, _)),
     "text_gopher_filter"      -> (Text.gopherQualityFilter(_, _)),
     "pipeline_decontaminate"  -> (Text.contaminationCheck(_, _)),
+    "pipeline_chunk"          -> (Text.chunkDocuments(_, _)),
     "pipeline_mixture"        -> (Text.mixtureReport(_, _)),
     "pipeline_temp_resample"  -> (Text.temperatureResample(_, _)),
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
@@ -747,6 +748,18 @@ object SparkEntry {
         |       (n_words BETWEEN 50 AND 100000) AND (ml BETWEEN 3 AND 10)
         |        AND stop_hits >= 2 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // 500-char windows, 50 overlap (stride 450); Spark substring and
+    // DuckDB substring share 1-based start + length-capped semantics
+    "pipeline_chunk" ->
+      """WITH d AS (SELECT doc_id, text,
+        |                  greatest(CAST(ceil(CAST(n_chars - 50 AS DOUBLE) / 450) AS BIGINT), 1) AS n_chunks
+        |           FROM documents),
+        |     c AS (SELECT doc_id, text, unnest(range(0, n_chunks)) AS idx FROM d)
+        |SELECT doc_id, idx,
+        |       length(substring(text, CAST(idx * 450 + 1 AS INT), 500)) AS chunk_len,
+        |       md5(substring(text, CAST(idx * 450 + 1 AS INT), 500)) AS chunk_md5
+        |FROM c ORDER BY doc_id, idx""".stripMargin,
 
     // eval-set 3-gram overlap in string space (Spark side hashes to int64;
     // identical output barring 2^-64 collisions)

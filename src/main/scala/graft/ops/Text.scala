@@ -206,6 +206,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Long-document chunking: split each document into fixed-size
+    * character windows with overlap (stride = chunk − overlap) — the
+    * context-window preparation step before tokenization/packing. Pure
+    * per-row explode + substring (map-side, no shuffle but the oracle
+    * sort); emits chunk metadata + an md5 content fingerprint per chunk
+    * rather than the chunk text itself, so downstream joins carry 16-byte
+    * keys, not body bytes. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 500
+    val overlap = 50
+    val stride = chunk - overlap // 450
+    val nChunks = greatest(
+      ceil((col("n_chars") - lit(overlap)).cast("double") / stride).cast("long"), lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nChunks - 1)).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        length(substring(col("text"), (col("idx") * stride + 1).cast("int"), lit(chunk)))
+          .as("chunk_len"),
+        md5(substring(col("text"), (col("idx") * stride + 1).cast("int"), lit(chunk)))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "idx")
+  }
+
   /** Benchmark decontamination: corpus documents sharing ≥2 distinct
     * 3-gram shingles with the eval set (here: doc_id < 10 stands in for
     * the benchmark) — the overlap check run before training to avoid
