@@ -69,6 +69,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("no accidental cartesian / nested-loop join in ANY of the 86 query plans") {
+    // every documented non-equi join in the library; anything else
+    // showing a BroadcastNestedLoopJoin or CartesianProduct is a planning
+    // regression (an unpushed predicate, a lost equi-condition)
+    val documented = Set(
+      "ann_brute_force",   // deliberate exact baseline: corpus × broadcast queries
+      "emb_knn_classify",  // built on ann_brute_force
+      "ann_ivf",           // single-row broadcast centroid-array crossJoin (map-side argmax)
+      "sql_vec_cosine",    // inequality-only join predicate by design
+      "join_cross_small",  // deliberate cross of two tiny dims
+      "q22_idle_rich")     // single-row broadcast scalar-subquery crossJoin
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (!documented(name) &&
+        (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"unexpected non-equi joins in: $offenders")
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))
