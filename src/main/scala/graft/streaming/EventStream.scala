@@ -108,6 +108,49 @@ object EventStream {
       .toDF()
   }
 
+  case class FunnelState(vEs: Long, cEs: Long, pEs: Long) // -1 = not reached
+
+  case class FunnelProgress(userId: Long, viewed: Boolean, clicked: Boolean,
+                            purchased: Boolean)
+
+  /** Streaming ordered-funnel state machine: per user, track the first
+    * view, the first click at-or-after it, and the first purchase
+    * at-or-after that — the stateful-streaming analog of
+    * [[graft.ops.EventTime.funnel]] (StreamingSpec asserts the stage
+    * counts agree). Events are sorted by event time within each
+    * micro-batch's group before folding (funnel transitions are
+    * order-sensitive; per-user-per-batch groups are small). Caveat held
+    * by any streaming funnel: ordering across micro-batches follows
+    * arrival, so an out-of-order stream needs an event-time-sorted
+    * upstream or watermark-delayed emission. */
+  def streamingFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "CAST(unix_timestamp(ts) AS LONG) AS es")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          // equal-timestamp ties process earlier funnel stages first, so a
+          // click in the same second as the first view still counts
+          // (matching the batch funnel's >= semantics)
+          val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          rows.toSeq.sortBy(r => (r._3, prio.getOrElse(r._2, 3))).foreach { case (_, et, es) =>
+            if (et == "view" && st.vEs < 0) st = st.copy(vEs = es)
+            else if (et == "click" && st.cEs < 0 && st.vEs >= 0 && st.vEs <= es)
+              st = st.copy(cEs = es)
+            else if (et == "purchase" && st.pEs < 0 && st.cEs >= 0 && st.cEs <= es)
+              st = st.copy(pEs = es)
+          }
+          state.update(st)
+          Iterator(FunnelProgress(userId, st.vEs >= 0, st.cEs >= 0, st.pEs >= 0))
+      }
+      .toDF()
+  }
+
   /** Per-user running totals on the Spark 4 `transformWithState` API — the
     * successor to flatMapGroupsWithState: typed `ValueState` handles, TTL
     * configs, and timer callbacks managed by the state-store layer (RocksDB

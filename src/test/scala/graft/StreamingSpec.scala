@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel state machine matches the batch funnel stage counts") {
+    val events = EventStream.readEvents(spark, sfDir)
+    EventStream.runToCompletion(
+      EventStream.streamingFunnel(spark, events), "funnel_test", OutputMode.Append())
+    // last emission per user = final funnel progress
+    val rows = spark.table("funnel_test").collect()
+      .map(r => (r.getAs[Long]("userId"),
+        (r.getAs[Boolean]("viewed"), r.getAs[Boolean]("clicked"), r.getAs[Boolean]("purchased"))))
+      .toMap // single batch -> one emission per user
+    val streamed = (
+      rows.values.count(_._1).toLong,
+      rows.values.count(t => t._1 && t._2).toLong,
+      rows.values.count(t => t._1 && t._2 && t._3).toLong)
+    val batch = graft.ops.EventTime.funnel(spark, sfDir).first()
+    assert(streamed == ((batch.getAs[Long]("n_view"),
+      batch.getAs[Long]("n_view_click"),
+      batch.getAs[Long]("n_view_click_purchase"))))
+  }
+
   test("transformWithState (Spark 4 stateful API) emits per-user running totals") {
     val spark2 = spark.newSession()
     spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
