@@ -31,6 +31,7 @@ object SparkEntry {
     "join_full_outer"   -> (AsOf.fullOuterNationCounts(_, _)),
     "join_asof"         -> (AsOf.eventAsof(_, _)),
     "join_asof_fwd"     -> (AsOf.eventAsofForward(_, _)),
+    "join_asof_tol"     -> (AsOf.eventAsofTolerance(_, _)),
     "join_range"        -> (AsOf.eventRangeJoin(_, _)),
     // --- OLAP completion (SURVEY.md §7.3 step 2) ---
     "q1_pricing_summary"-> (Aggregates.pricingSummary(_, _)),
@@ -194,6 +195,24 @@ object SparkEntry {
         |       LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
         |         ON v.user_id = c.user_id AND v.es >= c.es)
         |SELECT user_id, click_es, next_view_id, round(view_value, 2) AS next_view_value
+        |FROM pairs WHERE rn = 1 ORDER BY user_id, click_es""".stripMargin,
+
+    // tolerance semantics: the matched view must be within 300s of the
+    // click; staler matches are nulled (right rows kept — LEFT join)
+    "join_asof_tol" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+        |     pairs AS (
+        |       SELECT c.user_id, c.event_id AS cid, c.es AS click_es,
+        |              v.event_id AS vid, v.value AS vval, v.es AS ves,
+        |              row_number() OVER (PARTITION BY c.event_id
+        |                                 ORDER BY v.es DESC, v.event_id DESC) AS rn
+        |       FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |       LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |         ON v.user_id = c.user_id AND v.es <= c.es)
+        |SELECT user_id, click_es,
+        |       CASE WHEN click_es - ves <= 300 THEN vid END AS view_id,
+        |       CASE WHEN click_es - ves <= 300 THEN round(vval, 2) END AS view_value
         |FROM pairs WHERE rn = 1 ORDER BY user_id, click_es""".stripMargin,
 
     "join_range" ->

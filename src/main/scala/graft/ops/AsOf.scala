@@ -57,6 +57,56 @@ object AsOf {
     }.drop("side", "tb", "lv", "asof")
   }
 
+  /** Backward as-of join with a STALENESS TOLERANCE (pandas
+    * `merge_asof(tolerance=...)` semantics): matches older than
+    * `toleranceSec` before the right row are nulled out, right rows kept.
+    * Same union + merge-scan as [[asofJoin]] — the tolerance is a pure
+    * post-window projection, so the plan shape (ONE shuffle on the key,
+    * no join operator) is unchanged. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String, time: String,
+                        leftVals: Seq[String], tiebreak: String,
+                        toleranceSec: Long): DataFrame = {
+    val lTagged = left.select(
+      col(key).as("k"), col(time).as("t"), lit(0).as("side"),
+      col(tiebreak).as("tb"),
+      struct((leftVals.map(col) :+ col(time).as("_lt")): _*).as("lv"))
+    val rTagged = right.select(
+      col(key).as("k"), col(time).as("t"), lit(1).as("side"),
+      lit(null).cast(lTagged.schema("tb").dataType).as("tb"),
+      lit(null).cast(lTagged.schema("lv").dataType).as("lv"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = lTagged.unionByName(rTagged)
+      .withColumn("asof_raw", last(col("lv"), ignoreNulls = true).over(w))
+      .withColumn("asof",
+        when(col("asof_raw").isNotNull &&
+          col("t") - col("asof_raw").getField("_lt") <= toleranceSec, col("asof_raw")))
+    val rightRows = unioned.filter(col("side") === 1)
+    leftVals.foldLeft(rightRows) { (df, c) =>
+      df.withColumn(s"asof_$c", col("asof").getField(c))
+    }.drop("side", "tb", "lv", "asof", "asof_raw")
+  }
+
+  /** Tolerance-bounded as-of on events: each click picks up the most
+    * recent prior-or-equal view of the same user ONLY if it happened
+    * within the last 5 minutes — stale context is worse than none. */
+  def eventAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("es"), col("event_id").as("view_id"), col("value").as("view_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("es"), col("event_id"))
+    asofJoinTolerance(views, clicks, "user_id", "es",
+      Seq("view_id", "view_value"), "view_id", toleranceSec = 300L)
+      .select(col("k").as("user_id"), col("t").as("click_es"),
+        col("asof_view_id").as("view_id"),
+        round(col("asof_view_value"), 2).as("view_value"))
+      .orderBy("user_id", "click_es")
+  }
+
   /** Forward as-of join: for each `right` row, the EARLIEST `left` row
     * with the same key and leftTime >= rightTime (the mirror of
     * [[asofJoin]] — same union + merge-scan shape, with the window frame
