@@ -84,6 +84,31 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("pack sequences: offsets inside the budget, bins contiguous per lang") {
+    val rows = graft.ops.Text.packSequences(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin_offset") >= 0 && r.getAs[Long]("bin_offset") < 2048)
+      assert(r.getAs[Long]("bin") >= 0)
+    }
+    // bins are contiguous 0..max per language (contiguous fill can't skip)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).toSet
+      assert(bins == (0L to bins.max).toSet, s"$lang bins not contiguous")
+    }
+  }
+
+  test("clean corpus: only deduped keeper ids, valid splits, ~90/10") {
+    val rows = graft.ops.Text.cleanCorpus(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val")))
+    val trainFrac = rows.count(_.getAs[String]("split") == "train").toDouble / rows.length
+    assert(trainFrac > 0.8 && trainFrac < 0.98, s"train fraction $trainFrac")
+  }
+
   test("pairsCol emits all C(n,2) ordered pairs") {
     import spark.implicits._
     import graft.functions.GraftFunctions.pairsCol
