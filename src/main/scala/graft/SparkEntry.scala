@@ -49,6 +49,7 @@ object SparkEntry {
     "agg_stats"         -> (Aggregates.statsAggregates(_, _)),
     "sql_grouping_sets" -> (graft.api.GraftSql.groupingSets(_, _)),
     "text_top_tokens"   -> (Text.topTokens(_, _)),
+    "text_top_tokens_lang" -> (Text.topTokensPerLang(_, _)),
     "agg_monthly"       -> (Aggregates.monthlyRevenue(_, _)),
     "text_string_funcs" -> (Text.stringFunctions(_, _)),
     "ev_json_props"     -> (Aggregates.jsonProps(_, _)),
@@ -362,6 +363,15 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    "text_top_tokens_lang" ->
+      """WITH c AS (SELECT lang, token, count(*) AS n FROM (
+        |             SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |             FROM documents) t
+        |           WHERE token <> '' GROUP BY 1, 2),
+        |     r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |                      ORDER BY n DESC, token ASC) AS rk FROM c)
+        |SELECT lang, token, n, rk FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
 
     "agg_monthly" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,

@@ -155,6 +155,24 @@ object Text {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
 
+  /** Per-language heavy hitters: the partitioned variant of [[topTokens]]
+    * — token counts per (lang, token), then a rank-per-lang top-10. The
+    * rank filter plans as WindowGroupLimit (per-partition k-heap), so at
+    * scale each language's candidate set shrinks map-side before the
+    * final rank — the standard "top-k per group" shape. */
+  def topTokensPerLang(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokensCol(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy("lang", "rk")
+  }
+
   /** Breadth check over the scalar string-function surface (the reference
     * has zero string functions, SURVEY.md §2.4): case mapping, slicing,
     * concat, regexp extraction, padding, reversal — all codegen'd. */
