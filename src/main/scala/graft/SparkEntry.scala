@@ -41,6 +41,7 @@ object SparkEntry {
     "q14_promo"         -> (Aggregates.promoRevenue(_, _)),
     "q4_priority"       -> (Aggregates.orderPriorityCheck(_, _)),
     "q10_returns"       -> (Aggregates.returnsTopCustomers(_, _)),
+    "q7_nations"        -> (Aggregates.volumeShipping(_, _)),
     "q13_custdist"      -> (Aggregates.customerDistribution(_, _)),
     "q18_large_orders"  -> (Aggregates.largeOrders(_, _)),
     "q22_idle_rich"     -> (Aggregates.idleRichCustomers(_, _)),
@@ -303,6 +304,21 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, custkey ASC LIMIT 20""".stripMargin,
+
+    "q7_nations" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INT) AS yr,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q13_custdist" ->
       """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -128,6 +128,39 @@ object Aggregates {
       .limit(20)
   }
 
+  /** TPC-H Q7-style volume shipping: revenue between DIFFERENT supplier
+    * and customer nations by ship year — the same dimension table joined
+    * twice under different roles (n1 = supplier nation, n2 = customer
+    * nation, both broadcast-hinted: spec-bounded 25 rows). Like the real
+    * Q7, restricted to ONE nation pair in both directions — which also
+    * keeps the output at ~14 groups, where round(sum, 2) cannot brush a
+    * decimal rounding tie the way a 4000-group variant measurably does
+    * (see EventTime.tumblingHourly's note). The fact-side joins shuffle
+    * on their keys; the pair filter applies before aggregation. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(l("l_shipdate")).as("yr"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
   /** TPC-H Q13-style customer distribution: two-level aggregation — first
     * orders-per-customer over a LEFT join (customers with zero orders must
     * appear), then customers-per-order-count. Both shuffles are on keys
