@@ -66,6 +66,10 @@ object SparkEntry {
     "skew_two_stage_agg"-> (Skew.twoStageAgg(_, _)),
     "sql_tpch_q6"       -> (graft.api.GraftSql.tpchQ6(_, _)),
     "sql_subquery"      -> (graft.api.GraftSql.aboveCustomerAvg(_, _)),
+    "q2_min_cost_supp"  -> (graft.api.GraftSql.minCostSupplier(_, _)),
+    "q21_waiting_supp"  -> (graft.api.GraftSql.waitingSuppliers(_, _)),
+    "q11_part_value"    -> (graft.api.GraftSql.partValueShare(_, _)),
+    "q16_supplier_cnt"  -> (graft.api.GraftSql.supplierCountNotIn(_, _)),
     "sql_vec_cosine"    -> (graft.api.GraftSql.vecCosineSql(_, _)),
     "agg_pivot"         -> (Aggregates.pivotStatusPriority(_, _)),
     "agg_decimal_exact" -> (Aggregates.decimalExact(_, _)),
@@ -487,6 +491,61 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY custkey, orderkey""".stripMargin,
 
+    // unit price deliberately UNROUNDED: identical IEEE division on both
+    // engines; round() would reopen the half-up-vs-binary tie hazard
+    "q2_min_cost_supp" ->
+      """SELECT DISTINCT p.p_partkey AS partkey, s.s_name AS sname,
+        |       n.n_name AS nation,
+        |       l.l_extendedprice / l.l_quantity AS min_unit_price
+        |FROM part p, lineitem l, supplier s, nation n
+        |WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND p.p_size <= 5 AND s.s_acctbal > 0
+        |  AND l.l_extendedprice / l.l_quantity = (
+        |      SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |      FROM lineitem l2, supplier s2
+        |      WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+        |        AND s2.s_acctbal > 0)
+        |ORDER BY partkey, sname""".stripMargin,
+
+    // round() on sums of continuous doubles is tie-safe (memory: the
+    // hazard is integer/decimal quotients, not continuous sums)
+    "q11_part_value" ->
+      """WITH pv AS (SELECT l_partkey AS partkey,
+        |                   sum(l_extendedprice * (1.0 - l_discount)) AS value
+        |            FROM lineitem GROUP BY 1)
+        |SELECT partkey, round(value, 2) AS part_value
+        |FROM pv
+        |WHERE value > (SELECT 1.5 * sum(value) / count(*) FROM pv)
+        |ORDER BY part_value DESC, partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand AS brand, p.p_type AS ptype,
+        |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size IN (1, 9, 14, 19, 23)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, brand, ptype
+        |LIMIT 25""".stripMargin,
+
+    "q21_waiting_supp" ->
+      """SELECT s.s_name AS sname, count(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, sname
+        |LIMIT 20""".stripMargin,
+
     // DuckDB float32 gotcha: list_cosine_similarity over FLOAT[] computes
     // in float32 — CAST both sides to DOUBLE[] to match Spark's double math
     "sql_vec_cosine" ->
@@ -508,7 +567,7 @@ object SparkEntry {
 
     "agg_decimal_exact" ->
       """SELECT o_orderstatus AS status,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
         |       min(CAST(o_totalprice AS DECIMAL(18,2))) AS lo,
         |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS hi,
         |       count(*) AS n
@@ -762,6 +821,21 @@ object SparkEntry {
         |       octet_length(encode(text)) AS n_bytes,
         |       (doc_id % 640) + 32 AS width, (doc_id % 480) + 32 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every-4th 256-byte frame, md5 per frame. Text is ASCII (verified per
+    // SF), so DuckDB's char-based substring == Spark's byte-based binary
+    // substring; md5 hex matches byte-for-byte across engines.
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |                  CAST(octet_length(encode(text)) // 256 AS INT) AS n_frames
+        |           FROM documents),
+        |     e AS (SELECT doc_id, text,
+        |                  unnest(range(0, n_frames)) AS frame_idx
+        |           FROM f WHERE n_frames > 0)
+        |SELECT doc_id, frame_idx,
+        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_checksum
+        |FROM e WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // length filter -> exact dedup (min doc_id per fingerprint) -> 90/10
     // deterministic hash-mod split; 0.9 * 2^32 = 3865470566

@@ -81,6 +81,96 @@ object GraftSql {
         |""".stripMargin)
   }
 
+  /** TPC-H Q2-style correlated MIN-subquery (adapted: this schema has no
+    * partsupp, so lineitem plays the part-supplier fact and unit price
+    * l_extendedprice/l_quantity plays supplycost): for each small part,
+    * the supplier(s) selling it at the part's minimum unit price. The
+    * subquery has its own join (lineitem ⋈ supplier) — the shape that
+    * stresses Catalyst's decorrelation: RewriteCorrelatedScalarSubquery
+    * turns it into an aggregate on l_partkey joined back equi on partkey,
+    * so no nested-loop anywhere (PlanShapeSpec's no-NLJ sweep covers it).
+    * The unit price is emitted UNROUNDED: both engines divide the same
+    * doubles, so values are bit-identical, while round() would reopen the
+    * cross-engine half-up-vs-binary tie hazard. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT DISTINCT p.p_partkey AS partkey, s.s_name AS sname,
+        |       n.n_name AS nation,
+        |       l.l_extendedprice / l.l_quantity AS min_unit_price
+        |FROM part p, lineitem l, supplier s, nation n
+        |WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND p.p_size <= 5 AND s.s_acctbal > 0
+        |  AND l.l_extendedprice / l.l_quantity = (
+        |      SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |      FROM lineitem l2, supplier s2
+        |      WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+        |        AND s2.s_acctbal > 0)
+        |ORDER BY partkey, sname
+        |""".stripMargin)
+
+  /** TPC-H Q21-style stacked EXISTS / NOT-EXISTS self-joins (adapted:
+    * no commit/receipt dates in this schema, so "kept the order waiting"
+    * becomes "only supplier whose item was returned"): for finished
+    * multi-supplier orders, suppliers whose lineitem was returned while
+    * EXISTS another supplier's item in the order and NOT EXISTS another
+    * supplier's returned item. Catalyst plans the EXISTS as a left-semi
+    * and the NOT EXISTS as a left-anti hash join, both equi on orderkey
+    * with the suppkey inequality as residual — the multi-semi-join
+    * pipeline Q21 exists to stress; no nested-loop (swept). */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT s.s_name AS sname, count(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, sname
+        |LIMIT 20
+        |""".stripMargin)
+
+  /** TPC-H Q11-style HAVING-vs-global-aggregate: per-part value share
+    * against a scalar subquery over the SAME aggregated CTE. Catalyst
+    * evaluates the uncorrelated scalar subquery once (a one-row broadcast)
+    * and the CTE is shared — the "aggregate compared to aggregate of
+    * itself" shape. Threshold 1.5× the mean part value (the TPC-H spec's
+    * fraction scales with SF the same way). */
+  def partValueShare(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """WITH pv AS (SELECT l_partkey AS partkey,
+        |                   sum(l_extendedprice * (1.0 - l_discount)) AS value
+        |            FROM lineitem GROUP BY 1)
+        |SELECT partkey, round(value, 2) AS part_value
+        |FROM pv
+        |WHERE value > (SELECT 1.5 * sum(value) / count(*) FROM pv)
+        |ORDER BY part_value DESC, partkey
+        |""".stripMargin)
+
+  /** TPC-H Q16-style NOT IN subquery: distinct supplier count per part
+    * attribute, excluding a supplier denylist via `NOT IN`. NOT IN over a
+    * nullable-free key plans as Spark's NULL-AWARE ANTI JOIN
+    * (BroadcastHashJoin ... NAAJ) — a distinct decorrelation shape from
+    * EXISTS/NOT EXISTS (which become plain semi/anti). */
+  def supplierCountNotIn(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT p.p_brand AS brand, p.p_type AS ptype,
+        |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size IN (1, 9, 14, 19, 23)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, brand, ptype
+        |LIMIT 25
+        |""".stripMargin)
+
   /** Correlated scalar subquery in SQL (reference has no subqueries at
     * all): orders above their customer's average order value. */
   def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =

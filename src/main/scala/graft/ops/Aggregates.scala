@@ -277,7 +277,11 @@ object Aggregates {
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       .groupBy("status")
       .agg(
-        sum("price").as("total"),
+        // Cast the sum back to DECIMAL(18,2): Spark's sum widens to
+        // DECIMAL(28,2), which parquet stores as FIXED_LEN_BYTE_ARRAY while
+        // the 18,2 columns are INT64 — cross-engine hash compares see the
+        // physical width. 18,2 holds the total (~1.3e10 << 10^16).
+        sum("price").cast("decimal(18,2)").as("total"),
         min("price").as("lo"),
         max("price").as("hi"),
         count(lit(1)).as("n"))

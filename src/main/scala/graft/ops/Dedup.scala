@@ -231,24 +231,66 @@ object Dedup {
     * This is the operator that turns pairwise dedup output into "keep one
     * representative per duplicate cluster".
     */
+  /** Session conf key: when set to a durable directory (HDFS / object
+    * store), iterative operators use RELIABLE `checkpoint()` instead of
+    * `localCheckpoint()`. localCheckpoint stores blocks in executor
+    * memory/disk only — on a real cluster an executor loss mid-iteration
+    * kills the job; the reliable path survives it at the cost of a
+    * checkpoint write per round. Local benches leave it unset. */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // undirected edge list, both directions
+    import org.apache.spark.sql.Row
+    val spark = edges.sparkSession
+    val reliableDir = spark.conf.getOption(CheckpointDirKey)
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    // undirected edge list, both directions, PRE-PARTITIONED on dst: the
+    // per-round label join below is an equi-join on dst, so hash-placing
+    // the (static, reused-every-round) edge side once means Catalyst
+    // re-shuffles only the tiny label side each round, never the edges.
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) materializes AND truncates lineage: without
-    // it the logical plan nests one join deeper per round, so analysis/
-    // optimization cost and stage DAG size grow with iteration count —
-    // the classic iterative-DataFrame scale-killer. With it every round
-    // plans against a flat cached RDD scan, O(1) plan depth forever.
+
+    // Each round ends in ONE job: the round's (id, prev, label) plan is
+    // materialized through an RDD checkpoint whose pass-through map counts
+    // label changes into an accumulator — the convergence probe rides the
+    // materialization for free instead of being a second driver job per
+    // round (job-scheduling overhead is what dominates iterative loops on
+    // a busy cluster/JVM). Checkpointing (local or reliable) truncates
+    // lineage, so every round plans against a flat RDD scan — O(1) plan
+    // depth regardless of iteration count.
+    val idField = fwd.schema.fields(0)
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = "id"), idField.copy(name = "label")))
+    def materializeRound(round: DataFrame): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator("cc_changed")
+      val rdd = round.rdd.map { r =>
+        if (r.get(1) != r.get(2)) acc.add(1) // prev != label
+        Row(r.get(0), r.get(2))
+      }
+      reliableDir match {
+        case Some(_) =>
+          // persist first so the checkpoint write replays from cache, not
+          // by recomputing the whole round
+          rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          rdd.checkpoint()
+        case None => rdd.localCheckpoint()
+      }
+      rdd.count() // the single materializing job; fills acc
+      (spark.createDataFrame(rdd, labelSchema), acc.value)
+    }
+
     // The first propagation round is folded into initialization: with
     // identity labels, round 1's neighbor-min is just min(id, min nbr) —
     // one groupBy over the edge list, no join, one fewer loop round.
-    var labels = und.groupBy(col("src").as("id"))
-      .agg(least(col("id"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+    var (labels, _) = materializeRound(
+      und.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .select(col("src").as("id"), col("src").as("prev"), col("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -257,9 +299,6 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      // carry the previous label through the round so the convergence
-      // probe below is a filter over the just-checkpointed result — no
-      // extra join, no second materialization of the round's work
       val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
@@ -271,12 +310,11 @@ object Dedup {
       val next = prop.join(mapping, col("l1") === col("lid"), "left")
         .select(col("id"), col("prev"),
           least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
-        .localCheckpoint()
       // the fold-in above means even the first loop round can already be
       // at the fixpoint (all pair clusters converge at init), so every
-      // round probes — a limit-1 filter over the just-checkpointed RDD
-      val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
-      labels = next.select("id", "label")
+      // round probes via the accumulator folded into the checkpoint job
+      val (nextLabels, changed) = materializeRound(next)
+      labels = nextLabels
       converged = changed == 0
       iter += 1
     }

@@ -192,8 +192,10 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
         col("payload"))
       .filter(pmod(col("frame_idx"), lit(every)) === 0)
-      .select(col("doc_id"), col("frame_idx"),
-        crc32(substring(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      // md5 (not crc32): same cost class, and DuckDB has md5 — makes the
+      // whole frame pipeline hash-oracle-able cross-engine
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(substring(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
           .as("frame_checksum"))
       .orderBy("doc_id", "frame_idx")
   }

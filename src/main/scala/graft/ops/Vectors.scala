@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`embedding:
@@ -193,30 +194,75 @@ object Vectors {
       .drop("sc")
   }
 
+  /** Mutable (count, element-wise sum) accumulator for [[VecMean]]. */
+  case class VecAcc(var n: Long, var s: Array[Double])
+
+  /** Element-wise mean over double vectors as a typed Aggregator: Spark
+    * plans this with MAP-SIDE PARTIAL aggregation, so the shuffle carries
+    * ONE (count, 64-double running sum) buffer per (map partition,
+    * centroid) — versus the previous posexplode shape, which shuffled 64
+    * (cent_id, dim, value) rows per corpus vector per iteration. At 100 TB
+    * that is the difference between shuffling the corpus and shuffling
+    * nlist × numPartitions fixed-size rows. */
+  object VecMean extends Aggregator[(Long, Array[Double]), VecAcc, Array[Double]] {
+    def zero: VecAcc = VecAcc(0L, Array.empty[Double])
+    def reduce(b: VecAcc, a: (Long, Array[Double])): VecAcc = {
+      val v = a._2
+      if (b.s.isEmpty) VecAcc(1L, v.clone())
+      else {
+        var i = 0; while (i < v.length) { b.s(i) += v(i); i += 1 }
+        b.n += 1; b
+      }
+    }
+    def merge(x: VecAcc, y: VecAcc): VecAcc =
+      if (x.s.isEmpty) y
+      else if (y.s.isEmpty) x
+      else {
+        var i = 0; while (i < x.s.length) { x.s(i) += y.s(i); i += 1 }
+        x.n += y.n; x
+      }
+    def finish(r: VecAcc): Array[Double] = r.s.map(_ / r.n)
+    def bufferEncoder: Encoder[VecAcc] = Encoders.product[VecAcc]
+    def outputEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Lineage truncation for iterative loops: localCheckpoint by default;
+    * when [[Dedup.CheckpointDirKey]] points at a durable dir, a RELIABLE
+    * checkpoint (survives executor loss on a real cluster). */
+  private def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(Dedup.CheckpointDirKey) match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Lloyd's k-means over the embedding corpus as pure DataFrame ops:
     * assignment is the map-side broadcast argmax above (no corpus
-    * shuffle); the update step posexplodes assigned vectors and two-stage
-    * averages per (cent_id, dim) — the shuffle carries partial-sum
-    * triples, never whole vectors per group. Each iteration
-    * localCheckpoints the (tiny) centroid table so plan depth stays O(1)
-    * across iterations (same lineage discipline as connectedComponents).
+    * shuffle); the update step is [[VecMean]] — whole-vector partial sums
+    * folded map-side, shuffling one fixed-size buffer per (partition,
+    * centroid). Each iteration checkpoints the (tiny) centroid table so
+    * plan depth stays O(1) across iterations (same lineage discipline as
+    * connectedComponents; reliable-checkpoint gated the same way).
     * Init = first nlist corpus vectors (deterministic; k-means++ would
     * only change this seeding step). Centroids are unnormalized means —
     * equivalent under cosine argmax, which is scale-invariant. */
   def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    var cents = emb.filter(col("vec_id") < nlist)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = truncate(emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"),
-        transform(col("embedding"), v => v.cast("double")).as("cent_vec"))
-      .localCheckpoint()
+        transform(col("embedding"), v => v.cast("double")).as("cent_vec")))
     for (_ <- 1 to iters) {
-      cents = assignCentroid(emb.select(col("vec_id"), col("embedding")), centsRow(cents), keep = 1)
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("cent_vec"))
-        .localCheckpoint()
+      val assigned = assignCentroid(
+          emb.select(col("vec_id"), col("embedding")), centsRow(cents), keep = 1)
+        .select(col("cent_id"),
+          transform(col("embedding"), v => v.cast("double")).as("v"))
+        .as[(Long, Array[Double])]
+      cents = truncate(
+        assigned.groupByKey(_._1).agg(VecMean.toColumn.name("cent_vec"))
+          .toDF("cent_id", "cent_vec"))
     }
     cents
   }

@@ -44,7 +44,7 @@ class MultimodalCsvSpec extends SparkSpec {
   test("frame sample emits every 4th frame index") {
     val rows = Multimodal.frameSample(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getAs[Int]("frame_idx") % 4 == 0))
+    rows.foreach(r => assert(r.getAs[Long]("frame_idx") % 4 == 0))
   }
 
   test("binaryFile source -> imageio decode end-to-end on real files") {

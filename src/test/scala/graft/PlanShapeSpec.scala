@@ -69,7 +69,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
-  test("no accidental cartesian / nested-loop join in ANY of the 86 query plans") {
+  test("q2-style correlated min-subquery decorrelates: hash joins only, no NLJ") {
+    val plan = executedPlan(graft.api.GraftSql.minCostSupplier(spark, sfDir))
+    assert(plan.contains("HashJoin"), plan.take(2000))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q21-style EXISTS/NOT EXISTS plan as semi + anti hash joins") {
+    val plan = executedPlan(graft.api.GraftSql.waitingSuppliers(spark, sfDir))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  /** Count distinct shuffle nodes in the static physical plan (AQE off so
+    * the plan is a plain tree; reused exchanges are a different node type
+    * and deliberately not counted). Each ShuffleExchange is a full
+    * re-materialization of its subtree's output — the unit of cost that
+    * kills at 100 TB; these caps stop future edits silently doubling
+    * them. */
+  private def shuffleCount(build: => org.apache.spark.sql.DataFrame): Int = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup_ngram_jaccard shuffle budget: at most one exchange per stage") {
+    // stages: per-doc shingle sizes, postings groupBy(shingle), pair
+    // groupBy(a,b), two size-joins, final sort — one shuffle each
+    val n = shuffleCount(Dedup.ngramJaccardPairs(spark, sfDir))
+    assert(n <= 6, s"ngram-jaccard plan now has $n shuffles (cap 6) — a stage double-shuffles")
+  }
+
+  test("dedup_minhash shuffle budget: at most one exchange per stage") {
+    // stages: band-bucket groupBy, candidate distinct, two signature
+    // re-joins, estimate stage, final sort — one shuffle each
+    val n = shuffleCount(Dedup.minhashPairs(spark, sfDir))
+    assert(n <= 6, s"minhash plan now has $n shuffles (cap 6) — a stage double-shuffles")
+  }
+
+  test("no accidental cartesian / nested-loop join in ANY query plan (live map sweep)") {
     // every documented non-equi join in the library; anything else
     // showing a BroadcastNestedLoopJoin or CartesianProduct is a planning
     // regression (an unpushed predicate, a lost equi-condition)

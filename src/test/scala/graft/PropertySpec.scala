@@ -58,6 +58,31 @@ class PropertySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("reliable checkpoint path: CC labels identical local vs durable-dir") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val local = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Dedup.CheckpointDirKey, dir)
+    try {
+      val reliable = Dedup.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the durable dir must actually have been written (proof the gated
+      // path ran a reliable checkpoint, not the executor-local one)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+      // kmeans shares the gate: smoke the reliable path end-to-end too
+      val emb = (0L until 40L).map(i =>
+        (i, Array.tabulate(4)(d => ((i % 4) * 10 + d).toFloat))).toDF("vec_id", "embedding")
+      val cents = graft.ops.Vectors.kmeansCentroids(emb, nlist = 4, iters = 2).collect()
+      assert(cents.length == 4)
+    } finally spark.conf.unset(Dedup.CheckpointDirKey)
+  }
+
   test("property: minhash signature match-rate tracks jaccard (seeded)") {
     import spark.implicits._
     import graft.functions.TextKernels
