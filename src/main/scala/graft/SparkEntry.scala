@@ -70,6 +70,9 @@ object SparkEntry {
     "q21_waiting_supp"  -> (graft.api.GraftSql.waitingSuppliers(_, _)),
     "q11_part_value"    -> (graft.api.GraftSql.partValueShare(_, _)),
     "q16_supplier_cnt"  -> (graft.api.GraftSql.supplierCountNotIn(_, _)),
+    "q17_small_qty"     -> (graft.api.GraftSql.smallQuantityRevenue(_, _)),
+    "q20_bulk_shippers" -> (graft.api.GraftSql.bulkShippers(_, _)),
+    "q8_market_share"   -> (graft.api.GraftSql.marketShare(_, _)),
     "sql_vec_cosine"    -> (graft.api.GraftSql.vecCosineSql(_, _)),
     "agg_pivot"         -> (Aggregates.pivotStatusPriority(_, _)),
     "agg_decimal_exact" -> (Aggregates.decimalExact(_, _)),
@@ -529,6 +532,45 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY supplier_cnt DESC, brand, ptype
         |LIMIT 25""".stripMargin,
+
+    // exact threshold: integer-valued quantities sum exactly in FP, so
+    // 0.2*avg is bit-identical cross-engine; sum of continuous prices /7
+    // rounded 2dp is tie-safe
+    "q17_small_qty" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q20_bulk_shippers" ->
+      """SELECT s_name AS sname, s_acctbal AS acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE 'small%'
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 500)
+        |ORDER BY sname""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o.o_orderdate) AS yr,
+        |         l.l_extendedprice * (1.0 - l.l_discount) AS v,
+        |         ns.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p     ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region rc  ON nc.n_regionkey = rc.r_regionkey
+        |  WHERE rc.r_name = 'AMERICA' AND p.p_type = 'LARGE')
+        |SELECT yr,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
+        |             / sum(v), 6) AS mkt_share
+        |FROM vol GROUP BY yr ORDER BY yr""".stripMargin,
 
     "q21_waiting_supp" ->
       """SELECT s.s_name AS sname, count(*) AS numwait

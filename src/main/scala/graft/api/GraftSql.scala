@@ -171,6 +171,70 @@ object GraftSql {
         |LIMIT 25
         |""".stripMargin)
 
+  /** TPC-H Q17-style small-quantity revenue: correlated scalar AVG
+    * subquery against the SAME fact table as the outer query — Catalyst
+    * decorrelates into a per-partkey aggregate of lineitem joined back to
+    * lineitem (self-decorrelation, a different rewrite than Q2's
+    * dimension-correlated min). The quantity threshold is exact
+    * cross-engine: integer-valued doubles sum exactly (< 2^53), so the
+    * avg is order-independent and the comparison cannot flip. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)
+        |""".stripMargin)
+
+  /** TPC-H Q20-style IN-subquery with aggregation + HAVING inside: the
+    * supplier denylist shape inverted — suppliers who shipped a large
+    * aggregate quantity of a part class. Spark plans the IN as a left-semi
+    * join against the aggregated-and-filtered subquery (semi over agg — a
+    * different pipeline than Q21's row-level EXISTS). acctbal emitted
+    * unrounded: both engines read the identical parquet double. */
+  def bulkShippers(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT s_name AS sname, s_acctbal AS acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE 'small%'
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 500)
+        |ORDER BY sname
+        |""".stripMargin)
+
+  /** TPC-H Q8-style market share: an 8-table join tree feeding a
+    * conditional-share aggregate (share = one nation's fraction of total
+    * volume per order year). nation/region join twice in different roles
+    * (supplier side vs customer side) — the widest join tree in the
+    * suite; Catalyst's join reorder + AQE broadcast the three dimension
+    * chains while the lineitem⋈orders fact join shuffles on orderkey.
+    * The share is a ratio of two continuous-double sums — round(…, 6) is
+    * tie-safe there (the cross-engine hazard is integer/decimal
+    * quotients). */
+  def marketShare(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """WITH vol AS (
+        |  SELECT year(o.o_orderdate) AS yr,
+        |         l.l_extendedprice * (1.0 - l.l_discount) AS v,
+        |         ns.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p     ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region rc  ON nc.n_regionkey = rc.r_regionkey
+        |  WHERE rc.r_name = 'AMERICA' AND p.p_type = 'LARGE')
+        |SELECT yr,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
+        |             / sum(v), 6) AS mkt_share
+        |FROM vol GROUP BY yr ORDER BY yr
+        |""".stripMargin)
+
   /** Correlated scalar subquery in SQL (reference has no subqueries at
     * all): orders above their customer's average order value. */
   def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =

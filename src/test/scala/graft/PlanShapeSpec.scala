@@ -131,6 +131,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected non-equi joins in: $offenders")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in executed plan)") {
+    // one hot key holds ~80% of the big side; with test-scale thresholds
+    // AQE's OptimizeSkewedJoin must split that partition instead of
+    // letting one task drag the stage — the runtime half of the skew
+    // story next to Skew.saltedJoin's explicit salting.
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(keys(0), "65536")
+    spark.conf.set(keys(1), "2")
+    spark.conf.set(keys(2), "32768")
+    spark.conf.set(keys(3), "-1") // force SMJ so the skew rule applies
+    try {
+      val big = (1 to 120000)
+        .map(i => (if (i % 5 != 0) 1L else (i % 997).toLong, s"payload_value_$i"))
+        .toDF("k", "v")
+      val dim = (0L to 1000L).map(k => (k, s"dim_$k")).toDF("k2", "d")
+      val j = big.join(dim, $"k" === $"k2")
+      j.collect() // materialize THIS QueryExecution (a sink write would plan its own)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))

@@ -34,6 +34,38 @@ class SinksSpec extends SparkSpec {
     spark2.sql("DROP TABLE IF EXISTS orders_bkt")
   }
 
+  test("bucketed fact-fact join runs with ZERO shuffle (100 TB co-location path)") {
+    // both facts bucketed+sorted on the join key with the same bucket
+    // count: the join satisfies its distribution requirement straight
+    // from the file layout — no exchange on either side. At 100 TB this
+    // is how the lineitem⋈orders shuffle disappears entirely.
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"))
+    Sinks.writeBucketed(o, "orders_bj", "o_orderkey", 4)
+    Sinks.writeBucketed(l, "lineitem_bj", "l_orderkey", 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    spark.conf.set("spark.sql.adaptive.enabled", "false")        // plain plan tree
+    try {
+      val j = spark.table("lineitem_bj").join(spark.table("orders_bj"),
+        col("l_orderkey") === col("o_orderkey"))
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must be shuffle-free, got:\n${j.queryExecution.executedPlan}")
+      assert(j.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+      // and it computes the same thing as the plain join
+      val expected = l.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS orders_bj")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bj")
+    }
+  }
+
   test("csv sink round-trips nulls and booleans through CsvSource") {
     import org.apache.spark.sql.types._
     import graft.api.Rivulus
