@@ -81,6 +81,21 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup for a document stream: fingerprint =
+    * xxhash64 of whitespace-normalized lowercased text (the same codegen
+    * kernel shape as the batch `text_fingerprint_fast`), deduplicated
+    * within the watermark horizon. This is the streaming half of the
+    * training-data ingestion story: near-real-time corpus feeds drop
+    * same-content documents on arrival instead of paying a full-corpus
+    * batch dedup later. State carries only the 8-byte fingerprint key,
+    * never the text, and the watermark bounds it to the horizon. */
+  def streamingContentDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", xxhash64(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fp")
+
   case class UserRunning(userId: Long, nEvents: Long, sumValue: Double)
 
   /** Custom per-key state via flatMapGroupsWithState: running per-user

@@ -81,6 +81,47 @@ class StreamingSpec extends SparkSpec {
       s"the evicted window held only the on-time event, got n=${win0.head.getAs[Long]("n")}")
   }
 
+  test("streaming content dedup drops same-fingerprint docs across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    val watch = JFiles.createTempDirectory("graftcdedup")
+    val stage = JFiles.createTempDirectory("graftcdedupstage")
+    var mt = System.currentTimeMillis() - 600000
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+      val out = stage.resolve(name + "_dir").toString
+      rows.toDF("doc_id", "ts", "text").coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = watch.resolve(name + ".parquet")
+      JFiles.copy(part.toPath, dst)
+      mt += 60000
+      dst.toFile.setLastModified(mt)
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Int) = new java.sql.Timestamp(t0 + min * 60000L)
+    // doc 2 duplicates doc 1 after normalization (case + whitespace);
+    // doc 4 duplicates doc 1 from a LATER micro-batch (cross-batch state)
+    writeBatch("a", Seq(
+      (1L, ts(0), "hello world"),
+      (2L, ts(1), "  Hello   WORLD "),
+      (3L, ts(2), "something else")))
+    writeBatch("b", Seq(
+      (4L, ts(3), "hello world"),
+      (5L, ts(4), "fresh content")))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    EventStream.runToCompletion(
+      EventStream.streamingContentDedup(stream), "cdedup_test", OutputMode.Append())
+    val kept = spark.table("cdedup_test").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.size == 3, s"3 distinct contents expected, kept $kept")
+    assert(kept.contains(3L) && kept.contains(5L))
+    assert(kept.intersect(Set(1L, 2L)).size == 1, "exactly one of the in-batch dups")
+    assert(!kept.contains(4L) || !kept.contains(1L),
+      "cross-batch duplicate must not appear twice")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = EventStream.readEvents(spark, sfDir)
     EventStream.runToCompletion(

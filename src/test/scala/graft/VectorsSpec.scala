@@ -16,6 +16,24 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - expected) < 1e-9)
   }
 
+  test("property: VecMean aggregator equals a scala reference mean per key") {
+    // guards the map-side partial-sum Aggregator that replaced the
+    // posexplode update step: partial/merge order must not change means
+    // beyond FP reassociation noise
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val data = (0 until 200).map(i => ((i % 7).toLong, Array.fill(16)(rng.nextDouble())))
+    val got = data.toDF("k", "v").as[(Long, Array[Double])]
+      .groupByKey(_._1).agg(Vectors.VecMean.toColumn.name("m"))
+      .collect().toMap
+    val want = data.groupBy(_._1).map { case (k, rows) =>
+      k -> Array.tabulate(16)(d => rows.map(_._2(d)).sum / rows.size)
+    }
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet; d <- 0 until 16)
+      assert(math.abs(got(k)(d) - want(k)(d)) < 1e-9, s"key $k dim $d")
+  }
+
   test("brute force ANN: 5 neighbors per query, descending cosine") {
     val rows = Vectors.annBruteForce(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
