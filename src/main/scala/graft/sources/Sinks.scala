@@ -44,6 +44,16 @@ object Sinks {
       .mode("overwrite")
       .csv(path)
 
+  /** ORC sink/source round-trip: Spark's second columnar format, same
+    * pushdown/pruning machinery as parquet (predicate pushdown into ORC
+    * stripes, column projection) — interchange with Hive/Trino stacks
+    * costs one `.format` switch, no operator changes. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Round-trip demo used by the spec: partition lineitem by returnflag,
     * read back one partition, prove pruning via the file count actually
     * scanned. */

@@ -235,6 +235,47 @@ object EventStream {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec"))
   }
 
+  /** foreachBatch merge sink: maintains a keyed running aggregate as
+    * VERSIONED parquet snapshots (`v0`, `v1`, …) — the production upsert
+    * pattern when no transactional table format is available: each
+    * micro-batch reads the latest snapshot, merges its own partial
+    * aggregate, and writes the result as a NEW directory, so concurrent
+    * readers never observe a half-written table (rename/new-dir is the
+    * atomicity unit on object stores too). The merge is associative
+    * (count/sum), so per-batch partials compose exactly; the final
+    * snapshot equals the batch aggregate over the whole stream. */
+  def runningTotalsUpsert(events: DataFrame, statePath: String): Unit = {
+    val q = events.select(col("user_id"), col("value")).writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val versions = Option(new java.io.File(statePath).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .map(_.getName.drop(1).toLong)
+        val part = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        val merged =
+          if (versions.isEmpty) part
+          else spark.read.parquet(s"$statePath/v${versions.max}")
+            .unionByName(part)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+        merged.write.mode("overwrite").parquet(s"$statePath/v$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Latest snapshot written by [[runningTotalsUpsert]]. */
+  def latestSnapshot(spark: SparkSession, statePath: String): DataFrame = {
+    val v = new java.io.File(statePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong).max
+    spark.read.parquet(s"$statePath/v$v")
+  }
+
   /** Drive a streaming query over the finite file source to completion into
     * an in-memory sink table named `queryName` (used by tests). Aggregations
     * need Complete mode on a finite replay — with Append, windows behind the

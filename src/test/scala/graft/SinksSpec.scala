@@ -86,6 +86,22 @@ class SinksSpec extends SparkSpec {
     assert(back(0).getString(1) == "alice" && back(2).getDouble(2) == 7.25)
   }
 
+  test("orc sink round-trips values and pushes filters into the orc scan") {
+    val out = Files.createTempDirectory("graftorc").resolve("o").toString
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    Sinks.writeOrc(src, out)
+    val back = Sinks.readOrc(spark, out)
+    assert(back.count() == src.count())
+    val filtered = back.filter(col("o_totalprice") > 1000.0).select("o_orderkey")
+    val formatted = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters:") &&
+      formatted.contains("GreaterThan(o_totalprice"), formatted.take(2000))
+    assert(filtered.count() ==
+      src.filter(col("o_totalprice") > 1000.0).count())
+  }
+
   test("jsonl source quarantines corrupt lines instead of failing or dropping") {
     import org.apache.spark.sql.types._
     import graft.sources.JsonlSource

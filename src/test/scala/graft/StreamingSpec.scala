@@ -122,6 +122,38 @@ class StreamingSpec extends SparkSpec {
       "cross-batch duplicate must not appear twice")
   }
 
+  test("foreachBatch versioned upsert snapshot equals the batch aggregate") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    val watch = JFiles.createTempDirectory("graftupsert")
+    val stage = JFiles.createTempDirectory("graftupsertstage")
+    val state = JFiles.createTempDirectory("graftupsertstate").toString
+    var mt = System.currentTimeMillis() - 600000
+    def writeBatch(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val out = stage.resolve(name + "_dir").toString
+      rows.toDF("user_id", "value").coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = watch.resolve(name + ".parquet")
+      JFiles.copy(part.toPath, dst)
+      mt += 60000
+      dst.toFile.setLastModified(mt)
+    }
+    writeBatch("a", Seq((1L, 10.0), (2L, 5.0), (1L, 2.5)))
+    writeBatch("b", Seq((1L, 1.0), (3L, 7.0)))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    EventStream.runningTotalsUpsert(stream, state)
+    // at least two snapshot versions => the merge path actually ran
+    val versions = new java.io.File(state).listFiles().map(_.getName).sorted
+    assert(versions.length >= 2, versions.mkString(","))
+    val got = EventStream.latestSnapshot(spark, state).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
+    assert(got == Map(1L -> ((3L, 13.5)), 2L -> ((1L, 5.0)), 3L -> ((1L, 7.0))))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = EventStream.readEvents(spark, sfDir)
     EventStream.runToCompletion(
