@@ -60,6 +60,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
 
+  test("optimizer rule rewrites the HOF dot product into codegen vec_dot (opt-in)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{DotProduct, VecRewrite}
+    // parquet-backed input: a LocalRelation would be eagerly evaluated by
+    // ConvertToLocalRelation before user-provided rules run
+    val df = Tables.embeddings(spark, sfDir).limit(8)
+      .select(
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("a"),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("b"))
+    def hofQuery = df.select(graft.ops.Vectors.dotColHof(col("a"), col("b")).as("d"))
+    // flag off (default): the HOF stays interpreted — no DotProduct node
+    def hasDot(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[DotProduct])))
+    assert(!hasDot(hofQuery.queryExecution.optimizedPlan))
+    val want = hofQuery.collect().map(_.getDouble(0)).toSeq
+    VecRewrite.enable(spark)
+    try {
+      val after = hofQuery.queryExecution.optimizedPlan
+      assert(hasDot(after), s"rule did not fire:\n$after")
+      val got = hofQuery.collect().map(_.getDouble(0)).toSeq
+      assert(got == want, "rewrite must not change results on well-formed input")
+      // strictness: an int-array aggregate must NOT be rewritten
+      val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+      val intHof = ints.select(org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(col("a"), col("b"), (x, y) => x * y),
+        org.apache.spark.sql.functions.lit(0.0),
+        (acc, v) => acc + v).as("d"))
+      assert(!hasDot(intHof.queryExecution.optimizedPlan))
+      assert(math.abs(intHof.first().getDouble(0) - 11.0) < 1e-9)
+    } finally VecRewrite.disable(spark)
+  }
+
   test("sql-registered text kernels match the Column wrappers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
