@@ -244,15 +244,22 @@ object EventStream {
     * atomicity unit on object stores too). The merge is associative
     * (count/sum), so per-batch partials compose exactly; the final
     * snapshot equals the batch aggregate over the whole stream. */
-  def runningTotalsUpsert(events: DataFrame, statePath: String): Unit = {
-    val q = events.select(col("user_id"), col("value")).writeStream
+  def runningTotalsUpsert(events: DataFrame, statePath: String,
+                          checkpoint: Option[String] = None): Unit = {
+    var writer = events.select(col("user_id"), col("value")).writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // predecessor = latest snapshot STRICTLY BEFORE this batchId: a
+        // replayed batch (crash after write, before commit) rebuilds its
+        // own version from the same predecessor instead of double-merging
+        // its previous partial write — this is what makes the sink
+        // idempotent and the pipeline exactly-once under restarts.
         val versions = Option(new java.io.File(statePath).listFiles())
           .getOrElse(Array.empty[java.io.File])
           .filter(f => f.isDirectory && f.getName.startsWith("v"))
           .map(_.getName.drop(1).toLong)
+          .filter(_ < batchId)
         val part = batch.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
         val merged =
@@ -263,7 +270,8 @@ object EventStream {
             .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
         merged.write.mode("overwrite").parquet(s"$statePath/v$batchId")
       }
-      .start()
+    checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+    val q = writer.start()
     q.processAllAvailable()
     q.stop()
   }

@@ -154,6 +154,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> ((3L, 13.5)), 2L -> ((1L, 5.0)), 3L -> ((1L, 7.0))))
   }
 
+  test("upsert sink + checkpoint: restart resumes without re-counting committed batches") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    val watch = JFiles.createTempDirectory("graftrestart")
+    val stage = JFiles.createTempDirectory("graftrestartstage")
+    val state = JFiles.createTempDirectory("graftrestartstate").toString
+    val ckpt = JFiles.createTempDirectory("graftrestartckpt").toString
+    var mt = System.currentTimeMillis() - 600000
+    def writeBatch(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val out = stage.resolve(name + "_dir").toString
+      rows.toDF("user_id", "value").coalesce(1).write.parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = watch.resolve(name + ".parquet")
+      JFiles.copy(part.toPath, dst)
+      mt += 60000
+      dst.toFile.setLastModified(mt)
+    }
+    def stream = {
+      val schema = spark.read.parquet(watch.toString).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    }
+    writeBatch("a", Seq((1L, 10.0), (2L, 5.0)))
+    EventStream.runningTotalsUpsert(stream, state, Some(ckpt))
+    // "deploy" stops the query; new data lands; same checkpoint restarts
+    writeBatch("b", Seq((1L, 1.0), (3L, 7.0)))
+    EventStream.runningTotalsUpsert(stream, state, Some(ckpt))
+    val got = EventStream.latestSnapshot(spark, state).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
+    // batch a counted EXACTLY once despite the restart
+    assert(got == Map(1L -> ((2L, 11.0)), 2L -> ((1L, 5.0)), 3L -> ((1L, 7.0))), got.toString)
+    val versions = new java.io.File(state).listFiles().map(_.getName).sorted.toSeq
+    assert(versions == Seq("v0", "v1"),
+      s"restart must process only the new batch, got $versions")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = EventStream.readEvents(spark, sfDir)
     EventStream.runToCompletion(
