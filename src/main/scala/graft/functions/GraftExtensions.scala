@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(TextKernels.getClass.getName, "graft_simhash"),
       simhashBuilder))
+    // HOF-dot-product -> vec_dot rewrite; inert until the session sets
+    // spark.graft.rewriteHofVectorOps=true (the rule checks the flag at
+    // apply time — see VecRewriteRule's scaladoc for the opt-in rationale)
+    ext.injectOptimizerRule(_ => VecRewriteRule)
   }
 }
 
