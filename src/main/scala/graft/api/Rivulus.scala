@@ -60,7 +60,7 @@ final case class Rivulus(df: DataFrame) {
       val name = if (right.df.columns.contains(c)) c + "_right" else c
       l.col(c).as(name)
     }
-    Rivulus(joined.select(rightCols ++ leftKept: _*))
+    Rivulus(joined.select((rightCols ++ leftKept).toIndexedSeq: _*))
   }
 
   /** Reference-bug-compatible variant: join keys match on NULL = NULL

@@ -23,7 +23,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salts: Int): DataFrame = {
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     salted.join(replicated,

@@ -57,7 +57,7 @@ object Vectors {
   /** b-bit sign code of `vec` under table `t`'s hyperplanes. */
   def lshCodeCol(vec: Column, t: Int): Column = {
     val bits = planes(t).zipWithIndex.map { case (w, p) =>
-      val planeLit = array(w.map(lit): _*)
+      val planeLit = array(w.toIndexedSeq.map(lit): _*)
       when(dotCol(vec, planeLit) > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -188,7 +188,7 @@ object Vectors {
         .otherwise(0)
     val passThrough = df.columns.map(col)
     df.crossJoin(broadcast(centsOne))
-      .select(passThrough :+
+      .select(passThrough.toIndexedSeq :+
         explode(slice(array_sort(scored, byCosDescIdAsc), 1, keep)).as("sc"): _*)
       .withColumn("cent_id", col("sc.cent_id"))
       .drop("sc")

@@ -37,7 +37,7 @@ object CsvSource {
       .option("ignoreLeadingWhiteSpace", "true")
       .option("ignoreTrailingWhiteSpace", "true")
       .csv(path)
-    raw.select(schema.fields.map(f => lex(col(f.name), f.dataType).as(f.name)): _*)
+    raw.select(schema.fields.toIndexedSeq.map(f => lex(col(f.name), f.dataType).as(f.name)): _*)
   }
 
   /** `""`/`"null"` → NULL, then type-specific parse (file_stream.rs:59-114). */
