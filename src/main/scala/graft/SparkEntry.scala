@@ -73,6 +73,7 @@ object SparkEntry {
     "q17_small_qty"     -> (graft.api.GraftSql.smallQuantityRevenue(_, _)),
     "q20_bulk_shippers" -> (graft.api.GraftSql.bulkShippers(_, _)),
     "q8_market_share"   -> (graft.api.GraftSql.marketShare(_, _)),
+    "set_ops_multiset"  -> (graft.api.GraftSql.setOpsMultiset(_, _)),
     "sql_vec_cosine"    -> (graft.api.GraftSql.vecCosineSql(_, _)),
     "agg_pivot"         -> (Aggregates.pivotStatusPriority(_, _)),
     "agg_decimal_exact" -> (Aggregates.decimalExact(_, _)),
@@ -571,6 +572,18 @@ object SparkEntry {
         |       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
         |             / sum(v), 6) AS mkt_share
         |FROM vol GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "set_ops_multiset" ->
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders
+        |           WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT o_orderpriority AS p FROM orders
+        |           WHERE o_totalprice > 450000)
+        |SELECT 'intersect_all' AS op, p, count(*) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all' AS op, p, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+        |ORDER BY op, p""".stripMargin,
 
     "q21_waiting_supp" ->
       """SELECT s.s_name AS sname, count(*) AS numwait

@@ -235,6 +235,25 @@ object GraftSql {
         |FROM vol GROUP BY yr ORDER BY yr
         |""".stripMargin)
 
+  /** MULTISET set operations (INTERSECT ALL / EXCEPT ALL): occurrence
+    * arithmetic, not membership — Spark rewrites both through the
+    * replicate_rows generator over per-row min/diff counts, a completely
+    * different plan than the distinct set-ops in `set_ops`. Counted per
+    * group so the result is deterministic and small. */
+  def setOpsMultiset(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders
+        |           WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT o_orderpriority AS p FROM orders
+        |           WHERE o_totalprice > 450000)
+        |SELECT 'intersect_all' AS op, p, count(*) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all' AS op, p, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+        |ORDER BY op, p
+        |""".stripMargin)
+
   /** Correlated scalar subquery in SQL (reference has no subqueries at
     * all): orders above their customer's average order value. */
   def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =
