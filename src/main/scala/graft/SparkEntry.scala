@@ -74,6 +74,7 @@ object SparkEntry {
     "q20_bulk_shippers" -> (graft.api.GraftSql.bulkShippers(_, _)),
     "q8_market_share"   -> (graft.api.GraftSql.marketShare(_, _)),
     "set_ops_multiset"  -> (graft.api.GraftSql.setOpsMultiset(_, _)),
+    "sql_recursive_spine" -> (graft.api.GraftSql.monthlySpine(_, _)),
     "sql_vec_cosine"    -> (graft.api.GraftSql.vecCosineSql(_, _)),
     "agg_pivot"         -> (Aggregates.pivotStatusPriority(_, _)),
     "agg_decimal_exact" -> (Aggregates.decimalExact(_, _)),
@@ -584,6 +585,23 @@ object SparkEntry {
         |SELECT 'except_all' AS op, p, count(*) AS n
         |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
         |ORDER BY op, p""".stripMargin,
+
+    // DuckDB dialect: strftime instead of date_format; semantics identical
+    "sql_recursive_spine" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < DATE '2001-12-01')
+        |SELECT strftime(m, '%Y-%m') AS month,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(total, 0.0) AS total
+        |FROM months LEFT JOIN (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS om,
+        |         count(*) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1) s ON strftime(m, '%Y-%m') = s.om
+        |ORDER BY month""".stripMargin,
 
     "q21_waiting_supp" ->
       """SELECT s.s_name AS sname, count(*) AS numwait

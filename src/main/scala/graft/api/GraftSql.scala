@@ -254,6 +254,30 @@ object GraftSql {
         |ORDER BY op, p
         |""".stripMargin)
 
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): generate a complete month
+    * spine 1995-01..2001-12, then LEFT JOIN the monthly order aggregate —
+    * the canonical gap-filled time series (months with no orders emit 0,
+    * which a plain GROUP BY would silently drop). The recursion is the
+    * spine generator, bounded at 84 levels, nothing per-row — exactly the
+    * pattern that stays driver-cheap at any data scale. */
+  def monthlySpine(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM months
+        |  WHERE m < CAST('2001-12-01' AS DATE))
+        |SELECT date_format(m, 'yyyy-MM') AS month,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(total, 0.0) AS total
+        |FROM months LEFT JOIN (
+        |  SELECT date_format(o_orderdate, 'yyyy-MM') AS om,
+        |         count(*) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1) s ON date_format(m, 'yyyy-MM') = s.om
+        |ORDER BY month
+        |""".stripMargin)
+
   /** Correlated scalar subquery in SQL (reference has no subqueries at
     * all): orders above their customer's average order value. */
   def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =
