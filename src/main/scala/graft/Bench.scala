@@ -45,10 +45,33 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file: the driver captures only the
+    // LAST ~2000 chars of sbt output, and a single JSON line carrying all
+    // queries (~2.6 KB) gets its head truncated and never parses. The
+    // stdout line stays compact — most-expensive queries first, greedily
+    // packed under a length budget, the rest folded into "other".
+    val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val detailJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(detailJson) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
+    val budget = 1500 // chars for the queries map; whole line must fit 2000-char tail
+    val byCost = results.sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    for ((k, v) <- byCost) {
+      val entryLen = k.length + 10 // "name":12.34,
+      if (used + entryLen <= budget) { picked += ((k, v)); used += entryLen }
+    }
+    val pickedSet = picked.map(_._1).toSet
+    val other = results.collect { case (k, v) if !pickedSet.contains(k) => v }.sum
+    val qs = picked.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"queries":$qs,"other":$other%.2f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -640,9 +640,9 @@ object SparkEntry {
 
     "agg_decimal_exact" ->
       """SELECT o_orderstatus AS status,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
-        |       min(CAST(o_totalprice AS DECIMAL(18,2))) AS lo,
-        |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS hi,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+        |       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS lo_cents,
+        |       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS hi_cents,
         |       count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 

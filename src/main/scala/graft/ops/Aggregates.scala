@@ -270,20 +270,25 @@ object Aggregates {
   /** Exact money arithmetic: DECIMAL(18,2) aggregation — no FP drift, so
     * the oracle matches with NO rounding anywhere (the double-typed
     * queries all need round() on both engines; decimal is the type a
-    * financial pipeline would actually use at scale). */
+    * financial pipeline would actually use at scale).
+    *
+    * The aggregation runs in decimal space (exact), but the OUTPUT is
+    * integer cents (BIGINT): decimal columns survive two different
+    * readback paths (pyarrow Decimal objects vs DuckDB native decimals)
+    * with different canonical forms, so any decimal-typed output column
+    * hash-mismatches cross-engine even when values are byte-identical
+    * (observed rounds 2 AND 3, at widths 28,2 and 18,2 alike). Cents are
+    * exact — the decimal is scale-2, so *100 is integral — and hash as
+    * plain int64 everywhere. */
   def decimalExact(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderstatus").as("status"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       .groupBy("status")
       .agg(
-        // Cast the sum back to DECIMAL(18,2): Spark's sum widens to
-        // DECIMAL(28,2), which parquet stores as FIXED_LEN_BYTE_ARRAY while
-        // the 18,2 columns are INT64 — cross-engine hash compares see the
-        // physical width. 18,2 holds the total (~1.3e10 << 10^16).
-        sum("price").cast("decimal(18,2)").as("total"),
-        min("price").as("lo"),
-        max("price").as("hi"),
+        (sum("price") * 100).cast("long").as("total_cents"),
+        (min("price") * 100).cast("long").as("lo_cents"),
+        (max("price") * 100).cast("long").as("hi_cents"),
         count(lit(1)).as("n"))
       .orderBy("status")
 
