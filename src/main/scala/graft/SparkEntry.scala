@@ -48,6 +48,11 @@ object SparkEntry {
     "q19_disjunctive"   -> (Aggregates.disjunctivePredicateJoin(_, _)),
     "agg_percentiles"   -> (Aggregates.percentiles(_, _)),
     "agg_stats"         -> (Aggregates.statsAggregates(_, _)),
+    "agg_regression"    -> (Aggregates.regression(_, _)),
+    "func_math"         -> (Relational.mathBreadth(_, _)),
+    "func_array_ops"    -> (Text.arrayTokenOps(_, _)),
+    "func_levenshtein"  -> (Text.fuzzyPartNames(_, _)),
+    "ev_histogram"      -> (EventTime.valueHistogram(_, _)),
     "sql_grouping_sets" -> (graft.api.GraftSql.groupingSets(_, _)),
     "text_top_tokens"   -> (Text.topTokens(_, _)),
     "text_top_tokens_lang" -> (Text.topTokensPerLang(_, _)),
@@ -73,6 +78,9 @@ object SparkEntry {
     "q17_small_qty"     -> (graft.api.GraftSql.smallQuantityRevenue(_, _)),
     "q20_bulk_shippers" -> (graft.api.GraftSql.bulkShippers(_, _)),
     "q8_market_share"   -> (graft.api.GraftSql.marketShare(_, _)),
+    "q9_product_profit" -> (graft.api.GraftSql.productProfit(_, _)),
+    "q12_ship_priority" -> (graft.api.GraftSql.shipPriority(_, _)),
+    "q15_top_supplier"  -> (graft.api.GraftSql.topSupplier(_, _)),
     "set_ops_multiset"  -> (graft.api.GraftSql.setOpsMultiset(_, _)),
     "sql_recursive_spine" -> (graft.api.GraftSql.monthlySpine(_, _)),
     "sql_vec_cosine"    -> (graft.api.GraftSql.vecCosineSql(_, _)),
@@ -573,6 +581,89 @@ object SparkEntry {
         |       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
         |             / sum(v), 6) AS mkt_share
         |FROM vol GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "agg_regression" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY returnflag""".stripMargin,
+
+    "func_math" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |       round(ln(l_extendedprice), 6) AS ln_price,
+        |       round(exp(l_discount), 6) AS exp_disc,
+        |       l_orderkey % 7 AS key_mod,
+        |       abs(l_discount - 0.05) AS disc_dev,
+        |       CAST(sign(l_tax - 0.04) AS INT) AS tax_sign
+        |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
+
+    "func_array_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       len(toks) AS n_tokens,
+        |       len(list_distinct(toks)) AS n_distinct,
+        |       toks[1] AS first_tok,
+        |       toks[-1] AS last_tok,
+        |       array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), '_')
+        |         AS first5_sorted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "func_levenshtein" ->
+      """SELECT p_partkey AS partkey, p_name AS pname,
+        |       levenshtein(p_name, 'small bolt') AS dist
+        |FROM part WHERE levenshtein(p_name, 'small bolt') <= 4
+        |ORDER BY partkey""".stripMargin,
+
+    "ev_histogram" ->
+      """SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+        |                 - p.p_retailprice * 0.6 * l.l_quantity), 2) AS profit
+        |FROM lineitem l
+        |JOIN part p     ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, yr DESC""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT l.l_linestatus AS linestatus,
+        |       CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                           CAST(l.l_shipdate AS DATE)) > 60
+        |            THEN 'late' ELSE 'ontime' END AS shipbucket,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY linestatus, shipbucket""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         sum(l_extendedprice * (1.0 - l_discount)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
+        |       round(r.total_rev, 2) AS total_rev
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY suppkey""".stripMargin,
 
     "set_ops_multiset" ->
       """WITH a AS (SELECT o_orderpriority AS p FROM orders

@@ -278,6 +278,71 @@ object GraftSql {
         |ORDER BY month
         |""".stripMargin)
 
+  /** TPC-H Q9-style product-type profit (adapted: no partsupp table, so
+    * supply cost is proxied by 0.6 × p_retailprice × quantity): a 5-table
+    * join tree (fact ⋈ part ⋈ supplier ⋈ nation ⋈ orders) feeding a
+    * (nation, year) profit aggregate with a LIKE-filtered part dimension.
+    * The widest *fact-anchored* join after Q8; Catalyst broadcasts the
+    * three dimension chains and shuffles the fact once on orderkey.
+    * Profit is a sum of continuous-double products, so round(…, 2) is
+    * tie-safe cross-engine. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+        |                 - p.p_retailprice * 0.6 * l.l_quantity), 2) AS profit
+        |FROM lineitem l
+        |JOIN part p     ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, yr DESC
+        |""".stripMargin)
+
+  /** TPC-H Q12-style shipping-bucket priority counts (adapted: no
+    * l_shipmode/commit/receipt columns, so the "mode" is l_linestatus and
+    * lateness is ship-lag > 60 days from order date): conditional CASE
+    * sums per group — the canonical pivot-by-predicate aggregate. Counts
+    * are integers, so the output is hash-exact with no rounding. */
+  def shipPriority(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT l.l_linestatus AS linestatus,
+        |       CASE WHEN datediff(CAST(l.l_shipdate AS DATE),
+        |                          CAST(o.o_orderdate AS DATE)) > 60
+        |            THEN 'late' ELSE 'ontime' END AS shipbucket,
+        |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY linestatus, shipbucket
+        |""".stripMargin)
+
+  /** TPC-H Q15-style top supplier: a revenue CTE aggregated per supplier,
+    * consumed twice — once as the join input and once under an
+    * uncorrelated scalar MAX subquery — selecting the supplier(s) at the
+    * maximum. The argmax-via-self-aggregate shape (Q15's VIEW becomes a
+    * CTE). Each engine evaluates the max over its own sums, so the
+    * equality never crosses engines; the output revenue is rounded. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         sum(l_extendedprice * (1.0 - l_discount)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
+        |       round(r.total_rev, 2) AS total_rev
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY suppkey
+        |""".stripMargin)
+
   /** Correlated scalar subquery in SQL (reference has no subqueries at
     * all): orders above their customer's average order value. */
   def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =

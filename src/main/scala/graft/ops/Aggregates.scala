@@ -349,6 +349,21 @@ object Aggregates {
         round(skewness(col("l_extendedprice")), 4).as("skew_price"))
       .orderBy("returnflag")
 
+  /** Linear-regression aggregates (regr_slope / regr_intercept / regr_r2 /
+    * regr_count): the OLS-over-groups surface — single-pass moment
+    * accumulation with map-side partial merge, so the shuffle carries one
+    * moment tuple per (partition, group) at any scale. Continuous-double
+    * moments → round() is tie-safe. */
+  def regression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("returnflag")
+
   /** Exact percentiles per group (Spark `percentile` = exact linear
     * interpolation, matching DuckDB quantile_cont bit-for-bit after
     * rounding; at 100 TB swap for percentile_approx — same plan shape,

@@ -137,4 +137,19 @@ object EventTime {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** Fixed-width value histogram: bucket = floor(value / width) * width —
+    * one map-side division per row, then a tiny hash agg (≤ ~10 buckets
+    * regardless of input size: the ideal 100 TB reduction shape). The
+    * bucket edge is an exact IEEE division in both engines, so bucketing
+    * never disagrees cross-engine. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((floor(col("value") / 50.0) * 50).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"))
+      .orderBy("bucket")
 }

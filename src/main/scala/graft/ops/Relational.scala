@@ -103,4 +103,23 @@ object Relational {
         (col("l_quantity") + col("l_tax")).as("qty_plus_tax"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
       .orderBy("orderkey", "linenumber")
+
+  /** Math scalar breadth: sqrt / ln / exp / mod / abs / sign — all
+    * codegen'd built-ins in one whole-stage projection. sqrt is IEEE
+    * correctly-rounded (bit-identical cross-engine); ln/exp may differ by
+    * an ulp between libm implementations, so those are rounded to 6dp on
+    * both sides (non-terminating values, so the decimal-tie hazard does
+    * not apply); mod/abs/sign are exact. */
+  def mathBreadth(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        signum(col("l_tax") - lit(0.04)).cast("int").as("tax_sign"))
+      .orderBy("orderkey", "linenumber")
 }

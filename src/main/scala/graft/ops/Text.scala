@@ -367,4 +367,37 @@ object Text {
         xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_xx64"),
         graft.functions.TextKernels.simhashKernel(col("text")).as("fp_simhash"))
       .orderBy("doc_id")
+
+  /** Array-function breadth over token arrays: size / distinct / indexed
+    * access / sort + slice + join — the whole chain stays inside one
+    * whole-stage-codegen projection (no explode, no shuffle; the only
+    * shuffle is the output sort for the oracle). Mirrors DuckDB's list_*
+    * family, so every column oracle-checks exactly (ASCII-only corpus →
+    * binary collation agrees between engines). */
+  def arrayTokenOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 5), "_")
+          .as("first5_sorted"))
+      .orderBy("doc_id")
+
+  /** Edit-distance fuzzy match: levenshtein() against a probe string —
+    * a map-side scalar filter (classic Wagner–Fischer in both engines,
+    * identical distances). The fuzzy-JOIN variant at scale composes this
+    * with an LSH/n-gram blocking stage (see [[graft.ops.Dedup]]); the
+    * scalar kernel is what this query pins cross-engine. */
+  def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey").as("partkey"),
+        col("p_name").as("pname"),
+        levenshtein(col("p_name"), lit("small bolt")).as("dist"))
+      .filter(col("dist") <= 4)
+      .orderBy("partkey")
 }
