@@ -50,6 +50,7 @@ object SparkEntry {
     "agg_stats"         -> (Aggregates.statsAggregates(_, _)),
     "agg_regression"    -> (Aggregates.regression(_, _)),
     "func_math"         -> (Relational.mathBreadth(_, _)),
+    "func_bitwise"      -> (Relational.bitwiseBreadth(_, _)),
     "func_array_ops"    -> (Text.arrayTokenOps(_, _)),
     "func_levenshtein"  -> (Text.fuzzyPartNames(_, _)),
     "ev_histogram"      -> (EventTime.valueHistogram(_, _)),
@@ -598,7 +599,18 @@ object SparkEntry {
         |       l_orderkey % 7 AS key_mod,
         |       abs(l_discount - 0.05) AS disc_dev,
         |       CAST(sign(l_tax - 0.04) AS INT) AS tax_sign
-        |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY orderkey, linenumber""".stripMargin,
+
+    "func_bitwise" ->
+      """SELECT o_orderkey AS orderkey,
+        |       o_orderkey & 255 AS key_and,
+        |       o_orderkey | 4096 AS key_or,
+        |       xor(o_orderkey, o_custkey) AS key_xor,
+        |       o_custkey << 3 AS cust_shl,
+        |       o_orderkey >> 2 AS key_shr,
+        |       CAST(bit_count(o_orderkey) AS INT) AS key_bits
+        |FROM orders ORDER BY orderkey""".stripMargin,
 
     "func_array_ops" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -112,6 +112,8 @@ object Relational {
     * not apply); mod/abs/sign are exact. */
   def mathBreadth(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1) // one line per order: the kernel
+      // coverage is identical and the oracle sort doesn't dominate bench
       .select(
         col("l_orderkey").as("orderkey"),
         col("l_linenumber").as("linenumber"),
@@ -122,4 +124,19 @@ object Relational {
         abs(col("l_discount") - lit(0.05)).as("disc_dev"),
         signum(col("l_tax") - lit(0.04)).cast("int").as("tax_sign"))
       .orderBy("orderkey", "linenumber")
+
+  /** Bitwise scalar breadth: and / or / xor / shifts / popcount — integer
+    * bit kernels (the primitives under bitmap indexes, bloom probes, and
+    * hash mixing), all exact cross-engine. One codegen projection. */
+  def bitwiseBreadth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("key_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("key_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
+        shiftleft(col("o_custkey"), 3).as("cust_shl"),
+        shiftright(col("o_orderkey"), 2).as("key_shr"),
+        bit_count(col("o_orderkey")).as("key_bits"))
+      .orderBy("orderkey")
 }

@@ -162,6 +162,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB the win is dropping fact rows BEFORE the shuffle when the
+    // dim side is selective: Spark's InjectRuntimeFilter builds a bloom
+    // filter from the filtered dim keys and applies bloom_filter_might_contain
+    // to the fact scan. Thresholds are lowered to test scale; broadcast is
+    // disabled because the rule targets shuffle joins (a broadcast join
+    // already prunes at the hash table).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "1") // driver parquet is far below the 10GB default
+    spark.conf.set(keys(2), "-1")
+    try {
+      val fact = Tables.lineitem(spark, sfDir)
+      val dim = Tables.part(spark, sfDir).filter(
+        org.apache.spark.sql.functions.col("p_size") === 1)
+      val j = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+        .groupBy("p_brand").count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg"), optimized.take(3000))
+      assert(optimized.contains("might_contain"), optimized.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))
