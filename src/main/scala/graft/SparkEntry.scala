@@ -62,6 +62,7 @@ object SparkEntry {
     "ev_json_props"     -> (Aggregates.jsonProps(_, _)),
     "ev_json_variant"   -> (Aggregates.jsonVariantProps(_, _)),
     "agg_approx_distinct" -> (Aggregates.approxDistinct(_, _)),
+    "agg_hll_merge"     -> (Aggregates.hllMergePartials(_, _)),
     "agg_rollup"        -> (Aggregates.rollupStatusPriority(_, _)),
     "agg_cube"          -> (Aggregates.cubeFlagStatus(_, _)),
     "join_semi"         -> (Aggregates.semiJoin(_, _)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "pipeline_mixture"        -> (Text.mixtureReport(_, _)),
     "pipeline_temp_resample"  -> (Text.temperatureResample(_, _)),
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
+    "text_perplexity"   -> (Text.trigramPerplexity(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
     "dedup_minhash"     -> (Dedup.minhashPairs(_, _)),
@@ -628,6 +630,19 @@ object SparkEntry {
         |       levenshtein(p_name, 'small bolt') AS dist
         |FROM part WHERE levenshtein(p_name, 'small bolt') <= 4
         |ORDER BY partkey""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents
+        |              WHERE length(text) >= 3),
+        |idx AS (SELECT doc_id, t, unnest(range(1, length(t)-1)) AS i FROM base),
+        |tris AS (SELECT doc_id, substring(t, CAST(i AS INT), 3) AS tri FROM idx),
+        |model AS (SELECT tri, count(*) AS c FROM tris GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tc FROM model)
+        |SELECT t.doc_id AS doc_id,
+        |       round(avg(ln(CAST(m.c AS DOUBLE) / tot.tc)), 4) AS avg_logp,
+        |       count(*) AS n_tri
+        |FROM tris t JOIN model m USING (tri), tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_histogram" ->
       """SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket,

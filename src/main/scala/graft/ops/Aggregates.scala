@@ -349,6 +349,21 @@ object Aggregates {
         round(skewness(col("l_extendedprice")), 4).as("skew_price"))
       .orderBy("returnflag")
 
+  /** HLL sketch MERGE — the property that makes approx-distinct work at
+    * 100 TB: per-(status, priority) sketches are built in one pass (the
+    * partials a partitioned corpus would persist), then hll_union_agg
+    * merges them to per-status estimates WITHOUT re-reading the input.
+    * Sketches bytes are implementation-specific → rows-only check; the
+    * estimate-vs-exact accuracy is pinned in AggregatesSpec. */
+  def hllMergePartials(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    partials.groupBy(col("o_orderstatus").as("status"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"))
+      .orderBy("status")
+  }
+
   /** Linear-regression aggregates (regr_slope / regr_intercept / regr_r2 /
     * regr_count): the OLS-over-groups surface — single-pass moment
     * accumulation with map-side partial merge, so the shuffle carries one

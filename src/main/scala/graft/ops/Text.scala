@@ -387,6 +387,39 @@ object Text {
           .as("first5_sorted"))
       .orderBy("doc_id")
 
+  /** Character-trigram language-model quality score — the statistical-LM
+    * cousin of the heuristic [[gopherQualityFilter]]: train a unigram-of-
+    * trigrams model ON the corpus itself (count / total), then score each
+    * document by its mean log-probability. Low scores = improbable
+    * character sequences (boilerplate, mojibake, non-text) — a standard
+    * corpus-quality signal.
+    *
+    * Scale shape: the model is a bounded-vocabulary aggregate (≤ |charset|³
+    * rows regardless of corpus size) → built once, broadcast back; the
+    * per-document score is then a map-side join + per-doc agg, so the only
+    * full shuffle ever carries (doc_id, trigram) pairs. The corpus-total
+    * scalar rides a single-row broadcast crossJoin, same pattern as the
+    * k-means argmax. sequence() would flip to a DESCENDING range when
+    * char_length < 3 (Spark default step -1), hence the explicit length
+    * guard on both engines. */
+  def trigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(char_length(col("text")) >= 3)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val tris = base.select(col("doc_id"),
+      explode(expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))"))
+        .as("tri"))
+    val model = tris.groupBy("tri").agg(count(lit(1)).as("c"))
+    val total = model.agg(sum("c").cast("double").as("tc"))
+    tris.join(broadcast(model), "tri")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        round(avg(log(col("c").cast("double") / col("tc"))), 4).as("avg_logp"),
+        count(lit(1)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance fuzzy match: levenshtein() against a probe string —
     * a map-side scalar filter (classic Wagner–Fischer in both engines,
     * identical distances). The fuzzy-JOIN variant at scale composes this

@@ -108,4 +108,16 @@ class AggregatesSpec extends SparkSpec {
         s"${r.getAs[String]("status")} p90 ${r.getAs[Double]("p90")} vs $e90")
     }
   }
+  test("hll sketch merge: merged per-status estimate within 5% of exact") {
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus")).agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Aggregates.hllMergePartials(spark, sfDir).collect()
+    assert(merged.nonEmpty)
+    merged.foreach { r =>
+      val e = exact(r.getAs[String]("status")).toDouble
+      val a = r.getAs[Long]("approx_customers").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"${r.getAs[String]("status")}: $a vs $e")
+    }
+  }
 }

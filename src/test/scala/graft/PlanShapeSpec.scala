@@ -120,7 +120,8 @@ class PlanShapeSpec extends SparkSpec {
       "ann_ivf",           // single-row broadcast centroid-array crossJoin (map-side argmax)
       "sql_vec_cosine",    // inequality-only join predicate by design
       "join_cross_small",  // deliberate cross of two tiny dims
-      "q22_idle_rich")     // single-row broadcast scalar-subquery crossJoin
+      "q22_idle_rich",     // single-row broadcast scalar-subquery crossJoin
+      "text_perplexity")   // single-row broadcast corpus-total crossJoin
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       if (!documented(name) &&
@@ -192,6 +193,17 @@ class PlanShapeSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("AQE coalesces post-shuffle partitions for a small aggregate output") {
+    // shuffle.partitions is sized for the big stages; a 6-row aggregate
+    // must not run 32 reduce tasks — AQE folds the near-empty partitions
+    // into one read (at 100 TB this is what keeps small dimension-side
+    // stages from wasting task slots)
+    val df = Aggregates.pricingSummary(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead coalesced"), plan.take(3000))
   }
 
   test("join_asof: union+window merge-scan has NO join operator") {
