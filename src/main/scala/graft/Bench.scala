@@ -39,10 +39,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist reused intermediates; drop them synchronously
       // (and let GC settle) so one query's cache/garbage never skews the
-      // next query's measurement
+      // next query's measurement. The explicit GC only pays for itself
+      // after cache-holding (iterative/checkpointing) queries — a
+      // per-query System.gc() across 100+ queries adds ~10 s of pure
+      // pause time to the total.
+      val persisted = spark.sparkContext.getPersistentRDDs.values
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
+      persisted.foreach(_.unpersist(blocking = true))
+      if (persisted.nonEmpty) System.gc()
       name -> dt
     }
     val total = results.map(_._2).sum

@@ -290,7 +290,7 @@ object GraftSql {
     sql(spark, dir,
       """SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
         |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
-        |                 - p.p_retailprice * 0.6 * l.l_quantity), 2) AS profit
+        |                 - p.p_retailprice * 0.6 * l.l_quantity), 4) AS profit
         |FROM lineitem l
         |JOIN part p     ON p.p_partkey = l.l_partkey
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
