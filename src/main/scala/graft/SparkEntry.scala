@@ -63,6 +63,7 @@ object SparkEntry {
     "ev_json_variant"   -> (Aggregates.jsonVariantProps(_, _)),
     "agg_approx_distinct" -> (Aggregates.approxDistinct(_, _)),
     "agg_hll_merge"     -> (Aggregates.hllMergePartials(_, _)),
+    "agg_conditional"   -> (Aggregates.conditionalAggregates(_, _)),
     "agg_rollup"        -> (Aggregates.rollupStatusPriority(_, _)),
     "agg_cube"          -> (Aggregates.cubeFlagStatus(_, _)),
     "join_semi"         -> (Aggregates.semiJoin(_, _)),
@@ -630,6 +631,15 @@ object SparkEntry {
         |       levenshtein(p_name, 'small bolt') AS dist
         |FROM part WHERE levenshtein(p_name, 'small bolt') <= 4
         |ORDER BY partkey""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
+        |       bool_and(o_totalprice > 0.0) AS all_positive,
+        |       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |       max_by(o_orderkey, o_totalprice) AS priciest_key,
+        |       min_by(o_orderkey, o_totalprice) AS cheapest_key
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "text_perplexity" ->
       """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents

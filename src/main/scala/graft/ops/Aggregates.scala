@@ -349,6 +349,22 @@ object Aggregates {
         round(skewness(col("l_extendedprice")), 4).as("skew_price"))
       .orderBy("returnflag")
 
+  /** Conditional / selective aggregate breadth: count_if, bool_and /
+    * bool_or, and max_by / min_by (argmax without a self-join — at scale
+    * this replaces the "join back on the max" anti-pattern with one
+    * single-pass aggregate). totalprice is continuous, so the argmax row
+    * is unique and cross-engine deterministic. */
+  def conditionalAggregates(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count_if(col("o_totalprice") > 100000.0).as("n_big"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_key"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_key"))
+      .orderBy("status")
+
   /** HLL sketch MERGE — the property that makes approx-distinct work at
     * 100 TB: per-(status, priority) sketches are built in one pass (the
     * partials a partitioned corpus would persist), then hll_union_agg

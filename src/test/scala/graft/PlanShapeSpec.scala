@@ -206,6 +206,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("AQEShuffleRead coalesced"), plan.take(3000))
   }
 
+  test("text_perplexity: trigram-model exchange computed once (ReusedExchange)") {
+    // the model subtree appears twice in the static plan (broadcast model
+    // + corpus-total derivation); at runtime AQE must reuse the shuffle
+    // instead of re-aggregating the corpus — at 100 TB that's the
+    // difference between two corpus scans and three
+    val df = Text.trigramPerplexity(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))

@@ -124,4 +124,17 @@ class SinksSpec extends SparkSpec {
     assert(bad.first().getString(0).contains("not valid json"))
     raw.unpersist()
   }
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // a long-lived 100 TB dataset accretes columns; old files must stay
+    // readable (missing columns -> null) without a rewrite
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftevo").toString
+    Seq((1L, "a")).toDF("id", "a").write.parquet(s"$dir/g=1")
+    Seq((2L, "b", 9.5)).toDF("id", "a", "score").write.parquet(s"$dir/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "g", "id", "score"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("score")))
+    assert(byId(2L).getAs[Double]("score") == 9.5)
+  }
 }
