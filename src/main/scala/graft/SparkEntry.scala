@@ -120,6 +120,8 @@ object SparkEntry {
     "pipeline_temp_resample"  -> (Text.temperatureResample(_, _)),
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
     "text_perplexity"   -> (Text.trigramPerplexity(_, _)),
+    "text_entropy"      -> (Text.tokenEntropy(_, _)),
+    "dedup_fuzzy_join"  -> (Text.fuzzyNameJoin(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
     "dedup_minhash"     -> (Dedup.minhashPairs(_, _)),
@@ -653,6 +655,27 @@ object SparkEntry {
         |       count(*) AS n_tri
         |FROM tris t JOIN model m USING (tri), tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_entropy" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT lang, tok, count(*) AS n FROM tf GROUP BY 1, 2)
+        |SELECT lang,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       count(*) AS vocab,
+        |       round(ln(CAST(sum(n) AS DOUBLE)) -
+        |             sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+        |               / CAST(sum(n) AS DOUBLE), 4) AS entropy
+        |FROM counts GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "dedup_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       levenshtein(a.name, b.name) AS dist
+        |FROM names a, names b
+        |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "ev_histogram" ->
       """SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket,

@@ -420,6 +420,53 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-language token entropy — a corpus-diversity metric (low entropy =
+    * repetitive/templated text, a mixture-balancing signal next to
+    * [[mixtureReport]]'s counts). Algebraic one-pass form: H = ln N −
+    * (Σ n·ln n)/N over the term-frequency table, so the plan is two
+    * stacked hash aggregates (tf per (lang, token), then one row per
+    * lang) with map-side partials — no window, no join, no second scan. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(
+          log(sum("n")) -
+            sum(col("n").cast("double") * log(col("n").cast("double"))) / sum("n"),
+          4).as("entropy"))
+      .orderBy("lang")
+
+  /** Scalable fuzzy self-join: bigram blocking + levenshtein verify — the
+    * end-to-end shape a 100 TB fuzzy dedup runs (generate blocking keys →
+    * equi-join on the key → cheap verify on the tiny candidate set),
+    * versus the O(n²) all-pairs the oracle can afford at test scale. The
+    * blocking is EXACT here, not approximate: k edits disturb at most 2k
+    * bigrams per string, so with min name length 7 (≥ 6 bigrams) any pair
+    * within distance 2 still shares a bigram — the oracle's brute-force
+    * pair set proves no candidate was lost. Same capped-bucket caveats as
+    * [[graft.ops.Dedup]] apply when the key distribution is skewed. */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(lower(col("p_name")).as("name"))
+      .filter(char_length(col("name")) >= 2) // sequence() flips descending below 1
+      .distinct()
+    val grams = names.select(col("name"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, char_length(name) - 1), i -> substring(name, i, 2))")))
+        .as("bg"))
+    grams.as("a").join(grams.as("b"),
+        col("a.bg") === col("b.bg") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .orderBy("name_a", "name_b")
+  }
+
   /** Edit-distance fuzzy match: levenshtein() against a probe string —
     * a map-side scalar filter (classic Wagner–Fischer in both engines,
     * identical distances). The fuzzy-JOIN variant at scale composes this
