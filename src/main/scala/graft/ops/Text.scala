@@ -402,8 +402,14 @@ object Text {
     * k-means argmax. sequence() would flip to a DESCENDING range when
     * char_length < 3 (Spark default step -1), hence the explicit length
     * guard on both engines. */
-  def trigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  def trigramPerplexity(spark: SparkSession, dir: String): DataFrame =
+    trigramPerplexityDf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[trigramPerplexity]] (docs must carry doc_id,
+    * text). Documents shorter than 3 chars have no trigrams and are
+    * excluded — NOT scored 0, which would rank them as high-quality. */
+  def trigramPerplexityDf(docs: DataFrame): DataFrame = {
+    val base = docs
       .filter(char_length(col("text")) >= 3)
       .select(col("doc_id"), lower(col("text")).as("t"))
     val tris = base.select(col("doc_id"),
@@ -427,7 +433,11 @@ object Text {
     * stacked hash aggregates (tf per (lang, token), then one row per
     * lang) with map-side partials — no window, no join, no second scan. */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    tokenEntropyDf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[tokenEntropy]] (docs must carry lang, text). */
+  def tokenEntropyDf(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
       .groupBy("lang")
@@ -449,9 +459,13 @@ object Text {
     * within distance 2 still shares a bigram — the oracle's brute-force
     * pair set proves no candidate was lost. Same capped-bucket caveats as
     * [[graft.ops.Dedup]] apply when the key distribution is skewed. */
-  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.part(spark, dir)
-      .select(lower(col("p_name")).as("name"))
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNameJoinDf(Tables.part(spark, dir).select(lower(col("p_name")).as("name")))
+
+  /** DataFrame core of [[fuzzyNameJoin]] (input: a `name` column; need
+    * not be distinct). */
+  def fuzzyNameJoinDf(input: DataFrame): DataFrame = {
+    val names = input
       .filter(char_length(col("name")) >= 2) // sequence() flips descending below 1
       .distinct()
     val grams = names.select(col("name"),

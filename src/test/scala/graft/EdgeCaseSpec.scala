@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsOf, Dedup, Vectors}
+import graft.ops.{AsOf, Dedup, Text, Vectors}
 import org.apache.spark.sql.functions._
 
 /** Empty-input and generic-key edge cases: the paths a production
@@ -78,5 +78,35 @@ class EdgeCaseSpec extends SparkSpec {
       (i, Array.tabulate(4)(d => (i * 4 + d).toFloat))).toDF("vec_id", "embedding")
     val cents = Vectors.kmeansCentroids(emb, nlist = 8, iters = 1).collect()
     assert(cents.nonEmpty && cents.length <= 3)
+  }
+  test("trigram perplexity: short (<3 chars) and empty docs are excluded, not scored") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, ""), (3L, "a real document with text"),
+      (4L, "xy")).toDF("doc_id", "text")
+    val out = Text.trigramPerplexityDf(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+    assert(out.forall(r => r.getAs[Double]("avg_logp") < 0.0))
+  }
+
+  test("token entropy: single-token language scores exactly zero entropy") {
+    import spark.implicits._
+    val docs = Seq(("zz", "word word word"), ("en", "a b c d"))
+      .toDF("lang", "text")
+    val out = Text.tokenEntropyDf(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("entropy")).toMap
+    assert(out("zz") == 0.0)            // one distinct token -> H = 0
+    assert(math.abs(out("en") - math.log(4.0)) < 1e-4) // uniform over 4
+  }
+
+  test("fuzzy name join: 1-char names filtered, identical names never self-pair") {
+    import spark.implicits._
+    val names = Seq("x", "small bolt", "small bolt", "small bolts", "zzzzzzz")
+      .toDF("name")
+    val out = Text.fuzzyNameJoinDf(names).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("name_a") == "small bolt" &&
+      r.getAs[String]("name_b") == "small bolts" && r.getAs[Int]("dist") == 1)
+    assert(Text.fuzzyNameJoinDf(Seq.empty[String].toDF("name")).count() == 0)
   }
 }
