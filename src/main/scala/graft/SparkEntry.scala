@@ -670,7 +670,8 @@ object SparkEntry {
         |FROM counts GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "dedup_fuzzy_join" ->
-      """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part)
+      """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part
+        |               WHERE length(p_name) >= 6)
         |SELECT a.name AS name_a, b.name AS name_b,
         |       levenshtein(a.name, b.name) AS dist
         |FROM names a, names b
@@ -722,8 +723,7 @@ object SparkEntry {
         |SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
         |       round(r.total_rev, 2) AS total_rev
         |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
-        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
-        |ORDER BY suppkey""".stripMargin,
+        |ORDER BY r.total_rev DESC, suppkey LIMIT 1""".stripMargin,
 
     "set_ops_multiset" ->
       """WITH a AS (SELECT o_orderpriority AS p FROM orders

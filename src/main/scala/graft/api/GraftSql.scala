@@ -284,8 +284,11 @@ object GraftSql {
     * (nation, year) profit aggregate with a LIKE-filtered part dimension.
     * The widest *fact-anchored* join after Q8; Catalyst broadcasts the
     * three dimension chains and shuffles the fact once on orderkey.
-    * Profit is a sum of continuous-double products, so round(…, 2) is
-    * tie-safe cross-engine. */
+    * Profit must round at 4dp, NOT 2dp: the sum is a lattice of 1e-4
+    * multiples (2dp × 2dp products), so round(…, 2) ties whenever the
+    * true value's 3rd-4th decimals are exactly 50 (~1% of groups — this
+    * query failed by one cent at sf0.001 when rounded at 2dp), while an
+    * on-lattice value can never be a midpoint of its own grid. */
   def productProfit(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
       """SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
@@ -321,12 +324,17 @@ object GraftSql {
         |ORDER BY linestatus, shipbucket
         |""".stripMargin)
 
-  /** TPC-H Q15-style top supplier: a revenue CTE aggregated per supplier,
-    * consumed twice — once as the join input and once under an
-    * uncorrelated scalar MAX subquery — selecting the supplier(s) at the
-    * maximum. The argmax-via-self-aggregate shape (Q15's VIEW becomes a
-    * CTE). Each engine evaluates the max over its own sums, so the
-    * equality never crosses engines; the output revenue is rounded. */
+  /** TPC-H Q15-style top supplier: a revenue CTE aggregated per supplier
+    * (Q15's VIEW becomes a CTE), then the argmax via ORDER BY … LIMIT 1
+    * with a key tie-break. NOT the spec's `WHERE total_rev = (SELECT
+    * max(...) FROM rev)`: that equality compares two INDEPENDENT
+    * re-evaluations of the same floating-point sum, and partial-merge
+    * order varies run to run — a last-ulp difference between the two
+    * evaluations returns zero rows. Rank-over-one-evaluation is
+    * deterministic within each engine, and the argmax is stable across
+    * engines because supplier revenues are continuous doubles (no
+    * near-ties). The scalar-subquery-over-own-CTE shape Q15 also
+    * exercises lives safely (as an inequality) in [[partValueShare]]. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
       """WITH rev AS (
@@ -339,8 +347,7 @@ object GraftSql {
         |SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
         |       round(r.total_rev, 2) AS total_rev
         |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
-        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
-        |ORDER BY suppkey
+        |ORDER BY r.total_rev DESC, suppkey LIMIT 1
         |""".stripMargin)
 
   /** Correlated scalar subquery in SQL (reference has no subqueries at

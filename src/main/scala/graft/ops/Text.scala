@@ -454,11 +454,15 @@ object Text {
     * end-to-end shape a 100 TB fuzzy dedup runs (generate blocking keys →
     * equi-join on the key → cheap verify on the tiny candidate set),
     * versus the O(n²) all-pairs the oracle can afford at test scale. The
-    * blocking is EXACT here, not approximate: k edits disturb at most 2k
-    * bigrams per string, so with min name length 7 (≥ 6 bigrams) any pair
-    * within distance 2 still shares a bigram — the oracle's brute-force
-    * pair set proves no candidate was lost. Same capped-bucket caveats as
-    * [[graft.ops.Dedup]] apply when the key distribution is skewed. */
+    * blocking is EXACT here, not approximate: a name of length L has L−1
+    * bigrams and each edit disturbs at most 2 of them, so 2 edits leave
+    * (L−1)−4 ≥ 1 shared bigram whenever L ≥ 6 — that bound is ENFORCED
+    * as a filter on both engines (names shorter than 6 would need
+    * 1-gram blocking and are out of scope for this operator), so the
+    * exactness is an invariant, not a property of today's data. The
+    * oracle's brute-force pair set proves no candidate was lost. Same
+    * capped-bucket caveats as [[graft.ops.Dedup]] apply when the key
+    * distribution is skewed. */
   def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyNameJoinDf(Tables.part(spark, dir).select(lower(col("p_name")).as("name")))
 
@@ -466,7 +470,7 @@ object Text {
     * not be distinct). */
   def fuzzyNameJoinDf(input: DataFrame): DataFrame = {
     val names = input
-      .filter(char_length(col("name")) >= 2) // sequence() flips descending below 1
+      .filter(char_length(col("name")) >= 6) // the bigram-blocking exactness bound
       .distinct()
     val grams = names.select(col("name"),
       explode(array_distinct(expr(
