@@ -137,4 +137,30 @@ class SinksSpec extends SparkSpec {
     assert(byId(1L).isNullAt(byId(1L).fieldIndex("score")))
     assert(byId(2L).getAs[Double]("score") == 9.5)
   }
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the partition-column cousin of the bloom-filter test: with the fact
+    // laid out by l_returnflag, a selective filter on the dim side must
+    // turn into a DynamicPruning subquery on the fact SCAN — at 100 TB
+    // whole partition directories are never read
+    import spark.implicits._
+    val out = Files.createTempDirectory("graftdpp").resolve("li").toString
+    Sinks.writePartitioned(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+      out, "l_returnflag")
+    val fact = spark.read.parquet(out)
+    // the dim must be a parquet-backed scan WITH a filter: a local Seq
+    // gets its filter constant-folded into the LocalRelation
+    // (ConvertToLocalRelation), and DPP only fires when the pruning side
+    // carries a selective predicate
+    val dimPath = Files.createTempDirectory("graftdpp").resolve("dim").toString
+    Seq(("R", "keep"), ("A", "drop"), ("N", "drop"))
+      .toDF("flag", "label").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("label") === "keep")
+    val j = fact.join(dim, col("l_returnflag") === col("flag"))
+      .groupBy("flag").agg(sum("l_quantity").as("qty"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
 }
