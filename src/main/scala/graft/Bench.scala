@@ -63,19 +63,30 @@ object Bench {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailJson) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
+    println(compactLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** The stdout summary line, greedily packed so it ALWAYS fits the
+    * driver's 2000-char output tail (BenchLineSpec pins the invariant):
+    * most-expensive queries first under a char budget, the rest summed
+    * into "other". */
+  def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val total = results.map(_._2).sum
     val budget = 1500 // chars for the queries map; whole line must fit 2000-char tail
     val byCost = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
     for ((k, v) <- byCost) {
-      val entryLen = k.length + 10 // "name":12.34,
+      // "name":12345.67, — value width bounded because a query exceeding
+      // 5 digits of seconds would have failed the bench long before
+      val entryLen = k.length + 13
       if (used + entryLen <= budget) { picked += ((k, v)); used += entryLen }
     }
     val pickedSet = picked.map(_._1).toSet
     val other = results.collect { case (k, v) if !pickedSet.contains(k) => v }.sum
     val qs = picked.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"queries":$qs,"other":$other%.2f,"detail":"bench_detail.json","sf":"$sfDir"}""")
-    spark.stop()
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"queries":$qs,"other":$other%.2f,"detail":"bench_detail.json","sf":"$sfDir"}"""
   }
 }

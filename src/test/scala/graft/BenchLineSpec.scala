@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver stores only the LAST ~2000 chars of bench stdout and parses
+  * a JSON line out of it — a line that overflows is silently truncated at
+  * the HEAD and the round records no bench numbers (this happened in
+  * rounds 1-3). These tests pin the fits-the-tail invariant under
+  * adversarial inputs so query growth can never reintroduce it.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val maxLine = 1900 // 2000-char tail minus the sbt success trailer
+
+  test("compact line fits the tail for today's query set") {
+    val results = SparkEntry.queries.keys.toSeq.map(k => k -> 1.234)
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= maxLine, s"line is ${line.length} chars")
+  }
+
+  test("compact line fits for 500 long-named slow queries and stays valid JSON-ish") {
+    val results = (1 to 500).map(i =>
+      s"extremely_long_query_name_that_pads_the_line_$i" -> (i * 37.5))
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= maxLine, s"line is ${line.length} chars")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains("\"nq\":500"))
+    // the most expensive query must always be visible
+    assert(line.contains("extremely_long_query_name_that_pads_the_line_500"))
+  }
+
+  test("total and other account for every query (nothing silently dropped)") {
+    val results = (1 to 300).map(i => s"q$i" -> 1.0)
+    val line = Bench.compactLine(results, "sf")
+    val total = "\"value\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(total - 300.0) < 0.01)
+  }
+}
