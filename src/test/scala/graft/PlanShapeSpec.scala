@@ -110,6 +110,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 6, s"minhash plan now has $n shuffles (cap 6) — a stage double-shuffles")
   }
 
+  test("text pipeline shuffle budgets: perplexity/entropy/fuzzy-join stay flat") {
+    // stages each own at most one exchange (tf agg, per-key agg, sort,
+    // spread repartitions on the documents scans); these caps stop future
+    // edits from silently double-shuffling the text paths
+    assert(shuffleCount(Text.trigramPerplexity(spark, sfDir)) <= 7)
+    assert(shuffleCount(Text.tokenEntropy(spark, sfDir)) <= 4)
+    assert(shuffleCount(Text.fuzzyNameJoin(spark, sfDir)) <= 3)
+  }
+
   test("no accidental cartesian / nested-loop join in ANY query plan (live map sweep)") {
     // every documented non-equi join in the library; anything else
     // showing a BroadcastNestedLoopJoin or CartesianProduct is a planning
