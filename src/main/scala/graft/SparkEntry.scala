@@ -54,6 +54,8 @@ object SparkEntry {
     "func_array_ops"    -> (Text.arrayTokenOps(_, _)),
     "func_levenshtein"  -> (Text.fuzzyPartNames(_, _)),
     "ev_histogram"      -> (EventTime.valueHistogram(_, _)),
+    "ev_anomaly"        -> (EventTime.anomalyZScore(_, _)),
+    "w6_forward_fill"   -> (Windows.forwardFill(_, _)),
     "sql_grouping_sets" -> (graft.api.GraftSql.groupingSets(_, _)),
     "text_top_tokens"   -> (Text.topTokens(_, _)),
     "text_top_tokens_lang" -> (Text.topTokensPerLang(_, _)),
@@ -685,6 +687,26 @@ object SparkEntry {
         |       round(min(value), 2) AS min_value,
         |       round(max(value), 2) AS max_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH stats AS (SELECT event_type, avg(value) AS mu,
+        |                      stddev_pop(value) AS sd
+        |               FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type AS etype,
+        |       round((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE abs((e.value - s.mu) / s.sd) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    "w6_forward_fill" ->
+      """SELECT user_id, event_id,
+        |       last_value(CASE WHEN event_type <> 'click' THEN value END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS filled
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q9_product_profit" ->
       """SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,

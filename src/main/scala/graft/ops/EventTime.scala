@@ -143,6 +143,26 @@ object EventTime {
     * regardless of input size: the ideal 100 TB reduction shape). The
     * bucket edge is an exact IEEE division in both engines, so bucketing
     * never disagrees cross-engine. */
+  /** Z-score anomaly detection: per-type mean/stddev (a tiny aggregate —
+    * one row per event type regardless of input size) broadcast-joined
+    * back onto the stream, flagging |z| > 3. The two-pass shape is the
+    * scalable one: no window over the full table, the stats side is
+    * bounded, and the fact side is scanned once map-side. z is a
+    * continuous quotient → round(4) is tie-safe; the |z| > 3 threshold
+    * compares values whose distance from 3.0 dwarfs cross-engine ulps. */
+  def anomalyZScore(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_pop(col("value")).as("sd"))
+    events.join(broadcast(stats), "event_type")
+      .filter(abs((col("value") - col("mu")) / col("sd")) > 3.0)
+      .select(
+        col("event_id"),
+        col("event_type").as("etype"),
+        round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
   def valueHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy((floor(col("value") / 50.0) * 50).cast("long").as("bucket"))

@@ -99,4 +99,23 @@ object Windows {
         (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_sec"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Forward-fill (last observation carried forward): `last(…, ignoreNulls)`
+    * over an explicit running ROWS frame — the gap-filling primitive for
+    * sensor/price series. `click` readings are treated as missing and
+    * inherit the user's previous non-missing value; leading missings stay
+    * null (no value to carry — filling with 0 would fabricate data). One
+    * shuffle on user_id, state never leaves the partition. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("v", when(col("event_type") =!= "click", col("value")))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("user_id", "event_id")
+  }
 }
