@@ -127,6 +127,7 @@ object SparkEntry {
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
     "dedup_minhash"     -> (Dedup.minhashPairs(_, _)),
+    "dedup_minhash_sql" -> (Dedup.minhashSqlPairs(_, _)),
     "dedup_simhash"     -> (Dedup.simhashGroups(_, _)),
     "dedup_simhash_near"-> (Dedup.simhashNearPairs(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
@@ -657,6 +658,9 @@ object SparkEntry {
         |       count(*) AS n_tri
         |FROM tris t JOIN model m USING (tri), tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rendered-constants oracle (same trick as the LSH hyperplanes)
+    "dedup_minhash_sql" -> graft.ops.Dedup.minhashSqlOracle,
 
     "text_entropy" ->
       """WITH tf AS (

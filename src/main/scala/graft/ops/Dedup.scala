@@ -399,4 +399,84 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
+
+  // ---- SQL-parity MinHash (cross-engine reproducible) -----------------
+
+  /** Deterministic Carter-Wegman permutation constants for the SQL-parity
+    * MinHash: a odd and < 2^20 so a*h + b < 2^52 stays exact in int64 on
+    * BOTH engines (DuckDB raises on BIGINT overflow; Spark wraps — keep
+    * the arithmetic in range where they agree). Rendered verbatim into
+    * the DuckDB oracle's VALUES list. */
+  val SqlPerms: Seq[(Int, Long, Long)] = (0 until NumPerms).map { i =>
+    (i, ((i * 2654435761L) % 1048573L) | 1L, (i * 40503L + 2531011L) % 2147483647L)
+  }
+  val SqlPrime = 2147483647L // 2^31 - 1
+
+  /** MinHash banding with EVERY step expressible in ANSI-ish SQL, so the
+    * whole sketch pipeline — shingling, hashing, 32 permutations, 16×2
+    * banding, bucket join — hash-checks against DuckDB (the production
+    * [[minhashPairs]] uses the codegen xxhash64 kernel + bucket caps,
+    * which no second engine can replay; THIS variant trades those for
+    * cross-engine reproducibility). The shingle hash is the top 32 bits
+    * of md5 — `conv(substring(md5, 1, 8), 16, 10)` here, a byte-swap of
+    * `md5_number_upper` on the DuckDB side (verified bit-identical).
+    * Plan shape matches the production variant: the band join carries
+    * only (band, bucket-key, doc_id); signatures stay narrow. */
+  def minhashSqlPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toksExpr = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
+    val base = Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$toksExpr AS toks")
+      .filter(size(col("toks")) >= 3)
+    val shingles = base.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+            "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
+          .as("s"))
+    val hashed = shingles.select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+    val perms = SqlPerms.toDF("i", "a", "b")
+    val sigs = hashed.crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("h") + col("b")) % SqlPrime).as("m"))
+    val bands = sigs
+      .groupBy(col("doc_id"), (col("i") / lit(Rows)).cast("int").as("band"))
+      .agg(concat_ws("_",
+        max(when(col("i") % 2 === 0, col("m"))),
+        max(when(col("i") % 2 === 1, col("m")))).as("key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The DuckDB oracle for [[minhashSqlPairs]], with the permutation
+    * constants rendered as a VALUES list — same trick as the rendered
+    * LSH hyperplanes (`Vectors.lshOracleCodes`). */
+  def minhashSqlOracle: String = {
+    val values = SqlPerms.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents WHERE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) >= 3),
+       |sh0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM base),
+       |shingles AS (SELECT DISTINCT doc_id,
+       |    concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1], toks[CAST(i AS INT) + 2]) AS s
+       |  FROM sh0),
+       |hs AS (SELECT doc_id,
+       |    ((x & 255) << 24) | (((x >> 8) & 255) << 16) | (((x >> 16) & 255) << 8) | ((x >> 24) & 255) AS h
+       |  FROM (SELECT doc_id, CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS x FROM shingles)),
+       |perms(i, a, b) AS (VALUES $values),
+       |sigs AS (SELECT doc_id, i, min((a * h + b) % ${SqlPrime}) AS m FROM hs, perms GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // ${Rows} AS band,
+       |    concat_ws('_', CAST(max(CASE WHEN i % 2 = 0 THEN m END) AS VARCHAR),
+       |                   CAST(max(CASE WHEN i % 2 = 1 THEN m END) AS VARCHAR)) AS key
+       |  FROM sigs GROUP BY 1, 2)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
 }
