@@ -435,15 +435,21 @@ object Dedup {
           .as("s"))
     val hashed = shingles.select(col("doc_id"),
       conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
-    val perms = SqlPerms.toDF("i", "a", "b")
-    val sigs = hashed.crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("h") + col("b")) % SqlPrime).as("m"))
+    // all 32 permutation minima as aggregate EXPRESSIONS over one pass —
+    // constants folded into codegen, map-side partial agg, the shuffle
+    // carries one 32-column row per doc. (A perms crossJoin would push
+    // |shingles|×32 rows through the exchange — 6× slower measured.)
+    val sigCols = SqlPerms.map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % SqlPrime).as(s"m$i")
+    }
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
+    val bandCols = (0 until Bands).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws("_", col(s"m${Rows * bd}"), col(s"m${Rows * bd + 1}")).as("key"))
+    }
     val bands = sigs
-      .groupBy(col("doc_id"), (col("i") / lit(Rows)).cast("int").as("band"))
-      .agg(concat_ws("_",
-        max(when(col("i") % 2 === 0, col("m"))),
-        max(when(col("i") % 2 === 1, col("m")))).as("key"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

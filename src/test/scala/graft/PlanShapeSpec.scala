@@ -130,8 +130,7 @@ class PlanShapeSpec extends SparkSpec {
       "sql_vec_cosine",    // inequality-only join predicate by design
       "join_cross_small",  // deliberate cross of two tiny dims
       "q22_idle_rich",     // single-row broadcast scalar-subquery crossJoin
-      "text_perplexity",   // single-row broadcast corpus-total crossJoin
-      "dedup_minhash_sql") // deliberate 32-row broadcast perms crossJoin
+      "text_perplexity")   // single-row broadcast corpus-total crossJoin
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       if (!documented(name) &&
