@@ -284,6 +284,20 @@ object EventStream {
     spark.read.parquet(s"$statePath/v$v")
   }
 
+  /** Stream-static enrichment join — the remaining join flavor next to the
+    * stream-stream interval join: a batch-computed dimension (per-type
+    * stats) joined onto the live stream. The static side is re-read per
+    * micro-batch, so a slowly-changing dimension picks up updates without
+    * restarting the query; no state store is involved (each stream row
+    * joins and leaves). Emits z-score anomalies — streaming parity for
+    * [[graft.ops.EventTime.anomalyZScore]], and stateless, so Append mode
+    * works on an unbounded stream. */
+  def streamingAnomalies(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(stats, "event_type")
+      .filter(abs((col("value") - col("mu")) / col("sd")) > 3.0)
+      .select(col("event_id"),
+        round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+
   /** Drive a streaming query over the finite file source to completion into
     * an in-memory sink table named `queryName` (used by tests). Aggregations
     * need Complete mode on a finite replay — with Append, windows behind the

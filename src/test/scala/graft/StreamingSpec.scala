@@ -267,4 +267,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lastN == batch)
   }
+  test("stream-static enrichment join matches the batch z-score anomalies") {
+    val stats = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_pop(col("value")).as("sd"))
+    val stream = EventStream.streamingAnomalies(
+      EventStream.readEvents(spark, sfDir), stats)
+    assert(stream.isStreaming)
+    EventStream.runToCompletion(stream, "anomaly_test", OutputMode.Append())
+    val streamed = spark.table("anomaly_test").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    val batch = graft.ops.EventTime.anomalyZScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
