@@ -281,4 +281,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+  test("streaming sliding counts match the same plan run in batch") {
+    EventStream.runToCompletion(
+      EventStream.slidingCounts(EventStream.readEvents(spark, sfDir)), "sliding_test")
+    val streamed = spark.table("sliding_test").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // the SAME transform applied to the static table (withWatermark is a
+    // no-op in batch) must produce the identical window set
+    val batch = EventStream.slidingCounts(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
