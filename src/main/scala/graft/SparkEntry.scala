@@ -381,6 +381,29 @@ object SparkEntry {
         |       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
+    // the sketch queries emit exact companions + in-plan estimate checks;
+    // the oracle pins the exact columns and expects every check TRUE
+    "agg_approx_distinct" ->
+      """SELECT o_orderpriority AS priority,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       TRUE AS est_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_hll_merge" ->
+      """SELECT o_orderstatus AS status,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       TRUE AS est_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_percentiles_approx" ->
+      """SELECT o_orderstatus AS status,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        |       count(*) AS n,
+        |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
     "agg_stats" ->
       """SELECT l_returnflag AS returnflag,
         |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

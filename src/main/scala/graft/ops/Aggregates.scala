@@ -369,14 +369,24 @@ object Aggregates {
     * 100 TB: per-(status, priority) sketches are built in one pass (the
     * partials a partitioned corpus would persist), then hll_union_agg
     * merges them to per-status estimates WITHOUT re-reading the input.
-    * Sketches bytes are implementation-specific → rows-only check; the
-    * estimate-vs-exact accuracy is pinned in AggregatesSpec. */
+    * Sketch estimates are implementation-specific, so the output carries
+    * the EXACT companion (hashable in DuckDB) plus `est_ok` = estimate
+    * within 10% of exact, checked in-plan — the oracle emits TRUE, so a
+    * drifting sketch flips the oracle row red. Tighter error pinning
+    * stays in AggregatesSpec. */
   def hllMergePartials(spark: SparkSession, dir: String): DataFrame = {
     val partials = Tables.orders(spark, dir)
       .groupBy("o_orderstatus", "o_orderpriority")
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-    partials.groupBy(col("o_orderstatus").as("status"))
+    val merged = partials.groupBy(col("o_orderstatus").as("status"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"))
+    val exact = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    exact.join(merged, Seq("status"))
+      .select(col("status"), col("n_customers"),
+        (abs(col("approx_customers") - col("n_customers")) <=
+          col("n_customers") * 0.10).as("est_ok"))
       .orderBy("status")
   }
 
@@ -412,18 +422,28 @@ object Aggregates {
 
   /** Sketch-based quantiles: `percentile_approx` (Greenwald-Khanna) — the
     * 100 TB path next to the exact [[percentiles]]: bounded-memory,
-    * mergeable partials, accuracy knob. Deterministic for a given input
-    * but not reproducible in DuckDB (different sketch) → rows-only check;
-    * AggregatesSpec pins it within rank-error bounds of the exact
-    * quantiles. */
+    * mergeable partials, accuracy knob. The sketch values are not
+    * reproducible in DuckDB, so the output carries the EXACT percentiles
+    * (hashable vs quantile_cont) plus per-quantile `*_ok` booleans =
+    * sketch within 2% of exact, checked in-plan; the oracle emits TRUE.
+    * AggregatesSpec pins tighter rank-error bounds. */
   def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus").as("status"))
       .agg(
-        round(expr("percentile_approx(o_totalprice, 0.5, 1000)"), 4).as("p50"),
-        round(expr("percentile_approx(o_totalprice, 0.9, 1000)"), 4).as("p90"),
-        round(expr("percentile_approx(o_totalprice, 0.99, 1000)"), 4).as("p99"),
-        count(lit(1)).as("n"))
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"),
+        (abs(expr("percentile_approx(o_totalprice, 0.5, 1000)") -
+          expr("percentile(o_totalprice, 0.5)")) <=
+          expr("percentile(o_totalprice, 0.5)") * 0.02).as("p50_ok"),
+        (abs(expr("percentile_approx(o_totalprice, 0.9, 1000)") -
+          expr("percentile(o_totalprice, 0.9)")) <=
+          expr("percentile(o_totalprice, 0.9)") * 0.02).as("p90_ok"),
+        (abs(expr("percentile_approx(o_totalprice, 0.99, 1000)") -
+          expr("percentile(o_totalprice, 0.99)")) <=
+          expr("percentile(o_totalprice, 0.99)") * 0.02).as("p99_ok"))
       .orderBy("status")
 
   /** Calendar rollup: revenue by order month — date_trunc + two-stage agg,
@@ -453,7 +473,13 @@ object Aggregates {
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("priority"))
-      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        // est_ok = HLL++ estimate within 10% of exact (rsd 0.02 → ~2%
+        // std err), checked in-plan so the oracle (TRUE) pins the sketch
+        (abs(approx_count_distinct(col("o_custkey"), rsd = 0.02) -
+          countDistinct(col("o_custkey"))) <=
+          countDistinct(col("o_custkey")) * 0.10).as("est_ok"))
       .orderBy("priority")
 
   /** ROLLUP grouping sets (absent in reference; native `.rollup`).

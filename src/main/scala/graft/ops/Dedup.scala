@@ -242,7 +242,6 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    import org.apache.spark.sql.Row
     val spark = edges.sparkSession
     val reliableDir = spark.conf.getOption(CheckpointDirKey)
     reliableDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -256,32 +255,36 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Each round ends in ONE job: the round's (id, prev, label) plan is
-    // materialized through an RDD checkpoint whose pass-through map counts
-    // label changes into an accumulator — the convergence probe rides the
-    // materialization for free instead of being a second driver job per
-    // round (job-scheduling overhead is what dominates iterative loops on
-    // a busy cluster/JVM). Checkpointing (local or reliable) truncates
-    // lineage, so every round plans against a flat RDD scan — O(1) plan
-    // depth regardless of iteration count.
-    val idField = fwd.schema.fields(0)
-    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
-      idField.copy(name = "id"), idField.copy(name = "label")))
+    // materialized through an EAGER Dataset checkpoint carrying an
+    // `observe` metric that counts label changes — the convergence probe
+    // rides the materialization for free instead of being a second driver
+    // job per round (job-scheduling overhead is what dominates iterative
+    // loops on a busy cluster/JVM). Checkpointing (local or reliable)
+    // truncates lineage, so every round plans against a flat scan — O(1)
+    // plan depth regardless of iteration count. Unlike an `rdd.map` hop,
+    // observe+checkpoint never deserializes rows out of Tungsten.
+    var roundIdx = 0
     def materializeRound(round: DataFrame): (DataFrame, Long) = {
-      val acc = spark.sparkContext.longAccumulator("cc_changed")
-      val rdd = round.rdd.map { r =>
-        if (r.get(1) != r.get(2)) acc.add(1) // prev != label
-        Row(r.get(0), r.get(2))
-      }
-      reliableDir match {
+      roundIdx += 1
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$roundIdx")
+      val observed = round.observe(obs,
+        sum(when(col("prev") =!= col("label"), 1L)).as("changed"))
+      val chk = reliableDir match {
         case Some(_) =>
           // persist first so the checkpoint write replays from cache, not
-          // by recomputing the whole round
-          rdd.persist(StorageLevel.MEMORY_AND_DISK)
-          rdd.checkpoint()
-        case None => rdd.localCheckpoint()
+          // by recomputing the whole round (it also keeps the observe
+          // accumulator single-counted)
+          observed.persist(StorageLevel.MEMORY_AND_DISK)
+          val c = observed.checkpoint() // eager — the one job
+          observed.unpersist(blocking = false)
+          c
+        case None => observed.localCheckpoint() // eager — the one job
       }
-      rdd.count() // the single materializing job; fills acc
-      (spark.createDataFrame(rdd, labelSchema), acc.value)
+      val changed = obs.get.get("changed") match {
+        case Some(v: Long) => v
+        case _ => 0L // sum(when) over zero matches is null
+      }
+      (chk.select(col("id"), col("label")), changed)
     }
 
     // The first propagation round is folded into initialization: with

@@ -127,6 +127,9 @@ object Multimodal {
   def decodeFeaturesDf(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      // Probe images in-memory: the default disk-backed temp-file
+      // ImageInputStream costs a file create/delete per row.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val (mean, feat, w, h) = imageDecode(r.payload) match {
           case Some((m, f, iw, ih)) => (m, f, iw, ih)
@@ -146,13 +149,17 @@ object Multimodal {
     decodeFeaturesDf(spark, mediaTable(spark, dir))
 
   /** Oracle-able slice of the media pipeline: payload byte length + typed
-    * metadata, reproducible in DuckDB from the same documents table
+    * metadata, reproducible in DuckDB from the same documents table.
+    * Pure Catalyst expressions over [[mediaTable]] — a metadata scan must
+    * never touch a codec, so this does NOT route through the decode path
     * (checksum/intensity stay in [[decodeFeatures]], rows-only-checked,
     * because DuckDB lacks crc32/byte-mean builtins). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, dir)
-      .select(col("doc_id"), col("mime"), col("n_bytes"),
-        col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
       .orderBy("doc_id")
 
   /** Resize plumbing: deterministic down-sampling of the payload (every

@@ -271,17 +271,20 @@ object Text {
   /** Mixture accounting over the corpus `source` column: per (source,
     * lang) document/token tallies plus each cell's share of the total
     * token budget — the bookkeeping a data-mixture config is derived
-    * from. One groupBy shuffle; the share normalization is a single-row
-    * broadcast-style window over the tiny aggregate. */
+    * from. One groupBy shuffle; the share normalization rides a
+    * single-row broadcast crossJoin (not an unpartitioned window — same
+    * scalar pattern as [[trigramPerplexityDf]]; the duplicated agg branch
+    * is free via exchange reuse). */
   def mixtureReport(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, dir)
+    val cells = Tables.documents(spark, dir)
       .select(col("source"), col("lang"),
         size(tokensCol(col("text"))).cast("long").as("n_toks"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"))
-      .withColumn("token_share",
-        col("total_tokens") / sum(col("total_tokens")).over(Window.partitionBy()))
+    val grand = cells.agg(sum(col("total_tokens")).as("grand_total"))
+    cells.crossJoin(broadcast(grand))
+      .withColumn("token_share", col("total_tokens") / col("grand_total"))
+      .drop("grand_total")
       .orderBy("source", "lang")
   }
 
@@ -341,14 +344,16 @@ object Text {
     * rates come from a broadcast-joined aggregate, never a driver
     * collect. */
   def temperatureResample(spark: SparkSession, dir: String, alpha: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val all = Window.partitionBy() // 5-row aggregate — single-partition window is fine
-    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n") / sum(col("n")).over(all))
-      .withColumn("p", pow(col("share"), alpha - 1.0) /
-        max(pow(col("share"), alpha - 1.0)).over(all))
-      .select(col("lang"), col("p"))
+    // per-lang counts + two corpus scalars (total, max weight) as
+    // single-row broadcast crossJoins — no unpartitioned window
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot_n"))
+    val weighted = counts.crossJoin(broadcast(tot))
+      .withColumn("w", pow(col("n") / col("tot_n"), alpha - 1.0))
+    val maxW = weighted.agg(max(col("w")).as("max_w"))
+    val rates = weighted.crossJoin(broadcast(maxW))
+      .select(col("lang"), (col("w") / col("max_w")).as("p"))
     val M = 4294967296L
     val h = pmod((col("doc_id") + lit(13L)) * lit(2654435761L), lit(M))
     docs.join(broadcast(rates), Seq("lang"))
@@ -415,14 +420,24 @@ object Text {
     val tris = base.select(col("doc_id"),
       explode(expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))"))
         .as("tri"))
+    // model = bounded-vocab (≤ |charset|³) trigram counts, folded into ONE
+    // row carrying a tri→count map + the corpus total, broadcast back.
     val model = tris.groupBy("tri").agg(count(lit(1)).as("c"))
-    val total = model.agg(sum("c").cast("double").as("tc"))
-    tris.join(broadcast(model), "tri")
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id")
-      .agg(
-        round(avg(log(col("c").cast("double") / col("tc"))), 4).as("avg_logp"),
-        count(lit(1)).as("n_tri"))
+    val modelMap = model.agg(
+      map_from_entries(collect_list(struct(col("tri"), col("c")))).as("m"),
+      sum("c").cast("double").as("tc"))
+    // scoring is then pure map-side: per doc, a codegen aggregate() over
+    // the trigram array probing the broadcast map — no second explode, no
+    // per-trigram join rows, no per-doc re-agg shuffle. The only shuffles
+    // left are the bounded model build and the output sort.
+    base.crossJoin(broadcast(modelMap))
+      .select(col("doc_id"),
+        expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))").as("tris"),
+        col("m"), col("tc"))
+      .select(col("doc_id"),
+        round(expr("aggregate(tris, 0D, (acc, x) -> acc + ln(m[x] / tc)) / size(tris)"), 4)
+          .as("avg_logp"),
+        size(col("tris")).cast("long").as("n_tri"))
       .orderBy("doc_id")
   }
 

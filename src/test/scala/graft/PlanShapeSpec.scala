@@ -130,7 +130,9 @@ class PlanShapeSpec extends SparkSpec {
       "sql_vec_cosine",    // inequality-only join predicate by design
       "join_cross_small",  // deliberate cross of two tiny dims
       "q22_idle_rich",     // single-row broadcast scalar-subquery crossJoin
-      "text_perplexity")   // single-row broadcast corpus-total crossJoin
+      "text_perplexity",   // single-row broadcast model-map crossJoin
+      "pipeline_mixture",  // single-row broadcast grand-total crossJoin
+      "pipeline_temp_resample") // two single-row broadcast scalar crossJoins
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       if (!documented(name) &&
@@ -215,15 +217,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("AQEShuffleRead coalesced"), plan.take(3000))
   }
 
-  test("text_perplexity: trigram-model exchange computed once (ReusedExchange)") {
-    // the model subtree appears twice in the static plan (broadcast model
-    // + corpus-total derivation); at runtime AQE must reuse the shuffle
-    // instead of re-aggregating the corpus — at 100 TB that's the
-    // difference between two corpus scans and three
+  test("text_perplexity: map-side scoring, no per-trigram join") {
+    // the model rides a ONE-ROW broadcast (tri→count map + corpus total)
+    // and each document scores itself with a codegen aggregate() over its
+    // trigram array — at 100 TB the scoring path materializes zero
+    // per-trigram rows and shuffles nothing but the bounded model build
     val df = Text.trigramPerplexity(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"), plan.take(3000))
+    assert(plan.contains("aggregate("), plan.take(3000)) // HOF scoring loop
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000)) // no tri-key probe
+    // exactly one cross in the executed plan (toString also prints the
+    // pre-AQE initial plan — cut it off): the single-row model broadcast
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size == 1, finalPlan.take(3000))
   }
 
   test("join_asof: union+window merge-scan has NO join operator") {
