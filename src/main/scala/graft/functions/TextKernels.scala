@@ -114,6 +114,42 @@ object TextKernels {
     out
   }
 
+  /** Mean log-probability of a trigram array under a broadcast unigram-of-
+    * trigrams model shipped as PARALLEL SORTED ARRAYS (keys ascending in
+    * UTF8 binary order, counts aligned): binary search per trigram, so a
+    * lookup is O(log V) with V bounded by |charset|³ regardless of corpus
+    * size. This exists because the two composable forms are asymptotically
+    * wrong in Spark: `m[x]` on a map column is a LINEAR scan per lookup
+    * (GetMapValue has no hash index) and `aggregate()` lambdas evaluate
+    * interpreted; a model join needs explode + re-agg (a per-trigram row
+    * stage). Sums in array order (deterministic per document). A trigram
+    * absent from the model scores as count 1 (cannot happen when the model
+    * is trained on the same corpus; guards ln(0)). */
+  def trigramScore(tris: ArrayData, keys: ArrayData, counts: ArrayData, tc: Double): Double = {
+    val n = tris.numElements()
+    if (n == 0) return 0.0
+    val v = keys.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val t = tris.getUTF8String(i)
+      var lo = 0
+      var hi = v - 1
+      var c = 1L
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val cmp = keys.getUTF8String(mid).compareTo(t)
+        if (cmp == 0) { c = counts.getLong(mid); found = true }
+        else if (cmp < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      sum += Math.log(c.toDouble / tc)
+      i += 1
+    }
+    sum / n
+  }
+
   // ---- Column wrappers (StaticInvoke => direct static call in codegen) ---
 
   def shinglesKernel(text: Column, k: Int): Column =
@@ -143,5 +179,16 @@ object TextKernels {
       "simhash64",
       Seq(bridge.expression(text)),
       inputTypes = Seq(StringType),
+      returnNullable = false))
+
+  def trigramScoreKernel(tris: Column, keys: Column, counts: Column, tc: Column): Column =
+    bridge.column(StaticInvoke(
+      TextKernels.getClass,
+      DoubleType,
+      "trigramScore",
+      Seq(bridge.expression(tris), bridge.expression(keys),
+        bridge.expression(counts), bridge.expression(tc)),
+      inputTypes = Seq(ArrayType(StringType), ArrayType(StringType),
+        ArrayType(LongType), DoubleType),
       returnNullable = false))
 }

@@ -421,22 +421,29 @@ object Text {
       explode(expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))"))
         .as("tri"))
     // model = bounded-vocab (≤ |charset|³) trigram counts, folded into ONE
-    // row carrying a tri→count map + the corpus total, broadcast back.
+    // row of parallel sorted arrays (keys ascending, counts aligned —
+    // array_sort on the struct orders by the first field in UTF8 binary
+    // order, the same comparator the kernel's binary search uses) plus the
+    // corpus total, broadcast back.
     val model = tris.groupBy("tri").agg(count(lit(1)).as("c"))
-    val modelMap = model.agg(
-      map_from_entries(collect_list(struct(col("tri"), col("c")))).as("m"),
+    val modelRow = model.agg(
+      array_sort(collect_list(struct(col("tri"), col("c")))).as("kv"),
       sum("c").cast("double").as("tc"))
-    // scoring is then pure map-side: per doc, a codegen aggregate() over
-    // the trigram array probing the broadcast map — no second explode, no
-    // per-trigram join rows, no per-doc re-agg shuffle. The only shuffles
-    // left are the bounded model build and the output sort.
-    base.crossJoin(broadcast(modelMap))
+      .select(expr("transform(kv, x -> x.tri)").as("ks"),
+        expr("transform(kv, x -> x.c)").as("cs"), col("tc"))
+    // scoring is then pure map-side: per doc, one codegen kernel call
+    // binary-searching the broadcast arrays (see TextKernels.trigramScore
+    // for why neither a map column nor an aggregate() lambda survives at
+    // scale) — no second explode, no per-trigram join rows, no per-doc
+    // re-agg shuffle. The only shuffles left are the bounded model build
+    // and the output sort.
+    base.crossJoin(broadcast(modelRow))
       .select(col("doc_id"),
         expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))").as("tris"),
-        col("m"), col("tc"))
+        col("ks"), col("cs"), col("tc"))
       .select(col("doc_id"),
-        round(expr("aggregate(tris, 0D, (acc, x) -> acc + ln(m[x] / tc)) / size(tris)"), 4)
-          .as("avg_logp"),
+        round(graft.functions.TextKernels.trigramScoreKernel(
+          col("tris"), col("ks"), col("cs"), col("tc")), 4).as("avg_logp"),
         size(col("tris")).cast("long").as("n_tri"))
       .orderBy("doc_id")
   }

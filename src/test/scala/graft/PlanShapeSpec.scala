@@ -225,7 +225,7 @@ class PlanShapeSpec extends SparkSpec {
     val df = Text.trigramPerplexity(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("aggregate("), plan.take(3000)) // HOF scoring loop
+    assert(plan.contains("trigramScore"), plan.take(3000)) // codegen kernel scoring
     assert(!plan.contains("BroadcastHashJoin"), plan.take(3000)) // no tri-key probe
     // exactly one cross in the executed plan (toString also prints the
     // pre-AQE initial plan — cut it off): the single-row model broadcast
