@@ -123,6 +123,8 @@ object SparkEntry {
     "text_fingerprint_fast" -> (Text.fingerprintsFast(_, _)),
     "text_perplexity"   -> (Text.trigramPerplexity(_, _)),
     "text_entropy"      -> (Text.tokenEntropy(_, _)),
+    "text_bm25"         -> (Text.bm25Retrieval(_, _)),
+    "text_repetition"   -> (Text.repetitionFilter(_, _)),
     "dedup_fuzzy_join"  -> (Text.fuzzyNameJoin(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
@@ -139,6 +141,7 @@ object SparkEntry {
     "emb_near_dup"      -> (Vectors.cosineNearDupPairs(_, _)),
     "emb_label_stats"   -> (Vectors.labelCentroids(_, _)),
     "emb_knn_classify"  -> (Vectors.knnClassify(_, _)),
+    "emb_quantize"      -> (Vectors.quantizeInt8(_, _)),
     // --- multimodal columns ---
     "mm_media_stats"    -> (Multimodal.mediaStats(_, _)),
     "mm_frame_sample"   -> (Multimodal.frameSample(_, _)),
@@ -697,6 +700,65 @@ object SparkEntry {
         |             sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
         |               / CAST(sum(n) AS DOUBLE), 4) AS entropy
         |FROM counts GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // BM25 with k1=1.2, b=0.75 over query terms (spark, shuffle, join);
+    // ordered by ROUNDED score so the top-20 cut is last-ulp-safe
+    "text_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))::DOUBLE AS dl,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'spark'))::DOUBLE AS tf0,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'shuffle'))::DOUBLE AS tf1,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'join'))::DOUBLE AS tf2
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf)
+        |SELECT doc_id, round(
+        |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        |FROM tf, st
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // fractions unrounded: int/int quotients are bit-identical cross-engine
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+        |    i -> toks[i - 1] || ' ' || toks[i])) AS bg FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_frac FROM c GROUP BY 1)
+        |SELECT t.doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS dup_word_frac,
+        |  coalesce(m.top_frac, 0.0) AS top_bigram_frac,
+        |  ((1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE) <= 0.95
+        |    AND coalesce(m.top_frac, 0.0) <= 0.18) AS keep
+        |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // int8 quantization: floor(x*scale + 0.5) on both engines (never
+    // round(): banker's-vs-half-up); MSE sums in array order on both
+    "emb_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+        |  FROM embeddings),
+        |s2 AS (SELECT vec_id, embedding,
+        |    CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale FROM s)
+        |SELECT vec_id,
+        |  len(embedding)::BIGINT AS n_dims,
+        |  round(scale, 6) AS q_scale,
+        |  round(list_aggregate(list_transform(embedding,
+        |      x -> pow(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale, 2)), 'sum')
+        |    / len(embedding), 10) AS mse,
+        |  CAST(list_aggregate(list_transform(embedding,
+        |      x -> abs(floor(CAST(x AS DOUBLE) * scale + 0.5))), 'max') AS BIGINT) AS q_max
+        |FROM s2 ORDER BY vec_id""".stripMargin,
 
     "dedup_fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part

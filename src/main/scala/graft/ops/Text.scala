@@ -362,6 +362,84 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval over the corpus for a fixed query-term set — the
+    * classic sparse-retrieval scorer a training-data pipeline uses to mine
+    * topical documents (and the lexical half of hybrid search next to the
+    * ANN operators in [[Vectors]]).
+    *
+    * Scale shape: ZERO explode — per-document term frequencies for the
+    * (tiny, fixed) query vocabulary are computed as map-side array
+    * expressions in one projection; the corpus statistics (N, avgdl,
+    * per-term document frequencies) are ONE single-row aggregate broadcast
+    * back via crossJoin; the result is a TakeOrderedAndProject top-k. The
+    * only full shuffle at any scale is the top-k's final merge. Ordering
+    * is by ROUNDED score (then doc_id), so the cross-engine cut line never
+    * depends on a last-ulp difference. */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "shuffle", "join")
+    val k1 = 1.2
+    val b = 0.75
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+    val tfCols = size(toks).cast("double").as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+      }
+    val withTf = Tables.documents(spark, dir).select(col("doc_id") +: tfCols: _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * (k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** Gopher-style repetition rules (Rae et al. 2021, public): fraction of
+    * duplicate words and the share of the document taken by its most
+    * frequent bigram — the signals that catch templated/boilerplate text
+    * that the length-based [[gopherQualityFilter]] rules miss. Emits the
+    * rule inputs plus the keep flag (audit shape, like the other filters).
+    *
+    * Scale shape: the dup-word fraction is a pure map-side array
+    * expression; the top-bigram share explodes bigrams once and stacks two
+    * hash aggregates ((doc, bigram) counts, then per-doc max/sum), so the
+    * only shuffle carries per-partition (doc, bigram) partials. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val bigramTop = base
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
+    // fractions stay UNROUNDED: both are int/int quotients, bit-identical
+    // cross-engine, and round() on terminating quotients is where
+    // HALF_UP-vs-binary tie bugs live (same rule as qualityScores)
+    base.join(bigramTop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_word_frac"),
+        coalesce(col("top_frac"), lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.95 && col("top_bigram_frac") <= 0.18)
+      .orderBy("doc_id")
+  }
+
   /** 64-bit fingerprint variant: xxhash64 of the normalized text plus the
     * SimHash rolling fingerprint — the cheap keys a 100 TB dedup pass
     * actually shuffles (8-byte vs 16-byte md5, no hex encoding). */

@@ -131,6 +131,7 @@ class PlanShapeSpec extends SparkSpec {
       "join_cross_small",  // deliberate cross of two tiny dims
       "q22_idle_rich",     // single-row broadcast scalar-subquery crossJoin
       "text_perplexity",   // single-row broadcast model-map crossJoin
+      "text_bm25",         // single-row broadcast corpus-stats crossJoin
       "pipeline_mixture",  // single-row broadcast grand-total crossJoin
       "pipeline_temp_resample") // two single-row broadcast scalar crossJoins
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -117,4 +117,33 @@ class TextDedupSpec extends SparkSpec {
       .select("p.a", "p.b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
+
+  test("bm25: top-20 descending, every hit contains a query term") {
+    val rows = graft.ops.Text.bm25Retrieval(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val hitIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .filter(lower(col("text")).rlike("\\b(spark|shuffle|join)\\b"))
+      .count()
+    assert(withTerm == hitIds.size, s"$withTerm of ${hitIds.size} hits contain a query term")
+  }
+
+  test("repetition filter: fractions in range, top-bigram lower bound holds") {
+    val rows = graft.ops.Text.repetitionFilter(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_word_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      val n = r.getAs[Long]("n_tokens")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(top >= 0.0 && top <= 1.0)
+      // the most frequent of n-1 bigrams takes at least a 1/(n-1) share
+      if (n >= 2) assert(top >= 1.0 / (n - 1), s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("keep") == (dup <= 0.95 && top <= 0.18))
+    }
+  }
 }

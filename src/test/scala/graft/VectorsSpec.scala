@@ -72,4 +72,18 @@ class VectorsSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n_values")).sum
     assert(total == emb.count() * 64)
   }
+
+  test("int8 quantization: codes bounded by 127, MSE within the step bound") {
+    val rows = Vectors.quantizeInt8(spark, sfDir).collect()
+    assert(rows.length == Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val qMax = r.getAs[Long]("q_max")
+      assert(qMax <= 127L, s"vec ${r.getAs[Long]("vec_id")}: q_max $qMax")
+      // max per-element reconstruction error is half a quantization step
+      // (0.5/scale), so MSE <= 0.25/scale^2 (slack for the 6dp-rounded scale)
+      val scale = r.getAs[Double]("q_scale")
+      val mse = r.getAs[Double]("mse")
+      assert(mse <= 0.26 / (scale * scale), s"vec ${r.getAs[Long]("vec_id")}: mse $mse")
+    }
+  }
 }
