@@ -145,7 +145,36 @@ object SparkEntry {
     // --- multimodal columns ---
     "mm_media_stats"    -> (Multimodal.mediaStats(_, _)),
     "mm_frame_sample"   -> (Multimodal.frameSample(_, _)),
+    // --- iterative graph analytics ---
+    "graph_pagerank"    -> (Graph.pagerankTop(_, _)),
   )
+
+  /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
+    * iteration unrolled as chained CTEs (plain SQL — no recursive-CTE
+    * aggregation restrictions), same simplified-PageRank update. */
+  private def pagerankOracle: String = {
+    val steps = (1 to 6).map { k =>
+      s"""pr$k AS (
+         |  SELECT d.src AS node,
+         |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(s.msum, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS dst, sum(p.rank / dg.outdeg) AS msum
+         |    FROM pr${k - 1} p
+         |    JOIN deg dg ON dg.src = p.node
+         |    JOIN edges e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+       |  WHERE l1.l_quantity >= 25 AND l2.l_quantity >= 25),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+       |$steps
+       |SELECT node AS part_id, round(rank, 4) AS rank FROM pr6
+       |ORDER BY rank DESC, part_id LIMIT 25""".stripMargin
+  }
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names,
     * same deterministic ORDER BY). Omitted for sketch/hash-dependent ops. */
@@ -759,6 +788,8 @@ object SparkEntry {
         |  CAST(list_aggregate(list_transform(embedding,
         |      x -> abs(floor(CAST(x AS DOUBLE) * scale + 0.5))), 'max') AS BIGINT) AS q_max
         |FROM s2 ORDER BY vec_id""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracle,
 
     "dedup_fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  test("pagerank conserves total rank mass (Σ rank = |V|)") {
+    // every node in the undirected co-purchase graph has outdeg >= 1 and
+    // every dst is also a src, so the update r' = 0.15 + 0.85·Σ r/outdeg
+    // preserves Σ rank = |V| exactly at every iteration — a strong whole-
+    // pipeline invariant (any dropped edge, double-counted contribution,
+    // or dangling node breaks it)
+    val pr = Graph.pageRank(Graph.coPurchaseEdges(spark, sfDir))
+    val n = pr.count()
+    assert(n > 0)
+    val total = pr.agg(sum("rank")).collect()(0).getDouble(0)
+    assert(math.abs(total - n) / n < 1e-9, s"rank mass $total vs $n nodes")
+    // teleport floor: no rank below (1 - d)
+    val minRank = pr.agg(min("rank")).collect()(0).getDouble(0)
+    assert(minRank >= 0.15 - 1e-12, s"min rank $minRank")
+  }
+
+  test("pagerank top-k is descending with deterministic tie-break") {
+    val top = Graph.pagerankTop(spark, sfDir).collect()
+    assert(top.nonEmpty && top.length <= 25)
+    val pairs = top.map(r => (r.getAs[Double]("rank"), r.getAs[Long]("part_id")))
+    pairs.zip(pairs.tail).foreach { case ((r1, id1), (r2, id2)) =>
+      assert(r1 > r2 || (r1 == r2 && id1 < id2), s"($r1,$id1) before ($r2,$id2)")
+    }
+  }
+
+  test("co-purchase edges are symmetric and self-loop-free") {
+    val e = Graph.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(e.nonEmpty)
+    assert(e.forall { case (s, d) => s != d })
+    assert(e.forall { case (s, d) => e.contains((d, s)) })
+  }
+}
