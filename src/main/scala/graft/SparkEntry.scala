@@ -147,6 +147,7 @@ object SparkEntry {
     "mm_frame_sample"   -> (Multimodal.frameSample(_, _)),
     // --- iterative graph analytics ---
     "graph_pagerank"    -> (Graph.pagerankTop(_, _)),
+    "graph_triangles"   -> (Graph.triangleCounts(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -790,6 +791,30 @@ object SparkEntry {
         |FROM s2 ORDER BY vec_id""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,
+
+    // degree-oriented triangle counting — all-integer, bit-exact oracle
+    "graph_triangles" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+        |  WHERE l1.l_quantity >= 25 AND l2.l_quantity >= 25),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)
+        |              THEN e.src ELSE e.dst END AS lo,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)
+        |              THEN e.dst ELSE e.src END AS hi
+        |  FROM edges e JOIN deg d1 ON d1.src = e.src JOIN deg d2 ON d2.src = e.dst
+        |  WHERE e.src < e.dst),
+        |tri AS (
+        |  SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+        |  FROM o o1
+        |  JOIN o o2 ON o2.lo = o1.hi
+        |  JOIN o o3 ON o3.lo = o1.lo AND o3.hi = o2.hi)
+        |SELECT part_id, count(*) AS n_triangles FROM (
+        |  SELECT unnest([a, b, c]) AS part_id FROM tri)
+        |GROUP BY 1 ORDER BY n_triangles DESC, part_id LIMIT 25""".stripMargin,
 
     "dedup_fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part

@@ -90,4 +90,35 @@ object Graph {
       .select(col("node").as("part_id"), round(col("rank"), 4).as("rank"))
       .orderBy(desc("rank"), col("part_id"))
       .limit(25)
+
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration — the
+    * standard trick that keeps triangle counting near-linear on power-law
+    * graphs: each undirected edge is directed from its lower-(degree, id)
+    * endpoint to its higher one, making the orientation a total order
+    * (acyclic), so every triangle is enumerated exactly once as
+    * a→b, b→c, a→c, and the wedge fan-out at a hub is bounded by its
+    * ORIENTED out-degree (≈√m) instead of its raw degree. An id-only
+    * orientation would funnel every wedge through the hubs — the
+    * difference between O(m^1.5) and O(m·d_max) at 100 TB. Entirely
+    * integer arithmetic, so the DuckDB oracle matches bit-for-bit. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val und = coPurchaseEdges(spark, dir)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val once = und.filter(col("src") < col("dst"))
+      .join(deg.select(col("src").as("u"), col("deg").as("du")), col("src") === col("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("dv")), col("dst") === col("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("src") < col("dst"))
+    val o = once.select(
+      when(fwd, col("src")).otherwise(col("dst")).as("lo"),
+      when(fwd, col("dst")).otherwise(col("src")).as("hi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = o.select(col("lo").as("a"), col("hi").as("b"))
+      .join(o.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
+      .join(o.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("part_id"))
+      .limit(25)
+  }
 }

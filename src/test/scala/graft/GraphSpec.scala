@@ -30,6 +30,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangle counts match a brute-force enumeration exactly") {
+    // sf0.001 graph is small enough to enumerate every triangle directly;
+    // the distributed degree-oriented count must agree integer-for-integer
+    val edges = Graph.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toArray.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- nodes
+      b <- adj(a) if b > a
+      c <- adj(b) if c > b && adj(a).contains(c)
+    } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+    val expected = brute.toSeq.sortBy(r => (-r._2, r._1)).take(25)
+    val got = Graph.triangleCounts(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("part_id"), r.getAs[Long]("n_triangles"))).toSeq
+    assert(got == expected, s"got ${got.take(5)} expected ${expected.take(5)}")
+  }
+
   test("co-purchase edges are symmetric and self-loop-free") {
     val e = Graph.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
