@@ -101,9 +101,13 @@ object Graph {
     * orientation would funnel every wedge through the hubs — the
     * difference between O(m^1.5) and O(m·d_max) at 100 TB. Entirely
     * integer arithmetic, so the DuckDB oracle matches bit-for-bit. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsDf(coPurchaseEdges(spark, dir))
+
+  /** Core of [[triangleCounts]] over any undirected (both-directions,
+    * self-loop-free) edge list. */
+  def triangleCountsDf(und: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val und = coPurchaseEdges(spark, dir)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val once = und.filter(col("src") < col("dst"))
       .join(deg.select(col("src").as("u"), col("deg").as("du")), col("src") === col("u"))

@@ -26,6 +26,35 @@ class EdgeCaseSpec extends SparkSpec {
       "x1" -> "x1", "x2" -> "x1"))
   }
 
+  test("pageRank on an empty edge list returns empty ranks") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.Graph.pageRank(edges, iters = 2).count() == 0)
+  }
+
+  test("pageRank on a regular graph is exactly uniform (r = 1.0)") {
+    import spark.implicits._
+    // K3, both directions: every node has degree 2 and receives 2·(r/2),
+    // so r' = 0.15 + 0.85·r — the uniform fixed point r = 1.0 is EXACT
+    // at every iteration (no FP drift: 0.5 and the teleport terms are
+    // binary-representable)
+    val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val ranks = graft.ops.Graph.pageRank(edges, iters = 4).collect()
+    assert(ranks.length == 3)
+    ranks.foreach(r => assert(r.getAs[Double]("rank") == 1.0, r.toString))
+  }
+
+  test("triangle counts on a 4-clique: every node in exactly 3 triangles") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val fwd = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val out = graft.ops.Graph.triangleCountsDf(edges).collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getAs[Long]("n_triangles") == 3L, r.toString))
+  }
+
   test("exact dedup on an empty documents table returns empty") {
     import spark.implicits._
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
