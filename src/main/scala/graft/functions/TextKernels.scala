@@ -150,6 +150,32 @@ object TextKernels {
     sum / n
   }
 
+  /** One-pass per-document stats for a FIXED query-term set (BM25 etc.):
+    * returns [n_tokens, tf(term_0), …, tf(term_k-1)]. The composable form
+    * (`size(filter(split(...)))` per column) re-tokenizes the document
+    * once per output column and evaluates the filter lambda interpreted
+    * per token per term; this does one tokenization and one small inner
+    * loop. Normalization mirrors the composable form exactly:
+    * UTF8String.toLowerCase + trim (space-only, Spark `trim` semantics),
+    * split on `\s+`, empty tokens dropped. */
+  def termFreqs(text: UTF8String, terms: ArrayData): ArrayData = {
+    val toks = text.toLowerCase.trim().toString.split("\\s+").filter(_.nonEmpty)
+    val k = terms.numElements()
+    val out = new Array[Long](k + 1)
+    out(0) = toks.length
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < k) {
+        val term = terms.getUTF8String(j)
+        if (term != null && term.toString == toks(i)) out(j + 1) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Column wrappers (StaticInvoke => direct static call in codegen) ---
 
   def shinglesKernel(text: Column, k: Int): Column =
@@ -179,6 +205,15 @@ object TextKernels {
       "simhash64",
       Seq(bridge.expression(text)),
       inputTypes = Seq(StringType),
+      returnNullable = false))
+
+  def termFreqsKernel(text: Column, terms: Column): Column =
+    bridge.column(StaticInvoke(
+      TextKernels.getClass,
+      ArrayType(LongType, containsNull = false),
+      "termFreqs",
+      Seq(bridge.expression(text), bridge.expression(terms)),
+      inputTypes = Seq(StringType, ArrayType(StringType)),
       returnNullable = false))
 
   def trigramScoreKernel(tris: Column, keys: Column, counts: Column, tc: Column): Column =

@@ -368,23 +368,32 @@ object Text {
     * ANN operators in [[Vectors]]).
     *
     * Scale shape: ZERO explode — per-document term frequencies for the
-    * (tiny, fixed) query vocabulary are computed as map-side array
-    * expressions in one projection; the corpus statistics (N, avgdl,
-    * per-term document frequencies) are ONE single-row aggregate broadcast
-    * back via crossJoin; the result is a TakeOrderedAndProject top-k. The
-    * only full shuffle at any scale is the top-k's final merge. Ordering
-    * is by ROUNDED score (then doc_id), so the cross-engine cut line never
-    * depends on a last-ulp difference. */
+    * (tiny, fixed) query vocabulary come from ONE tokenization pass
+    * (the [[graft.functions.TextKernels.termFreqs]] codegen kernel; the
+    * composable `size(filter(split(...)))` form re-tokenized the text
+    * once per column with interpreted lambdas); the corpus statistics
+    * (N, avgdl, per-term document frequencies) are ONE single-row
+    * aggregate broadcast back via crossJoin; the result is a
+    * TakeOrderedAndProject top-k. The only full shuffle at any scale is
+    * the top-k's final merge. Ordering is by ROUNDED score (then
+    * doc_id), so the cross-engine cut line never depends on a last-ulp
+    * difference. */
   def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "shuffle", "join")
     val k1 = 1.2
     val b = 0.75
-    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
-    val tfCols = size(toks).cast("double").as("dl") +:
-      terms.zipWithIndex.map { case (t, i) =>
-        size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
-      }
-    val withTf = Tables.documents(spark, dir).select(col("doc_id") +: tfCols: _*)
+    val tfs = graft.functions.TextKernels.termFreqsKernel(
+      col("text"), array(terms.map(lit): _*))
+    // coalesce makes each extracted column non-nullable (element_at is
+    // nullable in general), so InferFiltersFromConstraints has no
+    // isnotnull(...) to push below the projection — without it, the
+    // inferred null checks re-invoke the kernel once per column at the scan
+    val tfCols = coalesce(element_at(col("tfs"), 1), lit(0L)).cast("double").as("dl") +:
+      terms.indices.map(i =>
+        coalesce(element_at(col("tfs"), i + 2), lit(0L)).cast("double").as(s"tf$i"))
+    val withTf = Tables.documents(spark, dir)
+      .select(col("doc_id"), tfs.as("tfs"))
+      .select(col("doc_id") +: tfCols: _*)
     val statCols = count(lit(1)).cast("double").as("n_docs") +:
       avg(col("dl")).as("avgdl") +:
       terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
@@ -394,9 +403,15 @@ object Text {
       idf * (col(s"tf$i") * (k1 + 1.0)) /
         (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
+    // filter on the RAW score (> 0 ⟺ some tf > 0, since idf > 0), AFTER
+    // the stats join: a tf-only predicate would be pushed below the tfs
+    // projection and re-invoke the tokenization kernel once per term; the
+    // score references both join sides, so it stays put and the kernel
+    // runs exactly once per document (plan-pinned in PlanShapeSpec)
     withTf.crossJoin(broadcast(stats))
-      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
-      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .select(col("doc_id"), score.as("score_raw"))
+      .filter(col("score_raw") > 0)
+      .select(col("doc_id"), round(col("score_raw"), 4).as("bm25"))
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(20)
   }

@@ -234,6 +234,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size == 1, finalPlan.take(3000))
   }
 
+  test("text_bm25: tokenization kernel runs once per branch, not per column") {
+    // the tf columns extract from ONE termFreqs call; a composable form
+    // (or a pushed-down tf predicate / inferred isnotnull constraint)
+    // re-invokes the tokenizer per column at the scan — this pins the
+    // one-call-per-branch shape (stats branch + scoring branch)
+    val df = Text.bm25Retrieval(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val n = "termFreqs".r.findAllIn(plan).size
+    assert(n <= 2, s"termFreqs appears $n times:\n${plan.take(3000)}")
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))
