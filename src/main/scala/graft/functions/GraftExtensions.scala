@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(TextKernels.getClass.getName, "graft_simhash"),
       simhashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_term_freqs"),
+      new ExpressionInfo(TextKernels.getClass.getName, "graft_term_freqs"),
+      termFreqsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_trigram_score"),
+      new ExpressionInfo(TextKernels.getClass.getName, "graft_trigram_score"),
+      trigramScoreBuilder))
     // HOF-dot-product -> vec_dot rewrite; inert until the session sets
     // spark.graft.rewriteHofVectorOps=true (the rule checks the flag at
     // apply time — see VecRewriteRule's scaladoc for the opt-in rationale)
@@ -78,6 +86,20 @@ object GraftExtensions {
     StaticInvoke(TextKernels.getClass, LongType, "simhash64", Seq(args(0)),
       inputTypes = Seq(StringType), returnNullable = false)
   }
+  val termFreqsBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 2, s"graft_term_freqs(text, terms) takes 2 arguments, got ${args.length}")
+    StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
+      "termFreqs", Seq(args(0), args(1)),
+      inputTypes = Seq(StringType, ArrayType(StringType)), returnNullable = false)
+  }
+  val trigramScoreBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 4,
+      s"graft_trigram_score(tris, keys, counts, total) takes 4 arguments, got ${args.length}")
+    StaticInvoke(TextKernels.getClass, DoubleType, "trigramScore",
+      Seq(args(0), args(1), args(2), args(3)),
+      inputTypes = Seq(ArrayType(StringType), ArrayType(StringType),
+        ArrayType(LongType), DoubleType), returnNullable = false)
+  }
 
   /** Register on a live session (extensions only bind at builder time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -86,5 +108,7 @@ object GraftExtensions {
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_shingles", shinglesBuilder)
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_simhash", simhashBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_term_freqs", termFreqsBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_trigram_score", trigramScoreBuilder)
   }
 }

@@ -112,4 +112,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
     assert(viaSql.getLong(2) == viaCol.getLong(2))
   }
+
+  test("sql-registered term-freqs and trigram-score kernels work from SQL text") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    Seq(("spark spark shuffle other", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("tf_tt")
+    val tf = spark.sql(
+      "SELECT graft_term_freqs(text, array('spark', 'shuffle', 'join')) AS t FROM tf_tt")
+      .first().getSeq[Long](0)
+    assert(tf == Seq(4L, 2L, 1L, 0L)) // [n_tokens, tf(spark), tf(shuffle), tf(join)]
+    val score = spark.sql(
+      """SELECT graft_trigram_score(array('abc', 'abc', 'xyz'),
+        |                           array('abc', 'xyz'),
+        |                           array(CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        |                           CAST(4.0 AS DOUBLE)) AS s""".stripMargin)
+      .first().getDouble(0)
+    val expected = (2 * math.log(3.0 / 4.0) + math.log(1.0 / 4.0)) / 3.0
+    assert(math.abs(score - expected) < 1e-12, s"$score vs $expected")
+  }
 }
