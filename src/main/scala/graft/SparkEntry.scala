@@ -125,6 +125,8 @@ object SparkEntry {
     "text_entropy"      -> (Text.tokenEntropy(_, _)),
     "text_bm25"         -> (Text.bm25Retrieval(_, _)),
     "text_repetition"   -> (Text.repetitionFilter(_, _)),
+    "pipeline_weighted_sample" -> (Text.weightedSample(_, _)),
+    "ev_transitions"    -> (EventTime.eventTransitions(_, _)),
     "dedup_fuzzy_join"  -> (Text.fuzzyNameJoin(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
@@ -791,6 +793,28 @@ object SparkEntry {
         |FROM s2 ORDER BY vec_id""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,
+
+    // A-ES weighted sampling: discrete output (the continuous key never
+    // leaves the plan); u is exact integer arithmetic scaled by 2^-32
+    "pipeline_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    (CAST((doc_id + 101) * 2654435761 % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0 AS u,
+        |    greatest(CAST(n_chars AS DOUBLE), 1.0) AS w
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS rk
+        |  FROM s)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    "ev_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
 
     // degree-oriented triangle counting — all-integer, bit-exact oracle
     "graph_triangles" ->

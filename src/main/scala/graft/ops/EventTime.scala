@@ -172,4 +172,21 @@ object EventTime {
         round(min("value"), 2).as("min_value"),
         round(max("value"), 2).as("max_value"))
       .orderBy("bucket")
+
+  /** First-order Markov transition counts over each user's event
+    * sequence — the behavioral-model input next to [[funnel]]'s fixed
+    * stages. lag window per user (ts, event_id deterministic order) →
+    * (prev, next) hash agg: one shuffle on user_id, one bounded agg
+    * (≤ |event types|² rows out regardless of input size). All-integer
+    * output → bit-exact oracle. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
 }

@@ -455,6 +455,36 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sampling without replacement per language
+    * shard (Efraimidis–Spirakis A-ES): key = u^(1/w) with u a
+    * deterministic multiplicative-hash uniform and w the document weight
+    * (here n_chars — longer documents weighted up, the quality-weighted
+    * corpus-sampling shape). Top-k per stratum by key = the exact A-ES
+    * sample.
+    *
+    * Scale shape: one map-side projection, then the rk ≤ k filter pushes
+    * into the window operator (WindowGroupLimit: a per-partition k-heap,
+    * never a full sort of the shard). The continuous key stays OUT of the
+    * output — rows are (doc_id, lang, rk), all discrete, so the oracle
+    * compare never touches a float. u is an exact power-of-two scaling of
+    * integer arithmetic → bit-identical cross-engine; 1-ulp pow()
+    * divergence would need two keys within ~1e-16 to flip a rank. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 4294967296L // 2^32
+    val u = (pmod((col("doc_id") + lit(101L)) * lit(2654435761L), lit(M))
+      .cast("double") + 0.5) / M.toDouble
+    val w = greatest(col("n_chars").cast("double"), lit(1.0))
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(pow(col("u"), lit(1.0) / col("w")).desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), u.as("u"), w.as("w"))
+      .withColumn("rk", row_number().over(byLang))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** 64-bit fingerprint variant: xxhash64 of the normalized text plus the
     * SimHash rolling fingerprint — the cheap keys a 100 TB dedup pass
     * actually shuffles (8-byte vs 16-byte md5, no hex encoding). */

@@ -68,6 +68,15 @@ class EventTimeSpec extends SparkSpec {
     assert(strat > 0.02 && strat < 0.25, s"stratified fraction $strat")
   }
 
+  test("event transitions: total transitions = events minus users (exact)") {
+    // every user with k events contributes exactly k-1 (prev, next) pairs
+    val total = Tables.events(spark, sfDir).count()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val sumN = EventTime.eventTransitions(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(sumN == total - users, s"$sumN vs ${total - users}")
+  }
+
   test("sessions: event counts sum to total; sessions disjoint in time") {
     val total = Tables.events(spark, sfDir).count()
     val rows = EventTime.sessionize(spark, sfDir).collect()

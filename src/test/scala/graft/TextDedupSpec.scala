@@ -118,6 +118,21 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("weighted sample: contiguous per-lang ranks, WindowGroupLimit top-k") {
+    val df = graft.ops.Text.weightedSample(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rks.length), s"$l: ranks not contiguous from 1")
+      assert(rks.length <= 50)
+    }
+    // rk <= k must push INTO the window operator (per-partition k-heap,
+    // never a full shard sort) — the property that makes A-ES scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("bm25: top-20 descending, every hit contains a query term") {
     val rows = graft.ops.Text.bm25Retrieval(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
