@@ -150,6 +150,9 @@ object SparkEntry {
     // --- iterative graph analytics ---
     "graph_pagerank"    -> (Graph.pagerankTop(_, _)),
     "graph_triangles"   -> (Graph.triangleCounts(_, _)),
+    // --- data-quality / CDC ---
+    "dq_report"         -> (Quality.dqReport(_, _)),
+    "dq_snapshot_diff"  -> (Quality.snapshotDiff(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -806,6 +809,50 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    "dq_report" ->
+      """SELECT * FROM (
+        |  SELECT 'orders.rowcount' AS "check", count(*)::BIGINT AS n FROM orders
+        |  UNION ALL SELECT 'lineitem.rowcount', count(*)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'orders.o_orderkey.dups',
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+        |  UNION ALL SELECT 'customer.c_custkey.dups',
+        |    (count(*) - count(DISTINCT c_custkey))::BIGINT FROM customer
+        |  UNION ALL SELECT 'part.p_partkey.dups',
+        |    (count(*) - count(DISTINCT p_partkey))::BIGINT FROM part
+        |  UNION ALL SELECT 'orders.o_custkey.nulls',
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'lineitem.l_partkey.nulls',
+        |    count(CASE WHEN l_partkey IS NULL THEN 1 END)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'orders.custkey.orphans', count(*)::BIGINT FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL SELECT 'lineitem.orderkey.orphans', count(*)::BIGINT FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL SELECT 'lineitem.partkey.orphans', count(*)::BIGINT FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  UNION ALL SELECT 'lineitem.suppkey.orphans', count(*)::BIGINT FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |) ORDER BY "check"""".stripMargin,
+
+    "dq_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k1, o_totalprice AS p1 FROM orders
+        |  WHERE o_orderkey % 10 <> 9),
+        |v2 AS (
+        |  SELECT o_orderkey AS k2,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS p2
+        |  FROM orders WHERE o_orderkey % 10 <> 0)
+        |SELECT change, count(*)::BIGINT AS n,
+        |       min(okey) AS min_key, max(okey) AS max_key
+        |FROM (
+        |  SELECT coalesce(k1, k2) AS okey,
+        |    CASE WHEN k1 IS NULL THEN 'insert'
+        |         WHEN k2 IS NULL THEN 'delete'
+        |         WHEN p1 <> p2 THEN 'update'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+        |GROUP BY 1 ORDER BY change""".stripMargin,
 
     "ev_transitions" ->
       """WITH seq AS (

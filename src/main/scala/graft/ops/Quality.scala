@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-engineering operators around table trust: constraint audits and
+  * snapshot diffing (beyond-reference — the operational layer a pipeline
+  * runs before/after every load).
+  *
+  * Scale notes: every check is a single aggregate or anti-join —
+  * referential checks broadcast nothing (semi/anti hash joins, dim side
+  * auto-broadcast when small), uniqueness is count vs count-distinct in
+  * ONE pass, and the whole report is a union of one-row aggregates, so
+  * output size is O(#checks) at any input scale. The snapshot diff is one
+  * full-outer join on the primary key — the canonical CDC shape: at
+  * 100 TB both sides shuffle-partition on the key once (or co-locate for
+  * free if the snapshots are bucketed on it).
+  */
+object Quality {
+
+  private def check(name: String, df: DataFrame): DataFrame =
+    df.select(lit(name).as("check"), col("n").cast("long").as("n"))
+
+  /** Constraint audit over the star schema: row counts, primary-key
+    * uniqueness violations, null-key counts, and referential orphans for
+    * every FK edge of the schema. One row per check. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+
+    def rowCount(name: String, df: DataFrame) =
+      check(s"$name.rowcount", df.agg(count(lit(1)).as("n")))
+    def dupPk(name: String, df: DataFrame, key: String) =
+      check(s"$name.$key.dups",
+        df.agg((count(lit(1)) - countDistinct(col(key))).as("n")))
+    def nullKey(name: String, df: DataFrame, key: String) =
+      check(s"$name.$key.nulls",
+        df.agg(count(when(col(key).isNull, 1)).as("n")))
+    def orphans(name: String, fact: DataFrame, fk: String,
+                dim: DataFrame, pk: String) =
+      check(name,
+        fact.join(dim, fact(fk) === dim(pk), "left_anti")
+          .agg(count(lit(1)).as("n")))
+
+    Seq(
+      rowCount("orders", orders),
+      rowCount("lineitem", lineitem),
+      dupPk("orders", orders, "o_orderkey"),
+      dupPk("customer", customer, "c_custkey"),
+      dupPk("part", part, "p_partkey"),
+      nullKey("orders", orders, "o_custkey"),
+      nullKey("lineitem", lineitem, "l_partkey"),
+      orphans("orders.custkey.orphans", orders, "o_custkey", customer, "c_custkey"),
+      orphans("lineitem.orderkey.orphans", lineitem, "l_orderkey", orders, "o_orderkey"),
+      orphans("lineitem.partkey.orphans", lineitem, "l_partkey", part, "p_partkey"),
+      orphans("lineitem.suppkey.orphans", lineitem, "l_suppkey", supplier, "s_suppkey"))
+      .reduce(_ unionByName _)
+      .orderBy("check")
+  }
+
+  /** CDC-style snapshot diff: two deterministic "versions" of the orders
+    * table (v1 drops keys ≡ 9 mod 10; v2 drops keys ≡ 0 mod 10 and bumps
+    * totalprice by 1000 for keys ≡ 0 mod 7 — an exact double addition, so
+    * change detection never touches rounding) are full-outer joined on
+    * the primary key and classified insert/delete/update/unchanged.
+    * Emits per-class counts + key ranges — the summary a merge/upsert
+    * job validates against before committing. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+    val v1 = base.filter(pmod(col("okey"), lit(10)) =!= 9)
+      .select(col("okey").as("k1"), col("price").as("p1"))
+    val v2 = base.filter(pmod(col("okey"), lit(10)) =!= 0)
+      .select(col("okey").as("k2"),
+        when(pmod(col("okey"), lit(7)) === 0, col("price") + 1000.0)
+          .otherwise(col("price")).as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k1"), col("k2")).as("okey"),
+        when(col("k1").isNull, "insert")
+          .when(col("k2").isNull, "delete")
+          .when(col("p1") =!= col("p2"), "update")
+          .otherwise("unchanged").as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), min(col("okey")).as("min_key"),
+        max(col("okey")).as("max_key"))
+      .orderBy("change")
+  }
+}
