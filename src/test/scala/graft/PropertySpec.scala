@@ -80,6 +80,13 @@ class PropertySpec extends SparkSpec {
         (i, Array.tabulate(4)(d => ((i % 4) * 10 + d).toFloat))).toDF("vec_id", "embedding")
       val cents = graft.ops.Vectors.kmeansCentroids(emb, nlist = 4, iters = 2).collect()
       assert(cents.length == 4)
+      // pageRank shares the gate too: reliable rounds must produce the
+      // same ranks as the executor-local path (K3 → exactly uniform)
+      val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      val k3 = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+      val prReliable = graft.ops.Graph.pageRank(k3, iters = 3).collect()
+      assert(prReliable.length == 3 &&
+        prReliable.forall(_.getAs[Double]("rank") == 1.0))
     } finally spark.conf.unset(Dedup.CheckpointDirKey)
   }
 
