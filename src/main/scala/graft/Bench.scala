@@ -78,14 +78,16 @@ object Bench {
 
     // streaming micro-bench: watermarked sliding-window counts over the
     // events table replayed as a file stream — makes EventStream throughput
-    // regressions visible to the driver.
+    // regressions visible to the driver. Reports input rows next to the
+    // seconds so the line reads as throughput, not just latency.
+    var streamRows = 0L
     val streamTotal = {
       val t0 = System.nanoTime()
       try {
         val ev = graft.streaming.EventStream.readEvents(spark, sfDir)
         graft.streaming.EventStream.runToCompletion(
           graft.streaming.EventStream.slidingCounts(ev), "bench_stream")
-        spark.sql("SELECT count(*) FROM bench_stream").collect()
+        streamRows = spark.read.parquet(s"$sfDir/events.parquet").count()
       } catch { case e: Throwable => System.err.println(s"[bench] stream failed: $e") }
       (System.nanoTime() - t0) / 1e9
     }
@@ -104,7 +106,7 @@ object Bench {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailJson) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
-    println(f"""{"metric":"stream_total","value":$streamTotal%.2f,"unit":"sec","query":"sliding_counts","sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_total","value":$streamTotal%.2f,"unit":"sec","query":"sliding_counts","rows":$streamRows,"sf":"$sfDir"}""")
     println(compactLine(results, sfDir, streamTotal))
     spark.stop()
   }
