@@ -176,6 +176,37 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass Gopher-rule inputs: [n_words, total_word_chars,
+    * distinct_stopword_hits] — the composable form re-tokenized each
+    * document ~11× across the rule columns (plan-verified). Tokenization
+    * mirrors [[termFreqs]]; word length counts code points (Spark
+    * `length()` semantics); stop hits count DISTINCT stopwords present
+    * (array_contains semantics, not occurrences). */
+  def gopherStats(text: UTF8String, stops: ArrayData): ArrayData = {
+    val toks = text.toLowerCase.trim().toString.split("\\s+").filter(_.nonEmpty)
+    val k = stops.numElements()
+    val seen = new Array[Boolean](k)
+    var totalLen = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      totalLen += t.codePointCount(0, t.length)
+      var j = 0
+      while (j < k) {
+        if (!seen(j)) {
+          val s = stops.getUTF8String(j)
+          if (s != null && s.toString == t) seen(j) = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var hits = 0L
+    var j = 0
+    while (j < k) { if (seen(j)) hits += 1; j += 1 }
+    new GenericArrayData(Array[Any](toks.length.toLong, totalLen, hits))
+  }
+
   // ---- Column wrappers (StaticInvoke => direct static call in codegen) ---
 
   def shinglesKernel(text: Column, k: Int): Column =
@@ -213,6 +244,15 @@ object TextKernels {
       ArrayType(LongType, containsNull = false),
       "termFreqs",
       Seq(bridge.expression(text), bridge.expression(terms)),
+      inputTypes = Seq(StringType, ArrayType(StringType)),
+      returnNullable = false))
+
+  def gopherStatsKernel(text: Column, stops: Column): Column =
+    bridge.column(StaticInvoke(
+      TextKernels.getClass,
+      ArrayType(LongType, containsNull = false),
+      "gopherStats",
+      Seq(bridge.expression(text), bridge.expression(stops)),
       inputTypes = Seq(StringType, ArrayType(StringType)),
       returnNullable = false))
 

@@ -297,14 +297,19 @@ object Text {
     * map-side only. Non-English docs naturally fail the stopword rule —
     * that is the rule working as published, not a bug. */
   def gopherQualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
-    val nW = size(toks).cast("long")
-    val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
-      (a, x) => a + x).cast("double") / greatest(nW.cast("double"), lit(1.0))
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = size(filter(
-      array(stops.map(lit): _*), s => array_contains(toks, s)))
+    // one tokenization pass via the gopherStats kernel (the composable
+    // size/aggregate/array_contains form re-tokenized ~11× per document);
+    // the g array is referenced by several columns, so CollapseProject
+    // keeps the single call (non-cheap multi-reference rule)
+    val g = graft.functions.TextKernels.gopherStatsKernel(
+      col("text"), array(stops.map(lit): _*))
+    val nW = element_at(col("g"), 1)
+    val meanLen = element_at(col("g"), 2).cast("double") /
+      greatest(nW.cast("double"), lit(1.0))
+    val stopHits = element_at(col("g"), 3).cast("int")
     Tables.documents(spark, dir)
+      .select(col("doc_id"), g.as("g"))
       .select(col("doc_id"), nW.as("n_words"),
         meanLen.as("mean_word_len"), stopHits.as("stop_hits"),
         (nW.between(50L, 100000L) && meanLen.between(3.0, 10.0) &&
