@@ -207,6 +207,37 @@ object TextKernels {
     new GenericArrayData(Array[Any](toks.length.toLong, totalLen, hits))
   }
 
+  /** One-pass language-marker scores: for each language's marker list,
+    * the count of document tokens contained in it (occurrences, matching
+    * the composable `size(filter(toks, isin(markers)))` — which
+    * re-tokenized the document once per language per consumer, ~15× in
+    * the lang-id plan). Tokenization mirrors [[termFreqs]]. */
+  def langScores(text: UTF8String, markers: ArrayData): ArrayData = {
+    val toks = text.toLowerCase.trim().toString.split("\\s+").filter(_.nonEmpty)
+    val nLangs = markers.numElements()
+    val out = new Array[Long](nLangs)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var l = 0
+      while (l < nLangs) {
+        val ms = markers.getArray(l)
+        val k = ms.numElements()
+        var j = 0
+        var hit = false
+        while (j < k && !hit) {
+          val m = ms.getUTF8String(j)
+          if (m != null && m.toString == t) hit = true
+          j += 1
+        }
+        if (hit) out(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Column wrappers (StaticInvoke => direct static call in codegen) ---
 
   def shinglesKernel(text: Column, k: Int): Column =
@@ -245,6 +276,15 @@ object TextKernels {
       "termFreqs",
       Seq(bridge.expression(text), bridge.expression(terms)),
       inputTypes = Seq(StringType, ArrayType(StringType)),
+      returnNullable = false))
+
+  def langScoresKernel(text: Column, markers: Column): Column =
+    bridge.column(StaticInvoke(
+      TextKernels.getClass,
+      ArrayType(LongType, containsNull = false),
+      "langScores",
+      Seq(bridge.expression(text), bridge.expression(markers)),
+      inputTypes = Seq(StringType, ArrayType(ArrayType(StringType))),
       returnNullable = false))
 
   def gopherStatsKernel(text: Column, stops: Column): Column =

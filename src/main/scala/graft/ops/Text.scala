@@ -92,23 +92,23 @@ object Text {
     * language code. Pure per-row expression work (array intersection
     * against tiny literal arrays) — embarrassingly parallel at any scale. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokensCol(lower(col("text")))
-    val scoresArr = array(langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(
-        size(filter(toks, t => t.isin(markers: _*))).as("score"),
-        lit(lang).as("lang"))
-    }: _*)
-    val best = array_max(scoresArr.getField("score"))
-    // among max-score entries pick the smallest lang code (deterministic)
-    val pred = array_min(
-      transform(filter(scoresArr, s => s.getField("score") === best),
-        s => s.getField("lang")))
+    // one tokenization pass via the langScores kernel (the composable
+    // per-language size(filter(isin)) form re-expanded into ~15 splits
+    // per document across its consumers); languages sorted ascending so
+    // array_position's FIRST max = the smallest lang code on ties —
+    // identical to the previous array_min-over-ties rule
+    val sorted = langMarkers.toSeq.sortBy(_._1)
+    val markersArr = array(sorted.map { case (_, ms) => array(ms.map(lit): _*) }: _*)
+    val langsArr = array(sorted.map(p => lit(p._1)): _*)
+    val sc = graft.functions.TextKernels.langScoresKernel(col("text"), markersArr)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_true"), sc.as("sc"))
       .select(
         col("doc_id"),
-        col("lang").as("lang_true"),
-        pred.as("lang_pred"),
-        best.as("score"))
+        col("lang_true"),
+        element_at(langsArr,
+          array_position(col("sc"), array_max(col("sc"))).cast("int")).as("lang_pred"),
+        array_max(col("sc")).cast("int").as("score"))
       .orderBy("doc_id")
   }
 
