@@ -56,4 +56,38 @@ class TextKernelsSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)))
   }
+
+  test("termFreqs kernel: counts, case/whitespace normalization, empty text") {
+    import spark.implicits._
+    val terms = array(lit("spark"), lit("join"))
+    val rows = Seq(
+      (1L, "  Spark SPARK join x  "),
+      (2L, ""),
+      (3L, "nothing relevant here")).toDF("id", "text")
+      .select(col("id"), TextKernels.termFreqsKernel(col("text"), terms).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("t")).toMap
+    assert(rows(1L) == Seq(4L, 2L, 1L)) // [n_tokens, tf(spark), tf(join)]
+    assert(rows(2L) == Seq(0L, 0L, 0L))
+    assert(rows(3L) == Seq(3L, 0L, 0L))
+  }
+
+  test("gopherStats kernel: word count, total chars, DISTINCT stop hits") {
+    import spark.implicits._
+    val stops = array(lit("the"), lit("of"))
+    val out = Seq((1L, "The the cat of it")).toDF("id", "text")
+      .select(TextKernels.gopherStatsKernel(col("text"), stops).as("g"))
+      .first().getAs[scala.collection.Seq[Long]]("g")
+    // 5 words, 3+3+3+2+2 = 13 chars, both stopwords present (distinct = 2,
+    // not 3 occurrences)
+    assert(out == Seq(5L, 13L, 2L))
+  }
+
+  test("langScores kernel: per-language occurrence counts in one pass") {
+    import spark.implicits._
+    val markers = array(array(lit("der"), lit("und")), array(lit("the"), lit("and")))
+    val out = Seq((1L, "the cat AND the dog und der")).toDF("id", "text")
+      .select(TextKernels.langScoresKernel(col("text"), markers).as("s"))
+      .first().getAs[scala.collection.Seq[Long]]("s")
+    assert(out == Seq(2L, 3L)) // de: und+der = 2; en: the×2 + and = 3
+  }
 }
