@@ -62,7 +62,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warm $t: $e") }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // iteration aid (never set by the driver): SPARK_GRAFT_ONLY=a,b,c
+    // restricts the run to the named queries and skips the streaming
+    // micro-bench, so a single query can be re-timed in seconds.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
     val first = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % GcEvery == 0) System.gc() // bound cross-query GC debt
       name -> timeQuery(spark, sfDir, name, fn)
@@ -76,20 +82,34 @@ object Bench {
     }
     val reran = first.count(_._2 > RerunThresholdSec)
 
-    // streaming micro-bench: watermarked sliding-window counts over the
-    // events table replayed as a file stream — makes EventStream throughput
-    // regressions visible to the driver. Reports input rows next to the
-    // seconds so the line reads as throughput, not just latency.
-    var streamRows = 0L
-    val streamTotal = {
-      val t0 = System.nanoTime()
-      try {
-        val ev = graft.streaming.EventStream.readEvents(spark, sfDir)
-        graft.streaming.EventStream.runToCompletion(
-          graft.streaming.EventStream.slidingCounts(ev), "bench_stream")
-        streamRows = spark.read.parquet(s"$sfDir/events.parquet").count()
-      } catch { case e: Throwable => System.err.println(s"[bench] stream failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+    // streaming micro-bench, two lines: (1) watermarked sliding-window
+    // counts — the stateless-ish agg path; (2) dropDuplicatesWithinWatermark
+    // — the state-store path, so dedup-state regressions are visible too.
+    // Input rows are counted OUTSIDE the timed windows (the count is setup,
+    // not streaming work) and reported next to the seconds so each line
+    // reads as throughput, not just latency. Skipped under SPARK_GRAFT_ONLY.
+    val streamRows =
+      if (only.isDefined) 0L
+      else try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case e: Throwable => System.err.println(s"[bench] stream rows: $e"); 0L }
+    def timeStream(label: String)(run: => Unit): Double =
+      if (only.isDefined) 0.0
+      else {
+        val t0 = System.nanoTime()
+        try run
+        catch { case e: Throwable => System.err.println(s"[bench] $label failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+    val streamTotal = timeStream("stream") {
+      val ev = graft.streaming.EventStream.readEvents(spark, sfDir)
+      graft.streaming.EventStream.runToCompletion(
+        graft.streaming.EventStream.slidingCounts(ev), "bench_stream")
+    }
+    val streamDedup = timeStream("stream_dedup") {
+      val ev = graft.streaming.EventStream.readEvents(spark, sfDir)
+      graft.streaming.EventStream.runToCompletion(
+        graft.streaming.EventStream.streamingDedup(ev), "bench_stream_dedup",
+        org.apache.spark.sql.streaming.OutputMode.Append())
     }
 
     val total = results.map(_._2).sum
@@ -101,14 +121,25 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val detailJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"queries":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_rows":$streamRows,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailJson) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
-    println(f"""{"metric":"stream_total","value":$streamTotal%.2f,"unit":"sec","query":"sliding_counts","rows":$streamRows,"sf":"$sfDir"}""")
+    for ((metric, q, t) <- Seq(
+      ("stream_total", "sliding_counts", streamTotal),
+      ("stream_dedup", "dropDuplicatesWithinWatermark", streamDedup)))
+      println(streamLine(metric, q, t, streamRows, sfDir))
     println(compactLine(results, sfDir, streamTotal))
     spark.stop()
+  }
+
+  /** One streaming metric line: seconds plus input rows plus derived
+    * rows/sec, so the line reads as throughput. */
+  def streamLine(metric: String, query: String, sec: Double, rows: Long,
+                 sfDir: String): String = {
+    val rps = if (sec > 0) rows / sec else 0.0
+    f"""{"metric":"$metric","value":$sec%.2f,"unit":"sec","query":"$query","rows":$rows,"rows_per_sec":$rps%.0f,"sf":"$sfDir"}"""
   }
 
   /** The stdout summary line, greedily packed so it ALWAYS fits the
@@ -118,8 +149,9 @@ object Bench {
   def compactLine(results: Seq[(String, Double)], sfDir: String,
                   streamTotal: Double = 0.0): String = {
     val total = results.map(_._2).sum
-    // whole line + the preceding stream_total line must fit the 2000-char tail
-    val budget = 1350
+    // whole line + the TWO preceding stream_* lines (~150 chars each) must
+    // fit the 2000-char tail together
+    val budget = 1250
     val byCost = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0

@@ -137,12 +137,20 @@ object TextKernels {
       var hi = v - 1
       var c = 1L
       var found = false
-      while (lo <= hi && !found) {
-        val mid = (lo + hi) >>> 1
-        val cmp = keys.getUTF8String(mid).compareTo(t)
-        if (cmp == 0) { c = counts.getLong(mid); found = true }
-        else if (cmp < 0) lo = mid + 1
-        else hi = mid - 1
+      // null guards (mirroring termFreqs/gopherStats): a null trigram
+      // scores as an absent one (count 1), and a null model key sorts
+      // FIRST (sort_array nulls-first order), so the search steps past it
+      // instead of NPE-ing — the kernel is user-reachable through the
+      // registered SQL function graft_trigram_score with arbitrary arrays.
+      if (t != null) {
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val k = keys.getUTF8String(mid)
+          val cmp = if (k == null) -1 else k.compareTo(t)
+          if (cmp == 0) { c = counts.getLong(mid); found = true }
+          else if (cmp < 0) lo = mid + 1
+          else hi = mid - 1
+        }
       }
       sum += Math.log(c.toDouble / tc)
       i += 1
@@ -205,6 +213,35 @@ object TextKernels {
     var j = 0
     while (j < k) { if (seen(j)) hits += 1; j += 1 }
     new GenericArrayData(Array[Any](toks.length.toLong, totalLen, hits))
+  }
+
+  /** One-pass repetition stats: [n_tokens, n_distinct, top_bigram_count,
+    * n_bigrams]. The composable form exploded one row per bigram and
+    * stacked two hash aggregates just to recover a per-doc scalar — this
+    * does one tokenization, one distinct-token set, and one bigram count
+    * map per document, making the repetition query pure map-side.
+    * Tokenization mirrors [[termFreqs]] (UTF8String.toLowerCase + trim,
+    * split on `\s+`, empty tokens dropped). n_bigrams = n_tokens − 1 for
+    * n_tokens ≥ 2, else 0 (top_bigram_count 0). */
+  def repStats(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.trim().toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    var topBigram = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Long]()
+      i = 1
+      while (i < n) {
+        val bg = toks(i - 1) + " " + toks(i)
+        val c = counts.merge(bg, 1L, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    new GenericArrayData(Array[Any](n.toLong, distinct.size.toLong,
+      topBigram, if (n >= 2) (n - 1).toLong else 0L))
   }
 
   /** One-pass language-marker scores: for each language's marker list,
@@ -276,6 +313,15 @@ object TextKernels {
       "termFreqs",
       Seq(bridge.expression(text), bridge.expression(terms)),
       inputTypes = Seq(StringType, ArrayType(StringType)),
+      returnNullable = false))
+
+  def repStatsKernel(text: Column): Column =
+    bridge.column(StaticInvoke(
+      TextKernels.getClass,
+      ArrayType(LongType, containsNull = false),
+      "repStats",
+      Seq(bridge.expression(text)),
+      inputTypes = Seq(StringType),
       returnNullable = false))
 
   def langScoresKernel(text: Column, markers: Column): Column =

@@ -373,7 +373,9 @@ object Aggregates {
     * the EXACT companion (hashable in DuckDB) plus `est_ok` = estimate
     * within 10% of exact, checked in-plan — the oracle emits TRUE, so a
     * drifting sketch flips the oracle row red. Tighter error pinning
-    * stays in AggregatesSpec. */
+    * stays in AggregatesSpec. SCALE CAVEAT: the exact countDistinct
+    * companion expands all values — oracle-harness-only; at 100 TB run
+    * the sketch columns alone (see [[percentilesApprox]]). */
   def hllMergePartials(spark: SparkSession, dir: String): DataFrame = {
     val partials = Tables.orders(spark, dir)
       .groupBy("o_orderstatus", "o_orderpriority")
@@ -426,7 +428,16 @@ object Aggregates {
     * reproducible in DuckDB, so the output carries the EXACT percentiles
     * (hashable vs quantile_cont) plus per-quantile `*_ok` booleans =
     * sketch within 2% of exact, checked in-plan; the oracle emits TRUE.
-    * AggregatesSpec pins tighter rank-error bounds. */
+    * AggregatesSpec pins tighter rank-error bounds.
+    *
+    * SCALE CAVEAT: the exact `percentile()` companions buffer all group
+    * values, so THIS query as benched is the oracle-harness shape, not the
+    * bounded-memory production shape — at 100 TB run the sketch columns
+    * alone (drop the exact companions and `*_ok` probes; the sketch is the
+    * operator, the exact side exists to make it falsifiable cross-engine).
+    * The fixed 2% tolerance is calibrated to the GK accuracy knob (1000)
+    * on these distributions; an adversarial distribution could flake it —
+    * in that case widen the knob, not the tolerance. */
   def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus").as("status"))
@@ -468,8 +479,12 @@ object Aggregates {
   /** HLL-sketch distinct — the 100 TB answer to count-distinct (single
     * aggregation pass, fixed-size sketch, no expand). rsd = 0.02: the
     * 2%-error register count costs ~2× less per-row update than 1% and
-    * AggregatesSpec pins the result within 5% of exact. No DuckDB oracle
-    * (approx values differ per implementation) → rows-only check. */
+    * AggregatesSpec pins the result within 5% of exact. Approx values
+    * differ per implementation, so the output hashes via the EXACT
+    * countDistinct companion + in-plan `est_ok` (oracle emits TRUE).
+    * SCALE CAVEAT: that exact companion expands all values —
+    * oracle-harness-only; at 100 TB run the sketch column alone (see
+    * [[percentilesApprox]]). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("priority"))

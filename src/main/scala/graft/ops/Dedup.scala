@@ -321,6 +321,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // labels are checkpointed (every round materializes through one), so
+    // the static edge cache is no longer reachable from the result —
+    // release it instead of leaking one cached DataFrame per call
+    und.unpersist(blocking = false)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
@@ -338,10 +342,17 @@ object Dedup {
     * unchanged — the clustering operator is agnostic to the pair source
     * (RecallSpec covers that composition on planted duplicates). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the undirected-edge union reads the pair list twice, and
-    // every propagation round joins against it — without this the whole
-    // pair pipeline re-runs per read
-    val pairs = ngramJaccardCore(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    // localCheckpoint (eager), not persist: the undirected-edge union reads
+    // the pair list twice and every propagation round joins against it, and
+    // checkpointing ALSO truncates the whole ngram-pipeline lineage — each
+    // CC round plans against a flat block scan instead of re-analyzing the
+    // full explode/agg/pair-kernel plan just to hit its cache. Once the
+    // checkpoint materializes, the pair generator's internal posting cache
+    // is unreachable — release it (CacheHygieneSpec pins no leaks).
+    val (pairsDf, releasePostings) =
+      ngramJaccardPairsReleasable(Tables.documents(spark, dir))
+    val pairs = pairsDf.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    releasePostings()
     connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -360,7 +371,16 @@ object Dedup {
   /** Core over any (doc_id, text) DataFrame — unsorted; the recall/
     * equivalence specs run it on planted corpora against an independent
     * in-test reimplementation. */
-  def ngramJaccardPairsDf(documents: DataFrame): DataFrame = {
+  def ngramJaccardPairsDf(documents: DataFrame): DataFrame =
+    ngramJaccardPairsReleasable(documents)._1
+
+  /** [[ngramJaccardPairsDf]] plus a release thunk that unpersists the
+    * internal posting-list cache — for callers (dedupClusters) that
+    * materialize the pairs eagerly and can free the cache immediately.
+    * Lazy callers keep the plain variant: the cache must outlive their
+    * first action, so releasing is the caller's session's job there. */
+  private[graft] def ngramJaccardPairsReleasable(
+      documents: DataFrame): (DataFrame, () => Unit) = {
     import graft.functions.GraftFunctions.pairsCol
     import graft.functions.TextKernels
     // Jaccard over the CAPPED feature space: shingles with document
@@ -394,13 +414,14 @@ object Dedup {
       .select(explode(pairsCol(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val pairs = common
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    (pairs, () => { kept.unpersist(blocking = false); () })
   }
 
   // ---- SQL-parity MinHash (cross-engine reproducible) -----------------

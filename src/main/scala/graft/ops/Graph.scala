@@ -31,16 +31,28 @@ object Graph {
     * order), so the pair expansion is bounded per key — the same
     * blocked-pair discipline as the dedup candidate generators. */
   def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val once = coPurchaseOnce(spark, dir)
+    once.union(once.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Canonical (src < dst) distinct co-purchase pairs — one row per
+    * undirected edge. The dedup shuffle runs HERE, on m canonical rows:
+    * [[coPurchaseEdges]] then mirrors the already-distinct halves (a
+    * canonical set unioned with its swap is distinct by construction), so
+    * nothing ever distincts the doubled edge list. Triangle counting
+    * consumes this form directly and never materializes both directions. */
+  def coPurchaseOnce(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 25)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val fwd = li.groupBy(col("ok"))
+    li.groupBy(col("ok"))
       .agg(array_distinct(collect_list(col("pk"))).as("pks"))
       .filter(size(col("pks")) >= 2)
       .select(explode(pairsCol(col("pks"))).as("p"))
-      .select(col("p.a").as("src"), col("p.b").as("dst"))
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .select(least(col("p.a"), col("p.b")).as("src"),
+        greatest(col("p.a"), col("p.b")).as("dst"))
+      .distinct()
   }
 
   /** Simplified PageRank (uniform teleport, unnormalized: r' = (1−d) +
@@ -48,38 +60,50 @@ object Graph {
     * that carry at least one out-edge. Fixed `iters` rounds keeps the
     * result deterministic and cross-engine reproducible. */
   def pageRank(edges: DataFrame, iters: Int = 6, d: Double = 0.85,
-               checkpointEvery: Int = 2): DataFrame = {
+               checkpointEvery: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
     val reliableDir = spark.conf.getOption(Dedup.CheckpointDirKey)
     reliableDir.foreach(spark.sparkContext.setCheckpointDir)
     // static side: partition on the propagation key once, reuse every round
     val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+    // outdeg rides INSIDE the rank table (node, outdeg, rank): contributions
+    // become a pure map-side projection and the only per-round joins are the
+    // big e⋈contribs equi-join plus the tiny rank⋈summed re-attach — one
+    // fewer join per round than keeping a separate degree table. The extra
+    // 8 bytes/row shuffled are nothing next to a whole join stage.
+    var ranks = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"), lit(1.0).as("rank"))
     var i = 0
     while (i < iters) {
-      val contribs = ranks
-        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
-        .select(col("node").as("src"), (col("rank") / col("outdeg")).as("contrib"))
+      val contribs = ranks.select(col("node").as("src"),
+        (col("rank") / col("outdeg")).as("contrib"))
       val summed = e.join(contribs, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msum"))
-      ranks = deg.select(col("src").as("node"))
+      ranks = ranks.select(col("node"), col("outdeg"))
         .join(summed.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit(1.0 - d) + lit(d) * coalesce(col("msum"), lit(0.0))).as("rank"))
       i += 1
       if (i % checkpointEvery == 0 || i == iters) {
         ranks = reliableDir match {
           case Some(_) =>
+            // persist first so the checkpoint write replays from cache, and
+            // unpersist right after — the checkpointed copy supersedes it
             ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            ranks.checkpoint()
+            val chk = ranks.checkpoint()
+            ranks.unpersist(blocking = false)
+            chk
           case None => ranks.localCheckpoint()
         }
       }
     }
-    ranks
+    // the final ranks are checkpointed (i == iters above), so the static
+    // edge cache is no longer reachable from the result — release it rather
+    // than leaking one cached DataFrame per call into long-lived sessions
+    // (Bench clears caches between queries, library callers don't).
+    e.unpersist(blocking = false)
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Driver query: top 25 parts by co-purchase PageRank. Ordered by the
@@ -101,28 +125,69 @@ object Graph {
     * orientation would funnel every wedge through the hubs — the
     * difference between O(m^1.5) and O(m·d_max) at 100 TB. Entirely
     * integer arithmetic, so the DuckDB oracle matches bit-for-bit. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
-    triangleCountsDf(coPurchaseEdges(spark, dir))
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.pairsCol
+    // directed co-purchase pairs, BOTH directions in one explode pass
+    // (cross-order duplicates are fine — the adjacency collect_set below
+    // dedups inside its aggregate, so no standalone distinct shuffle runs)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.groupBy(col("ok"))
+      .agg(array_distinct(collect_list(col("pk"))).as("pks"))
+      .filter(size(col("pks")) >= 2)
+      .select(pairsCol(col("pks")).as("ps"))
+      .select(explode(concat(col("ps"),
+        transform(col("ps"), p => struct(p.getField("b").as("a"), p.getField("a").as("b"))))).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+    triangleCountsDf(pairs)
+  }
 
-  /** Core of [[triangleCounts]] over any undirected (both-directions,
-    * self-loop-free) edge list. */
-  def triangleCountsDf(und: DataFrame): DataFrame = {
+  /** Core of [[triangleCounts]] over any directed edge list covering both
+    * directions of each undirected edge (self-loop-free; duplicate rows
+    * allowed — they collapse inside the adjacency aggregate).
+    *
+    * Shape: ONE collect_set aggregate builds the adjacency (degree = list
+    * size, free — no separate degree shuffle, no standalone distinct), one
+    * equi-join attaches neighbor degrees for the (degree, id) orientation,
+    * one more aggregate builds the ORIENTED adjacency, and the closing join
+    * intersects oriented out-lists per edge — every common w closes
+    * u→v, u→w, v→w exactly once. Intersection cost per edge is bounded by
+    * the oriented out-degrees (≈√m), keeping the O(m^1.5) bound, and the
+    * quadratic wedge set is never shuffled (the wedge self-join shape
+    * shuffled one row per wedge — Σ outdeg²). The adjacency sides are O(m)
+    * total payload: AQE broadcasts them at bench scale, and beyond
+    * broadcast size they degrade to ordinary shuffled equi-joins. */
+  def triangleCountsDf(directed: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val once = und.filter(col("src") < col("dst"))
-      .join(deg.select(col("src").as("u"), col("deg").as("du")), col("src") === col("u"))
-      .join(deg.select(col("src").as("v"), col("deg").as("dv")), col("dst") === col("v"))
-    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("src") < col("dst"))
-    val o = once.select(
-      when(fwd, col("src")).otherwise(col("dst")).as("lo"),
-      when(fwd, col("dst")).otherwise(col("src")).as("hi"))
+    // full adjacency: consumed by the explode side AND the degree join side
+    val adj = directed.groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("nbrs"))
+      .select(col("src").as("node"), col("nbrs"),
+        size(col("nbrs")).cast("long").as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = o.select(col("lo").as("a"), col("hi").as("b"))
-      .join(o.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
-      .join(o.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+    val oriented = adj
+      .select(col("node").as("u"), col("deg").as("du"), explode(col("nbrs")).as("v"))
+      .join(adj.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+    // oriented adjacency: consumed by the explode side AND the close join
+    val oadj = oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("on"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = oadj
+      .select(col("u"), col("on").as("un"), explode(col("on")).as("v"))
+      .join(oadj.select(col("u").as("v"), col("on").as("vn")), Seq("v"))
+      .select(col("u"), col("v"), explode(array_intersect(col("un"), col("vn"))).as("w"))
+    // materialize the 25-row result eagerly (localCheckpoint) so the cached
+    // inputs can be released before returning — no leaked cache blocks for
+    // long-lived library sessions (CacheHygieneSpec pins this)
+    val out = tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
       .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(desc("n_triangles"), col("part_id"))
       .limit(25)
+      .localCheckpoint()
+    adj.unpersist(blocking = false)
+    oadj.unpersist(blocking = false)
+    out
   }
 }

@@ -373,10 +373,14 @@ object Text {
     * ANN operators in [[Vectors]]).
     *
     * Scale shape: ZERO explode — per-document term frequencies for the
-    * (tiny, fixed) query vocabulary come from ONE tokenization pass
-    * (the [[graft.functions.TextKernels.termFreqs]] codegen kernel; the
-    * composable `size(filter(split(...)))` form re-tokenized the text
-    * once per column with interpreted lambdas); the corpus statistics
+    * (tiny, fixed) query vocabulary come from ONE tokenization pass PER
+    * BRANCH (the [[graft.functions.TextKernels.termFreqs]] codegen
+    * kernel; the composable `size(filter(split(...)))` form re-tokenized
+    * the text once per column with interpreted lambdas). The projected tf
+    * table feeds two consumers — the stats aggregate and the scoring
+    * branch — with no exchange between them, so the corpus is scanned
+    * twice and the kernel runs at most twice per document
+    * (PlanShapeSpec pins ≤ 2, not 1); the corpus statistics
     * (N, avgdl, per-term document frequencies) are ONE single-row
     * aggregate broadcast back via crossJoin; the result is a
     * TakeOrderedAndProject top-k. The only full shuffle at any scale is
@@ -427,34 +431,32 @@ object Text {
     * that the length-based [[gopherQualityFilter]] rules miss. Emits the
     * rule inputs plus the keep flag (audit shape, like the other filters).
     *
-    * Scale shape: the dup-word fraction is a pure map-side array
-    * expression; the top-bigram share explodes bigrams once and stacks two
-    * hash aggregates ((doc, bigram) counts, then per-doc max/sum), so the
-    * only shuffle carries per-partition (doc, bigram) partials. */
+    * Scale shape: PURE MAP-SIDE — one [[graft.functions.TextKernels.repStats]]
+    * kernel call per document yields [n_tokens, n_distinct,
+    * top_bigram_count, n_bigrams]; no shuffle anywhere (the earlier shape
+    * exploded one row per bigram and stacked two hash aggregates to
+    * recover a per-doc scalar). PlanShapeSpec pins the one-call shape. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+    val rs = graft.functions.TextKernels.repStatsKernel(col("text"))
+    // coalesce makes each extracted column non-nullable, so no inferred
+    // isnotnull constraint re-invokes the kernel per column (same
+    // CollapseProject trap as bm25Retrieval)
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    val bigramTop = base
-      .filter(col("n_tokens") >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"))
-        .as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
+      .select(col("doc_id"), rs.as("rs"))
+      .select(col("doc_id"),
+        coalesce(element_at(col("rs"), 1), lit(0L)).as("n_tokens"),
+        coalesce(element_at(col("rs"), 2), lit(0L)).as("n_distinct"),
+        coalesce(element_at(col("rs"), 3), lit(0L)).as("top_bg"),
+        coalesce(element_at(col("rs"), 4), lit(0L)).as("n_bg"))
     // fractions stay UNROUNDED: both are int/int quotients, bit-identical
     // cross-engine, and round() on terminating quotients is where
     // HALF_UP-vs-binary tie bugs live (same rule as qualityScores)
-    base.join(bigramTop, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
+    base.select(col("doc_id"), col("n_tokens"),
         (lit(1.0) - col("n_distinct").cast("double") /
           greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_word_frac"),
-        coalesce(col("top_frac"), lit(0.0)).as("top_bigram_frac"))
+        when(col("n_bg") > 0,
+          col("top_bg").cast("double") / col("n_bg").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= 0.95 && col("top_bigram_frac") <= 0.18)
       .orderBy("doc_id")

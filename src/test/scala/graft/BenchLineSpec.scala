@@ -10,7 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  private val maxLine = 1900 // 2000-char tail minus the sbt success trailer
+  // 2000-char tail minus the sbt success trailer minus the two stream_*
+  // metric lines (~160 chars each) that print before the compact line
+  private val maxLine = 1550
 
   test("compact line fits the tail for today's query set") {
     val results = SparkEntry.queries.keys.toSeq.map(k => k -> 1.234)
@@ -27,6 +29,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"nq\":500"))
     // the most expensive query must always be visible
     assert(line.contains("extremely_long_query_name_that_pads_the_line_500"))
+  }
+
+  test("stream lines are short and carry rows/sec") {
+    val l = Bench.streamLine("stream_dedup", "dropDuplicatesWithinWatermark",
+      4.567, 123456L, "/root/testdata/sf0.1")
+    assert(l.length <= 170, s"stream line is ${l.length} chars")
+    assert(l.contains("\"rows\":123456") && l.contains("\"rows_per_sec\":27032"))
+    // zero-duration guard (SPARK_GRAFT_ONLY skip path) must not divide by 0
+    assert(Bench.streamLine("stream_total", "q", 0.0, 10L, "sf")
+      .contains("\"rows_per_sec\":0"))
   }
 
   test("total and other account for every query (nothing silently dropped)") {

@@ -246,6 +246,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 2, s"termFreqs appears $n times:\n${plan.take(3000)}")
   }
 
+  test("text_repetition: one repStats kernel call, no shuffle, no join") {
+    // the four stat columns extract from ONE repStats call and the query
+    // is pure map-side until the final sort — no bigram explode, no
+    // (doc, bigram) aggregate, no join back
+    val df = Text.repetitionFilter(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val n = "repStats".r.findAllIn(plan).size
+    assert(n == 1, s"repStats appears $n times:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate"), plan.take(3000)) // no explode
+    assert(!plan.contains("Join"), plan.take(3000))
+    // only the output orderBy may exchange on data (the other exchange is
+    // Tables.spread's round-robin source fan-out, not query work)
+    val ex = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(ex <= 1, s"$ex required exchanges:\n${plan.take(3000)}")
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))

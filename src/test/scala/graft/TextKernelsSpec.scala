@@ -82,6 +82,66 @@ class TextKernelsSpec extends SparkSpec {
     assert(out == Seq(5L, 13L, 2L))
   }
 
+  test("repStats kernel: tokens, distinct, top bigram, bigram total") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "  a B a b A b  "),   // toks: a b a b a b -> 6 toks, 2 distinct,
+                                 // bigrams: "a b"×3 "b a"×2 -> top 3 of 5
+      (2L, "solo"),              // 1 token -> no bigrams
+      (3L, "")).toDF("id", "text")
+      .select(col("id"), TextKernels.repStatsKernel(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("r")).toMap
+    assert(rows(1L) == Seq(6L, 2L, 3L, 5L))
+    assert(rows(2L) == Seq(1L, 1L, 0L, 0L))
+    assert(rows(3L) == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("repStats kernel matches the composable explode/agg form on real docs") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+    val composable = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val bigramTop = composable.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    val expected = composable.join(bigramTop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        coalesce(col("top_bg"), lit(0L)).as("top_bg"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bg"))
+    val kernel = docs.select(col("doc_id"),
+      TextKernels.repStatsKernel(col("text")).as("r"))
+      .select(col("doc_id"),
+        element_at(col("r"), 1).as("n_tokens"),
+        element_at(col("r"), 2).as("n_distinct"),
+        element_at(col("r"), 3).as("top_bg"),
+        element_at(col("r"), 4).as("n_bg"))
+    assert(kernel.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(kernel).count() == 0)
+  }
+
+  test("trigramScore kernel survives null trigrams and null model keys") {
+    import spark.implicits._
+    // null trigram element -> scored as absent (count 1); null key -> skipped
+    val score = Seq(1).toDF("x").select(
+      TextKernels.trigramScoreKernel(
+        array(lit("abc"), lit(null).cast("string")),
+        array(lit(null).cast("string"), lit("abc")),
+        array(lit(7L), lit(4L)),
+        lit(10.0)).as("s"))
+      .first().getDouble(0)
+    // "abc": binary search over [null, "abc"] must find count 4 (null sorts
+    // first); null trigram scores log(1/10)
+    val expected = (math.log(4.0 / 10.0) + math.log(1.0 / 10.0)) / 2
+    assert(math.abs(score - expected) < 1e-12, s"got $score want $expected")
+  }
+
   test("langScores kernel: per-language occurrence counts in one pass") {
     import spark.implicits._
     val markers = array(array(lit("der"), lit("und")), array(lit("the"), lit("and")))
