@@ -135,9 +135,11 @@ object SparkEntry {
     "dedup_simhash"     -> (Dedup.simhashGroups(_, _)),
     "dedup_simhash_near"-> (Dedup.simhashNearPairs(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+    "dedup_containment" -> (Dedup.containmentPairs(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     // --- similarity search ---
     "ann_brute_force"   -> (Vectors.annBruteForce(_, _)),
+    "ann_range_search"  -> (Vectors.rangeSearch(_, _)),
     "ann_lsh"           -> (Vectors.annLsh(_, _)),
     "ann_ivf"           -> (Vectors.annIvf(_, _)),
     "emb_near_dup"      -> (Vectors.cosineNearDupPairs(_, _)),
@@ -150,9 +152,11 @@ object SparkEntry {
     // --- iterative graph analytics ---
     "graph_pagerank"    -> (Graph.pagerankTop(_, _)),
     "graph_triangles"   -> (Graph.triangleCounts(_, _)),
+    "graph_nbr_jaccard" -> (Graph.neighborJaccard(_, _)),
     // --- data-quality / CDC ---
     "dq_report"         -> (Quality.dqReport(_, _)),
     "dq_snapshot_diff"  -> (Quality.snapshotDiff(_, _)),
+    "dq_drift"          -> (Quality.dqDrift(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -797,6 +801,48 @@ object SparkEntry {
 
     "graph_pagerank" -> pagerankOracle,
 
+    // neighbor-Jaccard link prediction: same capped inverted-index shape
+    // as dedup_ngram_jaccard with node=document, neighbor=feature;
+    // existing edges excluded; cut by rounded score + id tie-break
+    "graph_nbr_jaccard" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+        |  WHERE l1.l_quantity >= 25 AND l2.l_quantity >= 25),
+        |adjd AS (SELECT dst AS w, count(*) AS d FROM edges GROUP BY 1),
+        |kept AS (SELECT e.dst AS w, e.src AS node
+        |         FROM edges e JOIN adjd a ON a.w = e.dst WHERE a.d <= 256),
+        |sizes AS (SELECT node, count(*) AS sz FROM kept GROUP BY 1),
+        |common AS (SELECT a.node AS u, b.node AS v, count(*) AS common
+        |           FROM kept a JOIN kept b ON a.w = b.w AND a.node < b.node
+        |           GROUP BY 1, 2),
+        |cand AS (SELECT u, v, common FROM common c
+        |         WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                           WHERE e.src = c.u AND e.dst = c.v)),
+        |j AS (SELECT u AS part_a, v AS part_b,
+        |             round(common / CAST(su.sz + sv.sz - common AS DOUBLE), 4) AS nbr_jaccard
+        |      FROM cand JOIN sizes su ON u = su.node
+        |                JOIN sizes sv ON v = sv.node)
+        |SELECT part_a, part_b, nbr_jaccard FROM j
+        |ORDER BY nbr_jaccard DESC, part_a, part_b LIMIT 50""".stripMargin,
+
+    // PSI drift: fixed 50k bands over order totals, baseline/current split
+    // on the fixed date pivot, Laplace-smoothed shares (n+0.5 / N+4.5)
+    "dq_drift" ->
+      """WITH b AS (SELECT CAST(least(floor(o_totalprice / 50000.0), 8) AS BIGINT) AS bucket,
+        |                  o_orderdate < TIMESTAMP '1995-06-17 00:00:00' AS is_base
+        |           FROM orders),
+        |c AS (SELECT bucket,
+        |             count(*) FILTER (WHERE is_base) AS n_base,
+        |             count(*) FILTER (WHERE NOT is_base) AS n_curr
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_curr) AS tc FROM c)
+        |SELECT bucket, n_base, n_curr,
+        |       round(((n_base + 0.5) / (tb + 4.5) - (n_curr + 0.5) / (tc + 4.5)) *
+        |             ln(((n_base + 0.5) / (tb + 4.5)) / ((n_curr + 0.5) / (tc + 4.5))), 6) AS psi_term
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
     // A-ES weighted sampling: discrete output (the continuous key never
     // leaves the plan); u is exact integer arithmetic scaled by 2^-32
     "pipeline_weighted_sample" ->
@@ -1219,6 +1265,18 @@ object SparkEntry {
         |SELECT q_id, rk, c_id, label, round(cos, 4) AS cos
         |FROM s WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
+    // range search: everything within the cosine radius; the threshold
+    // compares the ROUNDED similarity so the cut line is engine-stable
+    "ann_range_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 10)
+        |SELECT q_id, vec_id AS c_id, label,
+        |       round(list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings CROSS JOIN q
+        |WHERE vec_id <> q_id
+        |  AND round(list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])), 4) >= 0.25
+        |ORDER BY q_id, c_id""".stripMargin,
+
     // the LSH hyperplanes are deterministic ±1 literals, rendered into the
     // SQL — the full multi-table LSH pipeline pinned by an independent
     // engine (float32 gotcha: CAST embeddings to DOUBLE[])
@@ -1463,6 +1521,30 @@ object SparkEntry {
         |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
         |             JOIN sizes sb ON doc_b = sb.doc_id) q
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same inverted-index pipeline as dedup_ngram_jaccard; asymmetric
+    // containment score |A∩B|/min(|A|,|B|) over the capped feature space
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     sh AS (SELECT doc_id,
+        |                   list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                                                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |            FROM toks),
+        |     post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |     kept AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= 100),
+        |     kp AS (SELECT p.doc_id, p.shingle FROM post p JOIN kept k ON p.shingle = k.shingle),
+        |     sizes AS (SELECT doc_id, count(*) AS sz FROM kp GROUP BY 1),
+        |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |               FROM kp a JOIN kp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |               GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sz_a, sz_b, containment FROM (
+        |  SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b,
+        |         round(common / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS containment
+        |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        |             JOIN sizes sb ON doc_b = sb.doc_id) q
+        |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
 
     // same pair pipeline + recursive-CTE transitive closure; label = min id
     // reachable (matches min-label-propagation connected components)

@@ -381,6 +381,22 @@ object Dedup {
     * first action, so releasing is the caller's session's job there. */
   private[graft] def ngramJaccardPairsReleasable(
       documents: DataFrame): (DataFrame, () => Unit) = {
+    val (stats, release) = ngramPairStatsReleasable(documents)
+    val pairs = stats.select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    (pairs, release)
+  }
+
+  /** Shared candidate-pair statistics for the set-overlap dedup family:
+    * (doc_a < doc_b, common, sz_a, sz_b) over the MaxDf-capped int64-hashed
+    * shingle space. [[ngramJaccardPairsReleasable]] derives Jaccard
+    * (symmetric near-dup) and [[containmentPairs]] derives containment
+    * (asymmetric doc-inside-doc) from the same stats — one inverted-index
+    * pipeline, two similarity semantics. */
+  private def ngramPairStatsReleasable(
+      documents: DataFrame): (DataFrame, () => Unit) = {
     import graft.functions.GraftFunctions.pairsCol
     import graft.functions.TextKernels
     // Jaccard over the CAPPED feature space: shingles with document
@@ -414,14 +430,31 @@ object Dedup {
       .select(explode(pairsCol(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val pairs = common
+    val stats = common
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    (stats, () => { kept.unpersist(blocking = false); () })
+  }
+
+  /** N-gram CONTAINMENT pairs — the asymmetric overlap measure
+    * C(A,B) = |A∩B| / min(|A|,|B|): a short document embedded verbatim in
+    * a longer one scores ~1.0 here while its Jaccard stays low (the union
+    * is dominated by the long side), so this is the operator that catches
+    * quote-expansion / doc-inside-doc duplication that [[ngramJaccardPairs]]
+    * misses. Same capped inverted-index candidate generation (pairs only
+    * exist where shingles collide — never all-pairs), same int64-hashed
+    * posting shuffle; only the final score/threshold differ. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsDf(Tables.documents(spark, dir))
+
+  /** Core of [[containmentPairs]] over any (doc_id, text) DataFrame. */
+  def containmentPairsDf(documents: DataFrame): DataFrame = {
+    val (stats, _) = ngramPairStatsReleasable(documents)
+    stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
         round(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-    (pairs, () => { kept.unpersist(blocking = false); () })
+          least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---- SQL-parity MinHash (cross-engine reproducible) -----------------

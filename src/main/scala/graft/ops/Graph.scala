@@ -115,6 +115,78 @@ object Graph {
       .orderBy(desc("rank"), col("part_id"))
       .limit(25)
 
+  /** Link prediction — top 50 NON-adjacent part pairs by neighbor-set
+    * Jaccard |N(u)∩N(v)| / |N(u)∪N(v)| (the classic common-neighbors
+    * feature): pairs of parts never bought together whose co-purchase
+    * neighborhoods overlap most — recommendation candidates.
+    *
+    * Scale shape: the same capped inverted-index discipline as the dedup
+    * family, with "document" = node and "feature" = neighbor — common
+    * counts come from a self-equi-join of the capped (w, node) edge list
+    * on the intermediate w (whole-stage-codegen'd; an in-array pair
+    * kernel was measured 2.5× slower here because adjacency rows run to
+    * ~maxDeg elements and per-element lambdas evaluate interpreted),
+    * with intermediates above `maxDeg` excluded BEFORE the quadratic
+    * step (a hub's d² wedge explosion is the scale killer; excluding it
+    * mirrors MaxDf — the score is exact over the retained feature space,
+    * and restricted degrees use the same retained space so the ratio
+    * stays consistent). Existing edges drop via an anti-join; the cut is
+    * by ROUNDED score with id tie-breaks (cross-engine-stable line). */
+  def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame = {
+    import graft.functions.GraftFunctions.pairsCol
+    // same directed-pairs-with-dups feed as triangleCounts: the adjacency
+    // collect_set dedups in-aggregate, so no standalone distinct shuffle
+    // and no doubled edge list are ever built
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.groupBy(col("ok"))
+      .agg(array_distinct(collect_list(col("pk"))).as("pks"))
+      .filter(size(col("pks")) >= 2)
+      .select(pairsCol(col("pks")).as("ps"))
+      .select(explode(concat(col("ps"),
+        transform(col("ps"), p => struct(p.getField("b").as("a"), p.getField("a").as("b"))))).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+    neighborJaccardDf(pairs, maxDeg)
+  }
+
+  /** Core of [[neighborJaccard]] over any directed edge list covering both
+    * directions of each undirected edge (self-loop-free; duplicate rows
+    * allowed — they collapse inside the adjacency aggregate). */
+  def neighborJaccardDf(directed: DataFrame, maxDeg: Int = 256): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // full adjacency: ONE aggregate feeds everything — the capped
+    // inverted index (filtered explode), the restricted degrees, and the
+    // adjacency check for the final anti-join (map-side explode)
+    val adj = directed.groupBy(col("src").as("w"))
+      .agg(collect_set(col("dst")).as("ids"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keptRaw = adj.filter(size(col("ids")) <= maxDeg)
+      .select(col("w"), explode(col("ids")).as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = keptRaw.groupBy(col("node")).agg(count(lit(1)).as("sz"))
+    val wedges = keptRaw.select(col("w"), col("node").as("u"))
+      .join(keptRaw.select(col("w"), col("node").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val und = adj.select(col("w").as("u"), explode(col("ids")).as("v"))
+    // sizes re-attach AFTER the pair aggregate is a ~|V|-row broadcast
+    // onto the pair table — map-side, never a pair-table shuffle
+    val out = wedges
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .join(sizes.select(col("node").as("u"), col("sz").as("sz_u")), Seq("u"))
+      .join(sizes.select(col("node").as("v"), col("sz").as("sz_v")), Seq("v"))
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        round(col("common").cast("double") /
+          (col("sz_u") + col("sz_v") - col("common")), 4).as("nbr_jaccard"))
+      .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
+      .limit(50) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
+      .localCheckpoint() // eager, so the caches below can release (CacheHygieneSpec)
+    adj.unpersist(blocking = false)
+    keptRaw.unpersist(blocking = false)
+    out
+  }
+
   /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration — the
     * standard trick that keeps triangle counting near-linear on power-law
     * graphs: each undirected edge is directed from its lower-(degree, id)

@@ -62,6 +62,36 @@ object Quality {
       .orderBy("check")
   }
 
+  /** Distribution-drift audit (Population Stability Index) between the
+    * "baseline" and "current" halves of the orders table (split on a
+    * fixed order-date pivot — the before/after-a-load shape): order
+    * totals bucket into fixed 50k-wide bands (top band open-ended) and
+    * each band contributes (p−q)·ln(p/q) with Laplace-smoothed shares
+    * (n+0.5 over N+4.5, nine possible bands), so an empty band degrades
+    * smoothly instead of dividing by zero. Per-band terms are emitted
+    * (the audit wants to see WHERE the drift is); Σ psi_term ≥ 0.2 is
+    * the conventional "investigate" line.
+    *
+    * Scale shape: one scan → one hash aggregate keyed by the 9 bands →
+    * single-row totals broadcast back via crossJoin (documented in the
+    * no-NLJ whitelist) → map-side math. O(#bands) output at any scale. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.orders(spark, dir)
+      .select(
+        least(floor(col("o_totalprice") / 50000.0), lit(8)).cast("long").as("bucket"),
+        (col("o_orderdate") < lit("1995-06-17").cast("timestamp")).as("is_base"))
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(count(when(col("is_base"), 1)).as("n_base"),
+        count(when(!col("is_base"), 1)).as("n_curr"))
+    val totals = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_curr")).as("tc"))
+    val p = (col("n_base") + 0.5) / (col("tb") + 4.5)
+    val q = (col("n_curr") + 0.5) / (col("tc") + 4.5)
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_curr"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy("bucket")
+  }
+
   /** CDC-style snapshot diff: two deterministic "versions" of the orders
     * table (v1 drops keys ≡ 9 mod 10; v2 drops keys ≡ 0 mod 10 and bumps
     * totalprice by 1000 for keys ≡ 0 mod 7 — an exact double addition, so

@@ -109,6 +109,28 @@ object Vectors {
       .orderBy("q_id", "rk")
   }
 
+  /** Range search — ALL corpus vectors within a cosine radius of each
+    * query (the "give me everything similar enough" retrieval mode, vs
+    * top-k's fixed cut): queries broadcast, corpus scored map-side, the
+    * threshold compares the ROUNDED similarity so the cut line is
+    * cross-engine stable. Same scale shape as [[annBruteForce]] — the
+    * only shuffle is the output sort; at 100 TB the same thresholded
+    * scoring runs per LSH/IVF candidate bucket instead of the full scan
+    * (compose [[annLsh]]'s candidate join with this filter). */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.25): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("label"),
+        round(cosineCol(col("q_vec"), col("c_vec")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("q_id", "c_id")
+  }
+
   /** Multi-table LSH ANN: candidates share a code with the query in ≥1 of
     * the L tables; exact cosine re-rank keeps top-3 per query. The bucket
     * join carries only ids — vectors are joined back per unique candidate

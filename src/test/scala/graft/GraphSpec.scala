@@ -49,6 +49,23 @@ class GraphSpec extends SparkSpec {
     assert(got == expected, s"got ${got.take(5)} expected ${expected.take(5)}")
   }
 
+  test("neighbor jaccard: planted shared-neighborhood pair tops, adjacent pairs excluded") {
+    import spark.implicits._
+    // 1 and 2 share ALL three neighbors {3,4,5} and are NOT adjacent ->
+    // score 1.0 at the top; 1-3 are adjacent so never emitted; 6 hangs off
+    // 3 only -> (1,6)/(2,6) share {3} of unions of size 3
+    val once = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (2L, 5L), (3L, 6L))
+    val und = once.toDF("src", "dst")
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val rows = graft.ops.Graph.neighborJaccardDf(sym).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        r.getAs[Double]("nbr_jaccard")).toMap
+    assert(rows((1L, 2L)) == 1.0, s"got $rows")
+    assert(!rows.keySet.exists { case (a, b) =>
+      once.contains((a, b)) || once.contains((b, a)) }, s"adjacent pair emitted: $rows")
+    assert(rows((1L, 6L)) == math.rint(1.0 / 3.0 * 10000) / 10000)
+  }
+
   test("co-purchase edges are symmetric and self-loop-free") {
     val e = Graph.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet

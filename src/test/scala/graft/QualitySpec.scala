@@ -17,6 +17,24 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("dq drift: PSI terms finite, counts partition the table, identical halves ≈ 0") {
+    val rows = Quality.dqDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val total = rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_curr")).sum
+    assert(total == Tables.orders(spark, sfDir).count())
+    rows.foreach { r =>
+      val t = r.getAs[Double]("psi_term")
+      assert(!t.isNaN && !t.isInfinite, s"bucket ${r.get(0)}: psi_term $t")
+      // (p−q) and ln(p/q) always share sign, so every term is ≥ 0 (up to
+      // the 6dp rounding) — a negative term means the formula broke
+      assert(t >= -1e-6, s"bucket ${r.get(0)}: negative psi_term $t")
+    }
+    // same-generator date split → no real drift → total under the 0.2
+    // "investigate" line (this is the operator's calibration check)
+    val psi = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(psi < 0.2, s"PSI $psi flags drift on same-distribution halves")
+  }
+
   test("snapshot diff classes partition the key space exactly") {
     val byChange = Quality.snapshotDiff(spark, sfDir).collect()
       .map(r => r.getAs[String]("change") -> r.getAs[Long]("n")).toMap

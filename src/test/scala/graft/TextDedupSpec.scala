@@ -84,6 +84,32 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("containment catches a planted doc-inside-doc that jaccard misses") {
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")   // short is a prefix
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    // all 8 of short's 3-shingles appear in long -> containment 1.0
+    assert(cont.get((1L, 2L)).contains(1.0), s"got $cont")
+    assert(!cont.contains((1L, 3L)) && !cont.contains((2L, 3L)))
+    // the same pair is INVISIBLE to jaccard at 0.5 (8 common of 58 union)
+    val jac = Dedup.ngramJaccardPairsDf(docs).collect()
+    assert(!jac.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+  }
+
+  test("containment pairs on real docs: canonical order, threshold, size sanity") {
+    Dedup.containmentPairs(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0, s"containment $c out of range")
+      assert(r.getAs[Long]("sz_a") > 0 && r.getAs[Long]("sz_b") > 0)
+    }
+  }
+
   test("pack sequences: offsets inside the budget, bins contiguous per lang") {
     val rows = graft.ops.Text.packSequences(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -58,6 +58,20 @@ class VectorsSpec extends SparkSpec {
     assert(hits.toDouble / lsh.length >= 0.3, s"$hits/${lsh.length} recalled")
   }
 
+  test("range search is consistent with brute-force top-k at the radius") {
+    val range = Vectors.rangeSearch(spark, sfDir).collect()
+    assert(range.nonEmpty)
+    range.foreach(r => assert(r.getAs[Double]("cos") >= 0.25))
+    // completeness: every brute-force top-5 neighbor at or above the
+    // radius must appear in the range result for the same query
+    val rangeSet = range.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val missing = Vectors.annBruteForce(spark, sfDir).collect()
+      .filter(_.getAs[Double]("cos") >= 0.25)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+      .filterNot(rangeSet.contains)
+    assert(missing.isEmpty, s"top-k hits missing from range result: $missing")
+  }
+
   test("near-dup pairs are ordered and above threshold") {
     Vectors.cosineNearDupPairs(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
