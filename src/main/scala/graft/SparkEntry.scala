@@ -124,6 +124,7 @@ object SparkEntry {
     "text_perplexity"   -> (Text.trigramPerplexity(_, _)),
     "text_entropy"      -> (Text.tokenEntropy(_, _)),
     "text_bm25"         -> (Text.bm25Retrieval(_, _)),
+    "text_hybrid_search"-> (Text.hybridSearch(_, _)),
     "text_repetition"   -> (Text.repetitionFilter(_, _)),
     "pipeline_weighted_sample" -> (Text.weightedSample(_, _)),
     "ev_transitions"    -> (EventTime.eventTransitions(_, _)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "ann_lsh"           -> (Vectors.annLsh(_, _)),
     "ann_ivf"           -> (Vectors.annIvf(_, _)),
     "emb_near_dup"      -> (Vectors.cosineNearDupPairs(_, _)),
+    "emb_dup_clusters"  -> (Vectors.embDupClusters(_, _)),
     "emb_label_stats"   -> (Vectors.labelCentroids(_, _)),
     "emb_knn_classify"  -> (Vectors.knnClassify(_, _)),
     "emb_quantize"      -> (Vectors.quantizeInt8(_, _)),
@@ -763,6 +765,42 @@ object SparkEntry {
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    // RRF fusion of the bm25 leg (same tf/st CTEs) and a cosine leg
+    // (query vector = embedding of id 0); ranks over ROUNDED scores with
+    // id tie-breaks on pre-limited top-100 lists, so every rank — and
+    // therefore the fused sum — is engine-stable
+    "text_hybrid_search" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))::DOUBLE AS dl,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'spark'))::DOUBLE AS tf0,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'shuffle'))::DOUBLE AS tf1,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'join'))::DOUBLE AS tf2
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf),
+        |bm AS (SELECT doc_id, round(
+        |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        |  FROM tf, st WHERE tf0 + tf1 + tf2 > 0),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rk
+        |        FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT vec_id AS doc_id,
+        |              round(list_cosine_similarity(q, CAST(embedding AS DOUBLE[])), 4) AS cos
+        |       FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        |vec AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rk
+        |        FROM (SELECT doc_id, cos FROM vs ORDER BY cos DESC, doc_id LIMIT 100)),
+        |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |             round(coalesce(1.0 / (60 + lex_rk), 0.0) +
+        |                   coalesce(1.0 / (60 + vec_rk), 0.0), 6) AS rrf
+        |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
     // fractions unrounded: int/int quotients are bit-identical cross-engine
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
@@ -1301,6 +1339,35 @@ object SparkEntry {
 
     // same rendered-hyperplane trick as ann_lsh: bucket-capped candidate
     // pairs + exact-cosine verify, fully reproduced in DuckDB
+    // the emb_near_dup pair pipeline + the dedup_clusters recursive-CTE
+    // closure: the full semantic-dedup composition replayed cross-engine
+    "emb_dup_clusters" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |codes AS (
+         |${graft.ops.Vectors.lshOracleCodes}
+         |),
+         |g AS (SELECT t, code FROM codes GROUP BY 1, 2
+         |      HAVING count(*) BETWEEN 2 AND 2000),
+         |kc AS (SELECT c.vec_id, c.t, c.code FROM codes c JOIN g USING (t, code)),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM kc a JOIN kc b ON a.t = b.t AND a.code = b.code
+         |                             AND a.vec_id < b.vec_id),
+         |prs AS (SELECT id_a, id_b
+         |        FROM pairs JOIN v va ON id_a = va.vec_id
+         |                   JOIN v vb ON id_b = vb.vec_id
+         |        WHERE list_cosine_similarity(va.e, vb.e) >= 0.45),
+         |und AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+         |           FROM reach GROUP BY src)
+         |SELECT label AS keep_id, count(*) AS cluster_size,
+         |       array_to_string(list_sort(list(id)), ',') AS members
+         |FROM labels GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
     "emb_near_dup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |codes AS (

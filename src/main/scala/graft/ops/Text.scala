@@ -387,7 +387,15 @@ object Text {
     * the top-k's final merge. Ordering is by ROUNDED score (then
     * doc_id), so the cross-engine cut line never depends on a last-ulp
     * difference. */
-  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+
+  /** Unlimited BM25 score table (doc_id, bm25) for the fixed query-term
+    * set — the pre-top-k core of [[bm25Retrieval]], reused as the lexical
+    * leg of [[hybridSearch]]. */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "shuffle", "join")
     val k1 = 1.2
     val b = 0.75
@@ -421,7 +429,44 @@ object Text {
       .select(col("doc_id"), score.as("score_raw"))
       .filter(col("score_raw") > 0)
       .select(col("doc_id"), round(col("score_raw"), 4).as("bm25"))
-      .orderBy(desc("bm25"), col("doc_id"))
+  }
+
+  /** Hybrid retrieval — Reciprocal Rank Fusion of the BM25 lexical leg
+    * and a vector-similarity leg (query vector = embedding of id 0; the
+    * id spaces of `documents` and `embeddings` coincide in the driver
+    * data, the usual doc↔embedding pairing): each leg contributes
+    * 1/(60 + rank) over its TOP-100 (ranking only a bounded top list is
+    * both the standard RRF practice and what makes the rank window
+    * scale-safe — it runs on ≤ 100 rows regardless of corpus size).
+    * Ranks order by ROUNDED score with id tie-breaks, so both the cut
+    * lines and the fused sum are cross-engine stable. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rrfK = 60
+    val topN = 100
+    // windows partition by a constant: a deliberate single partition of a
+    // PRE-LIMITED 100-row list (not an unbounded unpartitioned window)
+    val lexW = Window.partitionBy(lit("lex")).orderBy(desc("bm25"), col("doc_id"))
+    val lex = bm25Scores(spark, dir)
+      .orderBy(desc("bm25"), col("doc_id")).limit(topN)
+      .select(col("doc_id"), row_number().over(lexW).as("lex_rk"))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+    val vecW = Window.partitionBy(lit("vec")).orderBy(desc("cos"), col("doc_id"))
+    val vec = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(qv)) // single-row query-vector broadcast
+      .select(col("doc_id"),
+        round(graft.ops.Vectors.cosineCol(col("q_vec"), col("c_vec")), 4).as("cos"))
+      .orderBy(desc("cos"), col("doc_id")).limit(topN)
+      .select(col("doc_id"), row_number().over(vecW).as("vec_rk"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rk")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
       .limit(20)
   }
 

@@ -186,6 +186,31 @@ object Vectors {
       .orderBy("id_a", "id_b")
   }
 
+  /** SEMANTIC dedup clusters: the embedding-space near-dup pair graph
+    * ([[cosineNearDupPairsDf]] — LSH-banded candidates, exact-cosine
+    * verified) closed into clusters by the same label-propagation
+    * connected components the text dedup family uses
+    * ([[graft.ops.Dedup.connectedComponents]]) — keeper = smallest id.
+    * This is the composition a training-data pipeline runs when "same
+    * content" means same MEANING, not same n-grams: paraphrases and
+    * translations collapse here that every lexical signal misses. The
+    * pair source is deterministic (fixed hyperplanes), so the whole
+    * composition — LSH, verification, transitive closure — is replayable
+    * in DuckDB (recursive-CTE closure over the SQL-rendered LSH pairs). */
+  def embDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // eager checkpoint: truncates the LSH/cosine lineage under the CC
+    // rounds and lets this operator leave no cache behind (CacheHygieneSpec)
+    val pairs = cosineNearDupPairsDf(Tables.embeddings(spark, dir))
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("keep_id"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy("keep_id")
+  }
+
   /** The full centroid table collapsed to ONE row holding an array of
     * (cent_id, cent_vec) structs — broadcastable, so centroid assignment
     * becomes a pure map-side operation (a crossJoin with one row + a

@@ -134,6 +134,7 @@ class PlanShapeSpec extends SparkSpec {
       "q22_idle_rich",     // single-row broadcast scalar-subquery crossJoin
       "text_perplexity",   // single-row broadcast model-map crossJoin
       "text_bm25",         // single-row broadcast corpus-stats crossJoin
+      "text_hybrid_search", // single-row query-vector + corpus-stats crossJoins
       "pipeline_mixture",  // single-row broadcast grand-total crossJoin
       "pipeline_temp_resample") // two single-row broadcast scalar crossJoins
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -173,6 +173,23 @@ class TextDedupSpec extends SparkSpec {
     assert(withTerm == hitIds.size, s"$withTerm of ${hitIds.size} hits contain a query term")
   }
 
+  test("hybrid search: RRF bounds, descending, both legs contribute") {
+    val rows = graft.ops.Text.hybridSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    // each leg contributes at most 1/(60+1); two legs cap the fusion
+    assert(rrfs.forall(r => r > 0 && r <= 2.0 / 61 + 1e-9))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // the fused top must include the lexical #1 and the vector #1 —
+    // RRF's defining property (rank 1 in any leg ≥ 1/61, which beats any
+    // doc ranked below ~40 in both legs)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val lexTop = graft.ops.Text.bm25Scores(spark, sfDir)
+      .orderBy(desc("bm25"), col("doc_id")).limit(1)
+      .collect().head.getAs[Long]("doc_id")
+    assert(ids.contains(lexTop), s"lexical top $lexTop missing from fused top-20")
+  }
+
   test("repetition filter: fractions in range, top-bigram lower bound holds") {
     val rows = graft.ops.Text.repetitionFilter(spark, sfDir).collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())

@@ -58,6 +58,26 @@ class VectorsSpec extends SparkSpec {
     assert(hits.toDouble / lsh.length >= 0.3, s"$hits/${lsh.length} recalled")
   }
 
+  test("semantic dup clusters agree with the near-dup pair graph") {
+    val pairs = Vectors.cosineNearDupPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val clusters = Vectors.embDupClusters(spark, sfDir).collect()
+    val label = clusters.flatMap { r =>
+      val keep = r.getAs[Long]("keep_id")
+      r.getAs[String]("members").split(",").map(_.toLong -> keep)
+    }.toMap
+    // every near-dup pair must land in one cluster, keeper = min member
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label(a) == label(b), s"pair ($a,$b) split")
+    }
+    clusters.foreach { r =>
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(r.getAs[Long]("cluster_size") == members.length)
+      assert(r.getAs[Long]("keep_id") == members.min)
+      assert(members.length >= 2, "singleton cluster emitted")
+    }
+  }
+
   test("range search is consistent with brute-force top-k at the radius") {
     val range = Vectors.rangeSearch(spark, sfDir).collect()
     assert(range.nonEmpty)
