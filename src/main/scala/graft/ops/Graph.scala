@@ -55,6 +55,25 @@ object Graph {
       .distinct()
   }
 
+  /** Directed co-purchase pairs, BOTH directions in one explode pass,
+    * duplicate rows across orders allowed — the feed for the
+    * adjacency-aggregate operators ([[pageRankAdj]] via [[pagerankTop]],
+    * [[triangleCounts]], [[neighborJaccard]]), whose `collect_set` dedups
+    * inside the aggregate so no standalone distinct shuffle ever runs. */
+  private def coPurchaseDirected(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.pairsCol
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.groupBy(col("ok"))
+      .agg(array_distinct(collect_list(col("pk"))).as("pks"))
+      .filter(size(col("pks")) >= 2)
+      .select(pairsCol(col("pks")).as("ps"))
+      .select(explode(concat(col("ps"),
+        transform(col("ps"), p => struct(p.getField("b").as("a"), p.getField("a").as("b"))))).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+  }
+
   /** Simplified PageRank (uniform teleport, unnormalized: r' = (1−d) +
     * d·Σ_in r/outdeg — the textbook power-iteration form) over the nodes
     * that carry at least one out-edge. Fixed `iters` rounds keeps the
@@ -62,18 +81,45 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 6, d: Double = 0.85,
                checkpointEvery: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val spark = edges.sparkSession
-    val reliableDir = spark.conf.getOption(Dedup.CheckpointDirKey)
-    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
     // static side: partition on the propagation key once, reuse every round
     val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    // outdeg rides INSIDE the rank table (node, outdeg, rank): contributions
-    // become a pure map-side projection and the only per-round joins are the
-    // big e⋈contribs equi-join plus the tiny rank⋈summed re-attach — one
-    // fewer join per round than keeping a separate degree table. The extra
-    // 8 bytes/row shuffled are nothing next to a whole join stage.
-    var ranks = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ranks0 = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("node"), col("outdeg"), lit(1.0).as("rank"))
+    powerIterate(e, ranks0, iters, d, checkpointEvery, Seq(e))
+  }
+
+  /** [[pageRank]] over the ADJACENCY-aggregate form (src, ids): the edge
+    * list explodes map-side from the cached adjacency — already hash-
+    * partitioned on src by the aggregate's own exchange, so no
+    * repartition — and the initial rank table is a pure projection
+    * (outdeg = list size), so the degree aggregation disappears too. Two
+    * full shuffles (distinct + repartition) and one aggregate cheaper
+    * than the generic edge-list path; same update, same result. */
+  def pageRankAdj(adj: DataFrame, iters: Int = 6, d: Double = 0.85,
+                  checkpointEvery: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val adjP = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = adjP.select(col("src"), explode(col("ids")).as("dst"))
+    val ranks0 = adjP.select(col("src").as("node"),
+      size(col("ids")).cast("long").as("outdeg"), lit(1.0).as("rank"))
+    powerIterate(e, ranks0, iters, d, checkpointEvery, Seq(adjP))
+  }
+
+  /** The shared power-iteration loop. outdeg rides INSIDE the rank table
+    * (node, outdeg, rank): contributions become a pure map-side
+    * projection and the only per-round joins are the big e⋈contribs
+    * equi-join plus the tiny rank⋈summed re-attach — one fewer join per
+    * round than keeping a separate degree table (the extra 8 bytes/row
+    * shuffled are nothing next to a whole join stage). `static` lists the
+    * caches to release once the final ranks are checkpointed. */
+  private def powerIterate(e: DataFrame, ranks0: DataFrame, iters: Int,
+                           d: Double, checkpointEvery: Int,
+                           static: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = e.sparkSession
+    val reliableDir = spark.conf.getOption(Dedup.CheckpointDirKey)
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    var ranks = ranks0
     var i = 0
     while (i < iters) {
       val contribs = ranks.select(col("node").as("src"),
@@ -99,10 +145,10 @@ object Graph {
       }
     }
     // the final ranks are checkpointed (i == iters above), so the static
-    // edge cache is no longer reachable from the result — release it rather
+    // caches are no longer reachable from the result — release them rather
     // than leaking one cached DataFrame per call into long-lived sessions
     // (Bench clears caches between queries, library callers don't).
-    e.unpersist(blocking = false)
+    static.foreach(_.unpersist(blocking = false))
     ranks.select(col("node"), col("rank"))
   }
 
@@ -110,7 +156,8 @@ object Graph {
     * ROUNDED rank (ties broken by part id) so the top-k cut line never
     * depends on a last-ulp summation difference between engines. */
   def pagerankTop(spark: SparkSession, dir: String): DataFrame =
-    pageRank(coPurchaseEdges(spark, dir))
+    pageRankAdj(coPurchaseDirected(spark, dir)
+        .groupBy(col("src")).agg(collect_set(col("dst")).as("ids")))
       .select(col("node").as("part_id"), round(col("rank"), 4).as("rank"))
       .orderBy(desc("rank"), col("part_id"))
       .limit(25)
@@ -132,23 +179,8 @@ object Graph {
     * and restricted degrees use the same retained space so the ratio
     * stays consistent). Existing edges drop via an anti-join; the cut is
     * by ROUNDED score with id tie-breaks (cross-engine-stable line). */
-  def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame = {
-    import graft.functions.GraftFunctions.pairsCol
-    // same directed-pairs-with-dups feed as triangleCounts: the adjacency
-    // collect_set dedups in-aggregate, so no standalone distinct shuffle
-    // and no doubled edge list are ever built
-    val li = Tables.lineitem(spark, dir)
-      .filter(col("l_quantity") >= 25)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.groupBy(col("ok"))
-      .agg(array_distinct(collect_list(col("pk"))).as("pks"))
-      .filter(size(col("pks")) >= 2)
-      .select(pairsCol(col("pks")).as("ps"))
-      .select(explode(concat(col("ps"),
-        transform(col("ps"), p => struct(p.getField("b").as("a"), p.getField("a").as("b"))))).as("p"))
-      .select(col("p.a").as("src"), col("p.b").as("dst"))
-    neighborJaccardDf(pairs, maxDeg)
-  }
+  def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame =
+    neighborJaccardDf(coPurchaseDirected(spark, dir), maxDeg)
 
   /** Core of [[neighborJaccard]] over any directed edge list covering both
     * directions of each undirected edge (self-loop-free; duplicate rows
@@ -197,23 +229,8 @@ object Graph {
     * orientation would funnel every wedge through the hubs — the
     * difference between O(m^1.5) and O(m·d_max) at 100 TB. Entirely
     * integer arithmetic, so the DuckDB oracle matches bit-for-bit. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.pairsCol
-    // directed co-purchase pairs, BOTH directions in one explode pass
-    // (cross-order duplicates are fine — the adjacency collect_set below
-    // dedups inside its aggregate, so no standalone distinct shuffle runs)
-    val li = Tables.lineitem(spark, dir)
-      .filter(col("l_quantity") >= 25)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.groupBy(col("ok"))
-      .agg(array_distinct(collect_list(col("pk"))).as("pks"))
-      .filter(size(col("pks")) >= 2)
-      .select(pairsCol(col("pks")).as("ps"))
-      .select(explode(concat(col("ps"),
-        transform(col("ps"), p => struct(p.getField("b").as("a"), p.getField("a").as("b"))))).as("p"))
-      .select(col("p.a").as("src"), col("p.b").as("dst"))
-    triangleCountsDf(pairs)
-  }
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsDf(coPurchaseDirected(spark, dir))
 
   /** Core of [[triangleCounts]] over any directed edge list covering both
     * directions of each undirected edge (self-loop-free; duplicate rows

@@ -22,7 +22,8 @@ class CacheHygieneSpec extends SparkSpec {
     persisted.foreach(_.unpersist(blocking = true))
   }
 
-  for (q <- Seq("graph_pagerank", "graph_triangles", "dedup_clusters"))
+  for (q <- Seq("graph_pagerank", "graph_triangles", "graph_nbr_jaccard",
+    "dedup_clusters", "emb_dup_clusters"))
     test(s"$q leaves no cached plans behind (checkpoint blocks whitelisted)") {
       clearAll() // isolate from whatever earlier suites left in the session
       SparkEntry.queries(q)(spark, sfDir)
