@@ -1,11 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
 
-/** Column-level helpers shared by the dedup/similarity operators. All are
-  * pure Catalyst expression compositions (higher-order functions) — they
-  * stay inside WholeStageCodegen and never fall back to UDFs.
+/** Column-level helpers shared by the dedup/similarity operators. The HOF
+  * compositions stay inside WholeStageCodegen and never fall back to UDFs;
+  * the JVM kernel exists for the one case where the HOF's per-element
+  * interpreted lambdas are the measured bottleneck (large arrays).
   */
 object GraftFunctions {
 
@@ -14,8 +20,51 @@ object GraftFunctions {
     * after LSH bucketing. Emitting pairs from a grouped id list keeps the
     * shuffle narrow — two ids per row instead of two full feature arrays.
     * Bucket-size caps must be applied by the caller BEFORE this (the output
-    * is quadratic in the bucket size). */
+    * is quadratic in the bucket size). Fine for the SHORT lists it is used
+    * on (order groups ≤ 7, capped LSH buckets); for long adjacency rows
+    * use [[sortedLongPairsKernel]] — transform/slice lambdas evaluate
+    * interpreted per element, measured ~2× slower at ~10⁷ pairs. */
   def pairsCol(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b")))))
+
+  /** Kernel form of [[pairsCol]] for long-array pair explosion: sorts a
+    * copy of the int64 ids and emits all C(n,2) pairs (a < b) in one JVM
+    * call per row (StaticInvoke — a direct static call inside codegen,
+    * zero per-element closure overhead). Null elements are dropped. The
+    * caller must cap n BEFORE this (quadratic output). */
+  def sortedLongPairs(ids: ArrayData): ArrayData = {
+    val n0 = ids.numElements()
+    val a = new Array[Long](n0)
+    var n = 0
+    var i = 0
+    while (i < n0) {
+      if (!ids.isNullAt(i)) { a(n) = ids.getLong(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(a, 0, n)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](a(i), a(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def sortedLongPairsKernel(ids: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      ArrayType(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))), containsNull = false),
+      "sortedLongPairs",
+      Seq(bridge.expression(ids)),
+      inputTypes = Seq(ArrayType(LongType)),
+      returnNullable = false))
 }

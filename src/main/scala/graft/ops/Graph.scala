@@ -169,16 +169,17 @@ object Graph {
     *
     * Scale shape: the same capped inverted-index discipline as the dedup
     * family, with "document" = node and "feature" = neighbor — common
-    * counts come from a self-equi-join of the capped (w, node) edge list
-    * on the intermediate w (whole-stage-codegen'd; an in-array pair
-    * kernel was measured 2.5× slower here because adjacency rows run to
-    * ~maxDeg elements and per-element lambdas evaluate interpreted),
-    * with intermediates above `maxDeg` excluded BEFORE the quadratic
-    * step (a hub's d² wedge explosion is the scale killer; excluding it
-    * mirrors MaxDf — the score is exact over the retained feature space,
-    * and restricted degrees use the same retained space so the ratio
-    * stays consistent). Existing edges drop via an anti-join; the cut is
-    * by ROUNDED score with id tie-breaks (cross-engine-stable line). */
+    * counts come from per-intermediate pair expansion via the
+    * [[graft.functions.GraftFunctions.sortedLongPairs]] JVM kernel (one
+    * static call per adjacency row; the HOF pairsCol evaluates its
+    * lambdas interpreted, measured ~2× slower on these ~maxDeg-element
+    * rows, and a self-join on w emits twice the rows), with intermediates
+    * above `maxDeg` excluded BEFORE the quadratic step (a hub's d² wedge
+    * explosion is the scale killer; excluding it mirrors MaxDf — the
+    * score is exact over the retained feature space, and restricted
+    * degrees use the same retained space so the ratio stays consistent).
+    * Existing edges drop via an anti-join; the cut is by ROUNDED score
+    * with id tie-breaks (cross-engine-stable line). */
   def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame =
     neighborJaccardDf(coPurchaseDirected(spark, dir), maxDeg)
 
@@ -186,20 +187,24 @@ object Graph {
     * directions of each undirected edge (self-loop-free; duplicate rows
     * allowed — they collapse inside the adjacency aggregate). */
   def neighborJaccardDf(directed: DataFrame, maxDeg: Int = 256): DataFrame = {
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
     import org.apache.spark.storage.StorageLevel
-    // full adjacency: ONE aggregate feeds everything — the capped
-    // inverted index (filtered explode), the restricted degrees, and the
-    // adjacency check for the final anti-join (map-side explode)
+    // full adjacency: ONE aggregate feeds everything — the capped pair
+    // expansion, the restricted degrees, and the adjacency check for the
+    // final anti-join (all map-side derivations of the cached aggregate)
     val adj = directed.groupBy(col("src").as("w"))
       .agg(collect_set(col("dst")).as("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val keptRaw = adj.filter(size(col("ids")) <= maxDeg)
-      .select(col("w"), explode(col("ids")).as("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = keptRaw.groupBy(col("node")).agg(count(lit(1)).as("sz"))
-    val wedges = keptRaw.select(col("w"), col("node").as("u"))
-      .join(keptRaw.select(col("w"), col("node").as("v")), Seq("w"))
-      .filter(col("u") < col("v"))
+    val kept = adj.filter(size(col("ids")) <= maxDeg)
+    val sizes = kept.select(explode(col("ids")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("sz"))
+    // per-intermediate pair explosion via the JVM pair kernel: one static
+    // call per adjacency row emits its C(d,2) pairs directly — half the
+    // rows of a self-join on w (which emits both orders then filters) and
+    // no join machinery; the caller-side cap bounds each row's output
+    val wedges = kept
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
     val und = adj.select(col("w").as("u"), explode(col("ids")).as("v"))
     // sizes re-attach AFTER the pair aggregate is a ~|V|-row broadcast
     // onto the pair table — map-side, never a pair-table shuffle
@@ -215,7 +220,6 @@ object Graph {
       .limit(50) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
       .localCheckpoint() // eager, so the caches below can release (CacheHygieneSpec)
     adj.unpersist(blocking = false)
-    keptRaw.unpersist(blocking = false)
     out
   }
 

@@ -144,6 +144,18 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("sortedLongPairs kernel == pairsCol on sorted input; sorts and drops nulls") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
+    // unsorted with a null: kernel sorts a copy and skips the null
+    val df = Seq(Tuple1(Seq[java.lang.Long](4L, 1L, null, 3L, 2L))).toDF("ids")
+    val pairs = df.select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+      .select("p.a", "p.b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // every pair canonical (a < b)
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("weighted sample: contiguous per-lang ranks, WindowGroupLimit top-k") {
     val df = graft.ops.Text.weightedSample(spark, sfDir)
     val rows = df.collect()
