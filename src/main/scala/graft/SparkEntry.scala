@@ -125,6 +125,7 @@ object SparkEntry {
     "text_entropy"      -> (Text.tokenEntropy(_, _)),
     "text_bm25"         -> (Text.bm25Retrieval(_, _)),
     "text_hybrid_search"-> (Text.hybridSearch(_, _)),
+    "text_pii_scrub"    -> (Text.piiScrub(_, _)),
     "text_repetition"   -> (Text.repetitionFilter(_, _)),
     "pipeline_weighted_sample" -> (Text.weightedSample(_, _)),
     "ev_transitions"    -> (EventTime.eventTransitions(_, _)),
@@ -800,6 +801,22 @@ object SparkEntry {
         |                   coalesce(1.0 / (60 + vec_rk), 0.0), 6) AS rrf
         |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // PII plant -> match -> redact -> md5 fingerprint; regexes restricted
+    // to the Java-regex ∩ RE2 dialect; 'g' flag = Spark's replace-all
+    "text_pii_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g')) AS clean_fp
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     // fractions unrounded: int/int quotients are bit-identical cross-engine
     "text_repetition" ->

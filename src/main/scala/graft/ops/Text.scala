@@ -470,6 +470,37 @@ object Text {
       .limit(20)
   }
 
+  /** PII scrubbing patterns — chosen to parse and behave identically in
+    * Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+    * repetition and ASCII word boundaries only (no lookarounds, no
+    * backrefs — RE2 has neither). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrub over any (doc_id, text): per-document email/phone match
+    * counts plus the md5 fingerprint of the redacted text (the audit
+    * artifact a scrubbing job emits — counts say how much was removed,
+    * the fingerprint pins WHAT the clean text was without shipping it).
+    * Pure map-side; regexes run inside codegen string expressions. */
+  def piiScrubDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").cast("binary")).as("clean_fp"))
+      .orderBy("doc_id")
+
+  /** Driver query: the corpus carries no natural PII, so a deterministic
+    * contact line (email + phone derived from doc_id) is planted first —
+    * every row then exercises both patterns and the whole
+    * plant→match→redact→fingerprint chain replays exactly in DuckDB. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubDf(Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text")))
+
   /** Gopher-style repetition rules (Rae et al. 2021, public): fraction of
     * duplicate words and the share of the document taken by its most
     * frequent bigram — the signals that catch templated/boilerplate text

@@ -185,6 +185,28 @@ class TextDedupSpec extends SparkSpec {
     assert(withTerm == hitIds.size, s"$withTerm of ${hitIds.size} hits contain a query term")
   }
 
+  test("pii scrub: counts and redaction on planted strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b+c@foo-bar.org or x@y.io, call 555-123-4567"),
+      (2L, "no pii here; 12-34 and user@@nope are not matches"),
+      (3L, "5551234567 unformatted is not matched; call 555-123-4567.")).toDF("doc_id", "text")
+    val rows = graft.ops.Text.piiScrubDf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"))).toMap
+    assert(rows(1L) == (2L, 1L))
+    assert(rows(2L) == (0L, 0L))
+    // digits-only 10-run fails \b…\b with the dashes; '4567.' bounds fine
+    assert(rows(3L) == (0L, 1L))
+    // redaction removes every match: scrubbing the scrubbed text is a no-op
+    val once = graft.ops.Text.piiScrubDf(docs).select(col("clean_fp")).collect()
+    val scrubbed = docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), graft.ops.Text.EmailRe, "[EMAIL]"),
+        graft.ops.Text.PhoneRe, "[PHONE]").as("text"))
+    val twice = graft.ops.Text.piiScrubDf(scrubbed).select(col("clean_fp")).collect()
+    assert(once.map(_.getString(0)).toSeq == twice.map(_.getString(0)).toSeq)
+  }
+
   test("hybrid search: RRF bounds, descending, both legs contribute") {
     val rows = graft.ops.Text.hybridSearch(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
