@@ -84,7 +84,7 @@ object Dedup {
     * the identical pipeline on synthetic corpora with planted near-dups
     * (driver data has none). */
   def minhashPairsDf(documents: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.pairsCol
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
     // Shingle sets and signatures are each consumed by 2-3 downstream joins;
     // persist so the shingling/hash work runs once instead of per-join
     // (at scale these are the expensive map-side passes over every document).
@@ -105,7 +105,7 @@ object Dedup {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 1000))
-      .select(explode(pairsCol(col("ids"))).as("p"))
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
@@ -182,7 +182,7 @@ object Dedup {
     simhashNearPairsDf(Tables.documents(spark, dir))
 
   def simhashNearPairsDf(documents: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.pairsCol
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
     val fp = documents
       .select(col("doc_id"),
         graft.functions.TextKernels.simhashKernel(col("text")).as("fp"))
@@ -194,7 +194,7 @@ object Dedup {
     val cands = chunked.groupBy(col("c"), col("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 1000))
-      .select(explode(pairsCol(col("ids"))).as("p"))
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     cands
@@ -397,7 +397,7 @@ object Dedup {
     * pipeline, two similarity semantics. */
   private def ngramPairStatsReleasable(
       documents: DataFrame): (DataFrame, () => Unit) = {
-    import graft.functions.GraftFunctions.pairsCol
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
     import graft.functions.TextKernels
     // Jaccard over the CAPPED feature space: shingles with document
     // frequency > MaxDf (boilerplate) are excluded from BOTH the
@@ -427,7 +427,7 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = kept
       .filter(size(col("ids")) >= 2)
-      .select(explode(pairsCol(col("ids"))).as("p"))
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     val stats = common

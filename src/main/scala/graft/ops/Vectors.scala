@@ -168,13 +168,13 @@ object Vectors {
     * run the identical pipeline on synthetic corpora with planted
     * duplicates (driver data has none). */
   def cosineNearDupPairsDf(emb: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.pairsCol
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
     val vecs = emb.select(col("vec_id"), col("embedding").as("vec"))
     val pairs = withBuckets(emb, "id", "v").select(col("t"), col("code"), col("id"))
       .groupBy(col("t"), col("code"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, 2000))
-      .select(explode(pairsCol(col("ids"))).as("p"))
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     pairs
