@@ -197,10 +197,14 @@ object Vectors {
     * pair source is deterministic (fixed hyperplanes), so the whole
     * composition — LSH, verification, transitive closure — is replayable
     * in DuckDB (recursive-CTE closure over the SQL-rendered LSH pairs). */
-  def embDupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def embDupClusters(spark: SparkSession, dir: String): DataFrame =
+    embDupClustersDf(Tables.embeddings(spark, dir))
+
+  /** Core of [[embDupClusters]] over any (vec_id, embedding) DataFrame. */
+  def embDupClustersDf(emb: DataFrame): DataFrame = {
     // eager checkpoint: truncates the LSH/cosine lineage under the CC
     // rounds and lets this operator leave no cache behind (CacheHygieneSpec)
-    val pairs = cosineNearDupPairsDf(Tables.embeddings(spark, dir))
+    val pairs = cosineNearDupPairsDf(emb)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .groupBy(col("label").as("keep_id"))

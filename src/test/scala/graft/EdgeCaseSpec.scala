@@ -55,6 +55,38 @@ class EdgeCaseSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("n_triangles") == 3L, r.toString))
   }
 
+  test("containment pairs on empty / single-doc corpora return empty") {
+    import spark.implicits._
+    assert(Dedup.containmentPairsDf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+    assert(Dedup.containmentPairsDf(
+      Seq((1L, "only one document here")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("neighbor jaccard on empty and pair-only graphs") {
+    import spark.implicits._
+    assert(graft.ops.Graph.neighborJaccardDf(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    // a single undirected edge has no wedges -> no candidates
+    val one = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(graft.ops.Graph.neighborJaccardDf(one).count() == 0)
+  }
+
+  test("semantic dup clusters on an empty embeddings table returns empty") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // empty pair graph -> empty clusters (CC handles the empty edge list)
+    assert(Vectors.embDupClustersDf(emb).count() == 0)
+  }
+
+  test("pii scrub preserves rows and handles empty text") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "x@y.zz")).toDF("doc_id", "text")
+    val rows = Text.piiScrubDf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_emails")).toMap
+    assert(rows == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("exact dedup on an empty documents table returns empty") {
     import spark.implicits._
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
