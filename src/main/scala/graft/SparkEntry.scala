@@ -129,6 +129,7 @@ object SparkEntry {
     "text_repetition"   -> (Text.repetitionFilter(_, _)),
     "pipeline_weighted_sample" -> (Text.weightedSample(_, _)),
     "ev_transitions"    -> (EventTime.eventTransitions(_, _)),
+    "ev_ab_test"        -> (EventTime.abTest(_, _)),
     "dedup_fuzzy_join"  -> (Text.fuzzyNameJoin(_, _)),
     // --- dedup ---
     "dedup_exact"       -> (Dedup.exactDedup(_, _)),
@@ -963,6 +964,36 @@ object SparkEntry {
         |SELECT prev_type, event_type AS next_type, count(*) AS n
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
+
+    // two-proportion z-test: rate unrounded (int/int), z rounded 4,
+    // significance compared on the ROUNDED z (engine-stable cut)
+    "ev_ab_test" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |             count(*) AS n_users, sum(conv) AS n_converted
+        |      FROM users GROUP BY 1),
+        |pooled AS (SELECT
+        |    sum(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+        |    sum(CASE WHEN variant = 'A' THEN n_users END) AS na,
+        |    sum(CASE WHEN variant = 'B' THEN n_converted END) AS cb,
+        |    sum(CASE WHEN variant = 'B' THEN n_users END) AS nb
+        |  FROM v),
+        |z AS (SELECT CASE
+        |    WHEN (ca + cb) / CAST(na + nb AS DOUBLE) > 0
+        |     AND (ca + cb) / CAST(na + nb AS DOUBLE) < 1 THEN round(
+        |      (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+        |      sqrt(((ca + cb) / CAST(na + nb AS DOUBLE)) *
+        |           (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE)) *
+        |           (1.0 / na + 1.0 / nb)), 4)
+        |    ELSE 0.0 END AS z_score
+        |  FROM pooled)
+        |SELECT variant, n_users, n_converted,
+        |       n_converted / CAST(n_users AS DOUBLE) AS conv_rate,
+        |       z_score, abs(z_score) >= 1.96 AS significant
+        |FROM v CROSS JOIN z ORDER BY variant""".stripMargin,
 
     // degree-oriented triangle counting — all-integer, bit-exact oracle
     "graph_triangles" ->

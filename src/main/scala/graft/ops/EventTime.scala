@@ -189,4 +189,46 @@ object EventTime {
       .agg(count(lit(1)).as("n"))
       .orderBy("prev_type", "next_type")
   }
+
+  /** A/B experiment readout — the two-proportion z-test every
+    * experimentation pipeline runs: variant = deterministic user-id
+    * parity split, conversion = user reached a purchase event. Emits one
+    * row per variant (users, conversions, rate) plus the pooled z-score
+    * and the |z| ≥ 1.96 significance call (computed on the ROUNDED z so
+    * the boolean cut is engine-stable; the rate itself stays UNROUNDED —
+    * an int/int quotient is bit-identical cross-engine).
+    *
+    * Scale shape: one per-user aggregate (shuffles user ids + one bit),
+    * one 2-row variant aggregate, and a single-row pooled-stats
+    * crossJoin broadcast back (documented in the no-NLJ whitelist) —
+    * O(1) output at any event volume. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B").as("variant"),
+        col("conv"))
+    val v = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+    val pooled = v.agg(
+      sum(when(col("variant") === "A", col("n_converted"))).as("ca"),
+      sum(when(col("variant") === "A", col("n_users"))).as("na"),
+      sum(when(col("variant") === "B", col("n_converted"))).as("cb"),
+      sum(when(col("variant") === "B", col("n_users"))).as("nb"))
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    val pPool = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+    val z = (pa - pb) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    // degenerate pools (nobody / everybody converted) make the pooled
+    // variance 0 — there is no evidence of a difference either, so z = 0
+    // (also keeps ANSI division happy on tiny shards)
+    val zSafe = when(pPool > 0 && pPool < 1, z).otherwise(lit(0.0))
+    v.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_users").cast("double")).as("conv_rate"),
+        round(zSafe, 4).as("z_score"))
+      .withColumn("significant", abs(col("z_score")) >= 1.96)
+      .orderBy("variant")
+  }
 }

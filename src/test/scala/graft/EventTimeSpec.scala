@@ -90,4 +90,28 @@ class EventTimeSpec extends SparkSpec {
       }
     }
   }
+
+  test("ab test: variants partition users, z consistent with the counts") {
+    val rows = graft.ops.EventTime.abTest(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq == Seq("A", "B"))
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val distinctUsers = Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(total == distinctUsers)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("conv_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+    }
+    // recompute the pooled z from the emitted counts — must match to 4dp
+    val Array(a, b) = rows
+    val (ca, na) = (a.getAs[Long]("n_converted").toDouble, a.getAs[Long]("n_users").toDouble)
+    val (cb, nb) = (b.getAs[Long]("n_converted").toDouble, b.getAs[Long]("n_users").toDouble)
+    val pool = (ca + cb) / (na + nb)
+    val z =
+      if (pool > 0 && pool < 1)
+        (ca / na - cb / nb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+      else 0.0 // degenerate pool -> operator emits 0 by contract
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z_score") - z) < 5e-4))
+  }
 }

@@ -127,6 +127,7 @@ class PlanShapeSpec extends SparkSpec {
       "ann_brute_force",   // deliberate exact baseline: corpus × broadcast queries
       "ann_range_search",  // same corpus × broadcast-queries exact scan
       "dq_drift",          // single-row broadcast totals crossJoin
+      "ev_ab_test",        // single-row broadcast pooled-stats crossJoin
       "emb_knn_classify",  // built on ann_brute_force
       "ann_ivf",           // single-row broadcast centroid-array crossJoin (map-side argmax)
       "sql_vec_cosine",    // inequality-only join predicate by design
