@@ -74,11 +74,16 @@ object Bench {
       name -> timeQuery(spark, sfDir, name, fn)
     }
     // min-of-2 for the expensive tail: strips transient host contention
-    // from the queries that dominate the total.
+    // from the queries that dominate the total. The rerun pass happens
+    // after the whole suite has run once, when accumulated JVM garbage is
+    // at its peak — collect before each re-timing so the minimum measures
+    // the query, not 130 predecessors' heap debt.
     val byName = ordered.toMap
     val results = first.map { case (name, t1) =>
-      if (t1 > RerunThresholdSec) name -> math.min(t1, timeQuery(spark, sfDir, name, byName(name)))
-      else name -> t1
+      if (t1 > RerunThresholdSec) {
+        System.gc()
+        name -> math.min(t1, timeQuery(spark, sfDir, name, byName(name)))
+      } else name -> t1
     }
     val reran = first.count(_._2 > RerunThresholdSec)
 
