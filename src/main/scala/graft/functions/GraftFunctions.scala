@@ -28,21 +28,30 @@ object GraftFunctions {
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b")))))
 
-  /** Kernel form of [[pairsCol]] for long-array pair explosion: sorts a
-    * copy of the int64 ids and emits all C(n,2) pairs (a < b) in one JVM
-    * call per row (StaticInvoke — a direct static call inside codegen,
-    * zero per-element closure overhead). Null elements are dropped. The
-    * caller must cap n BEFORE this (quadratic output). */
+  /** Kernel form of [[pairsCol]] for long-array pair explosion: sorts and
+    * DEDUPS a copy of the int64 ids, then emits all C(n,2) distinct pairs
+    * (a < b) in one JVM call per row (StaticInvoke — a direct static call
+    * inside codegen, zero per-element closure overhead). Null elements
+    * are dropped; duplicate ids collapse (a raw collect_list input can
+    * never produce an (x, x) self-pair). Callers therefore pass
+    * collect_set/collect_list output directly — no sort_array needed.
+    * The caller must cap n BEFORE this (quadratic output). */
   def sortedLongPairs(ids: ArrayData): ArrayData = {
     val n0 = ids.numElements()
     val a = new Array[Long](n0)
-    var n = 0
+    var m = 0
     var i = 0
     while (i < n0) {
-      if (!ids.isNullAt(i)) { a(n) = ids.getLong(i); n += 1 }
+      if (!ids.isNullAt(i)) { a(m) = ids.getLong(i); m += 1 }
       i += 1
     }
-    java.util.Arrays.sort(a, 0, n)
+    java.util.Arrays.sort(a, 0, m)
+    var n = 0 // compact unique in place (sorted, so dups are adjacent)
+    i = 0
+    while (i < m) {
+      if (n == 0 || a(n - 1) != a(i)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     i = 0

@@ -138,16 +138,21 @@ object TextKernels {
       var c = 1L
       var found = false
       // null guards (mirroring termFreqs/gopherStats): a null trigram
-      // scores as an absent one (count 1), and a null model key sorts
-      // FIRST (sort_array nulls-first order), so the search steps past it
-      // instead of NPE-ing — the kernel is user-reachable through the
-      // registered SQL function graft_trigram_score with arbitrary arrays.
+      // scores as an absent one (count 1), a null model key sorts FIRST
+      // (sort_array nulls-first order) so the search steps past it, and a
+      // null COUNT slot also degrades to the absent-trigram count 1
+      // (getLong on a null slot would read 0 and poison the score with
+      // ln 0 = -∞) — the kernel is user-reachable through the registered
+      // SQL function graft_trigram_score with arbitrary arrays.
       if (t != null) {
         while (lo <= hi && !found) {
           val mid = (lo + hi) >>> 1
           val k = keys.getUTF8String(mid)
           val cmp = if (k == null) -1 else k.compareTo(t)
-          if (cmp == 0) { c = counts.getLong(mid); found = true }
+          if (cmp == 0) {
+            if (!counts.isNullAt(mid)) c = counts.getLong(mid)
+            found = true
+          }
           else if (cmp < 0) lo = mid + 1
           else hi = mid - 1
         }

@@ -103,7 +103,7 @@ object Dedup {
 
     val pairs = banded
       .groupBy(col("bucket"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, 1000))
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -192,7 +192,7 @@ object Dedup {
         shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
       .select(col("doc_id"), col("ck.c").as("c"), col("ck.key").as("key"))
     val cands = chunked.groupBy(col("c"), col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, 1000))
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -420,7 +420,7 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     val kept = postings
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(collect_set(col("doc_id")).as("ids")) // kernel sorts; no sort_array
       .filter(size(col("ids")) <= MaxDf)
       .persist()
     val sizes = kept.select(explode(col("ids")).as("doc_id"))
@@ -447,14 +447,20 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentPairsDf(Tables.documents(spark, dir))
 
-  /** Core of [[containmentPairs]] over any (doc_id, text) DataFrame. */
+  /** Core of [[containmentPairs]] over any (doc_id, text) DataFrame.
+    * Materializes eagerly (localCheckpoint) so the pair generator's
+    * internal posting cache can be released before returning — repeated
+    * library calls accumulate no cache (CacheHygieneSpec pins it). */
   def containmentPairsDf(documents: DataFrame): DataFrame = {
-    val (stats, _) = ngramPairStatsReleasable(documents)
-    stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+    val (stats, releasePostings) = ngramPairStatsReleasable(documents)
+    val out = stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
         round(col("common").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
       .filter(col("containment") >= 0.8)
       .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
+    releasePostings()
+    out
   }
 
   // ---- SQL-parity MinHash (cross-engine reproducible) -----------------

@@ -172,7 +172,7 @@ object Vectors {
     val vecs = emb.select(col("vec_id"), col("embedding").as("vec"))
     val pairs = withBuckets(emb, "id", "v").select(col("t"), col("code"), col("id"))
       .groupBy(col("t"), col("code"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, 2000))
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))

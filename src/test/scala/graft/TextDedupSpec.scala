@@ -144,15 +144,18 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
-  test("sortedLongPairs kernel == pairsCol on sorted input; sorts and drops nulls") {
+  test("sortedLongPairs kernel == pairsCol on sorted input; sorts, dedups, drops nulls") {
     import spark.implicits._
     import graft.functions.GraftFunctions.sortedLongPairsKernel
-    // unsorted with a null: kernel sorts a copy and skips the null
-    val df = Seq(Tuple1(Seq[java.lang.Long](4L, 1L, null, 3L, 2L))).toDF("ids")
-    val pairs = df.select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-      .select("p.a", "p.b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unsorted with a null AND a duplicate: kernel sorts a copy, drops the
+    // null, and collapses the duplicate — no (3,3) self-pair can escape
+    val df = Seq(Tuple1(Seq[java.lang.Long](4L, 1L, null, 3L, 2L, 3L))).toDF("ids")
+    val rows = df.select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+      .select("p.a", "p.b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 6) // exactly C(4,2) — duplicate emitted no extras
+    val pairs = rows.toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
-    // every pair canonical (a < b)
+    // every pair canonical (a < b) — in particular no self-pairs
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 

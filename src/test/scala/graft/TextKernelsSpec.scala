@@ -140,6 +140,14 @@ class TextKernelsSpec extends SparkSpec {
     // first); null trigram scores log(1/10)
     val expected = (math.log(4.0 / 10.0) + math.log(1.0 / 10.0)) / 2
     assert(math.abs(score - expected) < 1e-12, s"got $score want $expected")
+    // a matched key whose COUNT slot is null degrades to the absent-trigram
+    // count 1 — not getLong's unboxed 0, which would emit ln 0 = -Infinity
+    val nullCount = Seq(1).toDF("x").select(
+      TextKernels.trigramScoreKernel(
+        array(lit("abc")), array(lit("abc")),
+        array(lit(null).cast("bigint")), lit(10.0)).as("s"))
+      .first().getDouble(0)
+    assert(math.abs(nullCount - math.log(1.0 / 10.0)) < 1e-12, s"got $nullCount")
   }
 
   test("langScores kernel: per-language occurrence counts in one pass") {
