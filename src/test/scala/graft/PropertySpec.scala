@@ -195,6 +195,61 @@ class PropertySpec extends SparkSpec {
     got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-9, s"$k: $j vs ${want(k)}") }
   }
 
+  test("property: sortedLongPairs kernel equals a scala reference on random lists") {
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      // random lists with duplicates and nulls, sizes 0..40
+      val lists: Seq[Seq[java.lang.Long]] = (1 to 50).map { _ =>
+        (0 until rng.nextInt(41)).map { _ =>
+          if (rng.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rng.nextInt(15).toLong)
+        }
+      }
+      val got = lists.zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }.toDF("row_id", "ids")
+        .select(col("row_id"), explode(sortedLongPairsKernel(col("ids"))).as("p"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toSet)
+        .toMap
+      lists.zipWithIndex.foreach { case (l, i) =>
+        val uniq = l.filter(_ != null).map(_.longValue).distinct.sorted
+        val want = (for {
+          ai <- uniq.indices; bi <- (ai + 1) until uniq.length
+        } yield (uniq(ai), uniq(bi))).toSet
+        assert(got.getOrElse(i.toLong, Set.empty) == want, s"seed $seed row $i")
+      }
+    }
+  }
+
+  test("property: repStats kernel equals a scala reference on random token text") {
+    import graft.functions.TextKernels
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val texts = (1 to 40).map { _ =>
+        (0 until rng.nextInt(30)).map(_ => s"t${rng.nextInt(6)}").mkString(" ")
+      }
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("row_id", "text")
+        .select(col("row_id"), TextKernels.repStatsKernel(col("text")).as("r"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("r"))
+        .toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        val want = Seq(toks.length.toLong, toks.distinct.length.toLong,
+          if (bigrams.isEmpty) 0L
+          else bigrams.groupBy(identity).values.map(_.size).max.toLong,
+          bigrams.length.toLong)
+        assert(got(i.toLong) == want, s"seed $seed row $i text '$t'")
+      }
+    }
+  }
+
   test("property: as-of joins (backward + forward) equal brute force on random series") {
     import spark.implicits._
     import graft.ops.AsOf
