@@ -43,6 +43,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_trigram_score"),
       new ExpressionInfo(TextKernels.getClass.getName, "graft_trigram_score"),
       trigramScoreBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(TextKernels.getClass.getName, "graft_rep_stats"),
+      repStatsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gopher_stats"),
+      new ExpressionInfo(TextKernels.getClass.getName, "graft_gopher_stats"),
+      gopherStatsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_pairs"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, "graft_sorted_pairs"),
+      sortedPairsBuilder))
     // HOF-dot-product -> vec_dot rewrite; inert until the session sets
     // spark.graft.rewriteHofVectorOps=true (the rule checks the flag at
     // apply time — see VecRewriteRule's scaladoc for the opt-in rationale)
@@ -101,6 +113,28 @@ object GraftExtensions {
         ArrayType(LongType), DoubleType), returnNullable = false)
   }
 
+  val repStatsBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 1, s"graft_rep_stats(text) takes 1 argument, got ${args.length}")
+    StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
+      "repStats", Seq(args(0)),
+      inputTypes = Seq(StringType), returnNullable = false)
+  }
+  val gopherStatsBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 2, s"graft_gopher_stats(text, stops) takes 2 arguments, got ${args.length}")
+    StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
+      "gopherStats", Seq(args(0), args(1)),
+      inputTypes = Seq(StringType, ArrayType(StringType)), returnNullable = false)
+  }
+  val sortedPairsBuilder: Seq[Expression] => Expression = args => {
+    require(args.length == 1, s"graft_sorted_pairs(ids) takes 1 argument, got ${args.length}")
+    StaticInvoke(GraftFunctions.getClass,
+      ArrayType(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))), containsNull = false),
+      "sortedLongPairs", Seq(args(0)),
+      inputTypes = Seq(ArrayType(LongType)), returnNullable = false)
+  }
+
   /** Register on a live session (extensions only bind at builder time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "vec_dot", dotBuilder)
@@ -110,5 +144,8 @@ object GraftExtensions {
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_simhash", simhashBuilder)
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_term_freqs", termFreqsBuilder)
     org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_trigram_score", trigramScoreBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_rep_stats", repStatsBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_gopher_stats", gopherStatsBuilder)
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_sorted_pairs", sortedPairsBuilder)
   }
 }

@@ -131,4 +131,19 @@ class VectorExpressionsSpec extends SparkSpec {
     val expected = (2 * math.log(3.0 / 4.0) + math.log(1.0 / 4.0)) / 3.0
     assert(math.abs(score - expected) < 1e-12, s"$score vs $expected")
   }
+
+  test("sql-registered repStats / gopherStats / sortedPairs kernels work from SQL text") {
+    graft.functions.GraftExtensions.register(spark)
+    val rep = spark.sql("SELECT graft_rep_stats('a b a b') AS r")
+      .first().getSeq[Long](0)
+    assert(rep == Seq(4L, 2L, 2L, 3L)) // tokens, distinct, top bigram ('a b'×2), bigrams
+    val gopher = spark.sql(
+      "SELECT graft_gopher_stats('the cat the', array('the', 'of')) AS g")
+      .first().getSeq[Long](0)
+    assert(gopher == Seq(3L, 9L, 1L)) // words, chars, distinct stop hits
+    val pairs = spark.sql(
+      "SELECT graft_sorted_pairs(array(CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT))) AS p")
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 3L)))
+  }
 }
