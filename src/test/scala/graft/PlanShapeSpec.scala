@@ -267,6 +267,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(ex <= 1, s"$ex required exchanges:\n${plan.take(3000)}")
   }
 
+  test("text_hybrid_search: rank windows run on pre-limited top-k inputs") {
+    // each RRF leg must cut to its top-100 (TakeOrderedAndProject) BEFORE
+    // its rank window — a Window over the unlimited corpus would be the
+    // unbounded-single-partition shape this query exists to avoid; and the
+    // bm25 leg keeps the one-kernel-call-per-branch guarantee
+    val df = Text.hybridSearch(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val n = "termFreqs".r.findAllIn(plan).size
+    assert(n <= 2, s"termFreqs appears $n times:\n${plan.take(3000)}")
+    // 3 TakeOrdered: lex top-100, vec top-100, fused top-20; 2 Windows
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size == 3, plan.take(3000))
+    assert("Window".r.findAllIn(plan).size == 2, plan.take(3000))
+  }
+
   test("join_asof: union+window merge-scan has NO join operator") {
     val plan = executedPlan(AsOf.eventAsof(spark, sfDir))
     assert(!plan.contains("Join"), plan.take(2000))
