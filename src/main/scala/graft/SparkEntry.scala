@@ -965,8 +965,10 @@ object SparkEntry {
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
 
-    // two-proportion z-test: rate unrounded (int/int), z rounded 4,
-    // significance compared on the ROUNDED z (engine-stable cut)
+    // two-proportion z-test: rate unrounded (int/int), z rendered with the
+    // repo-standard sign-aware floor(|z|·1e4 + 0.5)/1e4 half-up idiom in
+    // BOTH engines (round() boundary conventions diverge cross-engine);
+    // significance compared on that rendered z (engine-stable cut)
     "ev_ab_test" ->
       """WITH users AS (
         |  SELECT user_id,
@@ -981,15 +983,18 @@ object SparkEntry {
         |    sum(CASE WHEN variant = 'B' THEN n_converted END) AS cb,
         |    sum(CASE WHEN variant = 'B' THEN n_users END) AS nb
         |  FROM v),
-        |z AS (SELECT CASE
+        |z0 AS (SELECT CASE
         |    WHEN (ca + cb) / CAST(na + nb AS DOUBLE) > 0
-        |     AND (ca + cb) / CAST(na + nb AS DOUBLE) < 1 THEN round(
+        |     AND (ca + cb) / CAST(na + nb AS DOUBLE) < 1 THEN
         |      (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
         |      sqrt(((ca + cb) / CAST(na + nb AS DOUBLE)) *
         |           (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE)) *
-        |           (1.0 / na + 1.0 / nb)), 4)
-        |    ELSE 0.0 END AS z_score
-        |  FROM pooled)
+        |           (1.0 / na + 1.0 / nb))
+        |    ELSE 0.0 END AS zr
+        |  FROM pooled),
+        |z AS (SELECT CASE WHEN zr >= 0 THEN floor(zr * 10000 + 0.5) / 10000
+        |            ELSE -(floor(-zr * 10000 + 0.5) / 10000) END AS z_score
+        |  FROM z0)
         |SELECT variant, n_users, n_converted,
         |       n_converted / CAST(n_users AS DOUBLE) AS conv_rate,
         |       z_score, abs(z_score) >= 1.96 AS significant
@@ -1403,7 +1408,7 @@ object SparkEntry {
          |prs AS (SELECT id_a, id_b
          |        FROM pairs JOIN v va ON id_a = va.vec_id
          |                   JOIN v vb ON id_b = vb.vec_id
-         |        WHERE list_cosine_similarity(va.e, vb.e) >= 0.45),
+         |        WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= 0.45),
          |und AS (SELECT id_a AS src, id_b AS dst FROM prs
          |        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
          |reach(src, dst) AS (
@@ -1427,10 +1432,10 @@ object SparkEntry {
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |          FROM kc a JOIN kc b ON a.t = b.t AND a.code = b.code
          |                             AND a.vec_id < b.vec_id),
-         |s AS (SELECT id_a, id_b, list_cosine_similarity(va.e, vb.e) AS cos
+         |s AS (SELECT id_a, id_b, round(list_cosine_similarity(va.e, vb.e), 4) AS cos
          |      FROM pairs JOIN v va ON id_a = va.vec_id
          |                 JOIN v vb ON id_b = vb.vec_id)
-         |SELECT id_a, id_b, round(cos, 4) AS cos
+         |SELECT id_a, id_b, cos
          |FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     // kNN majority vote over the brute-force top-5 (same CTE as

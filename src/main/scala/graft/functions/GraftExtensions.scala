@@ -77,7 +77,11 @@ object GraftExtensions {
     args => arity2("vec_cosine")(args)(CosineSimilarity)
 
   // text-kernel SQL entry points (same StaticInvoke shapes as the Column
-  // wrappers in TextKernels — one static call per row inside codegen)
+  // wrappers in TextKernels — one static call per row inside codegen).
+  // Unlike the internal wrappers these are user-reachable with ARBITRARY
+  // nullable inputs, and StaticInvoke's default propagateNull yields NULL
+  // for a NULL input — so the declared nullability must be `true` here or
+  // the optimizer may elide null checks and NPE/drop rows downstream.
   import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
   import org.apache.spark.sql.types._
 
@@ -85,24 +89,24 @@ object GraftExtensions {
     require(args.length == 2, s"graft_shingles(text, k) takes 2 arguments, got ${args.length}")
     StaticInvoke(TextKernels.getClass, ArrayType(StringType, containsNull = false),
       "shingles", Seq(args(0), args(1)),
-      inputTypes = Seq(StringType, IntegerType), returnNullable = false)
+      inputTypes = Seq(StringType, IntegerType), returnNullable = true)
   }
   val minhashBuilder: Seq[Expression] => Expression = args => {
     require(args.length == 2, s"graft_minhash(shingles, numPerms) takes 2 arguments, got ${args.length}")
     StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
       "minhashSig", Seq(args(0), args(1)),
-      inputTypes = Seq(ArrayType(StringType), IntegerType), returnNullable = false)
+      inputTypes = Seq(ArrayType(StringType), IntegerType), returnNullable = true)
   }
   val simhashBuilder: Seq[Expression] => Expression = args => {
     require(args.length == 1, s"graft_simhash(text) takes 1 argument, got ${args.length}")
     StaticInvoke(TextKernels.getClass, LongType, "simhash64", Seq(args(0)),
-      inputTypes = Seq(StringType), returnNullable = false)
+      inputTypes = Seq(StringType), returnNullable = true)
   }
   val termFreqsBuilder: Seq[Expression] => Expression = args => {
     require(args.length == 2, s"graft_term_freqs(text, terms) takes 2 arguments, got ${args.length}")
     StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
       "termFreqs", Seq(args(0), args(1)),
-      inputTypes = Seq(StringType, ArrayType(StringType)), returnNullable = false)
+      inputTypes = Seq(StringType, ArrayType(StringType)), returnNullable = true)
   }
   val trigramScoreBuilder: Seq[Expression] => Expression = args => {
     require(args.length == 4,
@@ -110,20 +114,20 @@ object GraftExtensions {
     StaticInvoke(TextKernels.getClass, DoubleType, "trigramScore",
       Seq(args(0), args(1), args(2), args(3)),
       inputTypes = Seq(ArrayType(StringType), ArrayType(StringType),
-        ArrayType(LongType), DoubleType), returnNullable = false)
+        ArrayType(LongType), DoubleType), returnNullable = true)
   }
 
   val repStatsBuilder: Seq[Expression] => Expression = args => {
     require(args.length == 1, s"graft_rep_stats(text) takes 1 argument, got ${args.length}")
     StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
       "repStats", Seq(args(0)),
-      inputTypes = Seq(StringType), returnNullable = false)
+      inputTypes = Seq(StringType), returnNullable = true)
   }
   val gopherStatsBuilder: Seq[Expression] => Expression = args => {
     require(args.length == 2, s"graft_gopher_stats(text, stops) takes 2 arguments, got ${args.length}")
     StaticInvoke(TextKernels.getClass, ArrayType(LongType, containsNull = false),
       "gopherStats", Seq(args(0), args(1)),
-      inputTypes = Seq(StringType, ArrayType(StringType)), returnNullable = false)
+      inputTypes = Seq(StringType, ArrayType(StringType)), returnNullable = true)
   }
   val sortedPairsBuilder: Seq[Expression] => Expression = args => {
     require(args.length == 1, s"graft_sorted_pairs(ids) takes 1 argument, got ${args.length}")
@@ -132,7 +136,7 @@ object GraftExtensions {
         StructField("a", LongType, nullable = false),
         StructField("b", LongType, nullable = false))), containsNull = false),
       "sortedLongPairs", Seq(args(0)),
-      inputTypes = Seq(ArrayType(LongType)), returnNullable = false)
+      inputTypes = Seq(ArrayType(LongType)), returnNullable = true)
   }
 
   /** Register on a live session (extensions only bind at builder time). */

@@ -239,6 +239,34 @@ object Dedup {
     * checkpoint write per round. Local benches leave it unset. */
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  /** Eager materialization + lineage truncation at operator exit points
+    * (and inside iterative loops): RELIABLE `checkpoint()` when
+    * [[CheckpointDirKey]] names a durable dir — localCheckpoint blocks
+    * live only in executor storage, so an executor loss on a real cluster
+    * would otherwise make the materialized result unrecoverable —
+    * `localCheckpoint()` when unset (local benches). The persist/unpersist
+    * bracket makes the reliable write replay from cache instead of
+    * recomputing the whole upstream plan a second time.
+    *
+    * NOTE for callers: this is EAGER — the returned DataFrame's job has
+    * already run at construction time. Operators that return through this
+    * helper (dedupClusters' pair list, containmentPairs, the graph family,
+    * embDupClusters) trade lazy construction for releasable upstream
+    * caches and O(1) downstream plan depth. */
+  private[graft] def truncate(df: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirKey) match {
+      case Some(dirPath) =>
+        spark.sparkContext.setCheckpointDir(dirPath)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        val chk = df.checkpoint()
+        df.unpersist(blocking = false)
+        chk
+      case None => df.localCheckpoint()
+    }
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -342,16 +370,17 @@ object Dedup {
     * unchanged — the clustering operator is agnostic to the pair source
     * (RecallSpec covers that composition on planted duplicates). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (eager), not persist: the undirected-edge union reads
-    // the pair list twice and every propagation round joins against it, and
-    // checkpointing ALSO truncates the whole ngram-pipeline lineage — each
-    // CC round plans against a flat block scan instead of re-analyzing the
-    // full explode/agg/pair-kernel plan just to hit its cache. Once the
+    // checkpoint (eager, reliable-when-configured via [[truncate]]), not
+    // persist: the undirected-edge union reads the pair list twice and
+    // every propagation round joins against it, and checkpointing ALSO
+    // truncates the whole ngram-pipeline lineage — each CC round plans
+    // against a flat block scan instead of re-analyzing the full
+    // explode/agg/pair-kernel plan just to hit its cache. Once the
     // checkpoint materializes, the pair generator's internal posting cache
     // is unreachable — release it (CacheHygieneSpec pins no leaks).
     val (pairsDf, releasePostings) =
       ngramJaccardPairsReleasable(Tables.documents(spark, dir))
-    val pairs = pairsDf.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val pairs = truncate(pairsDf.select(col("doc_a"), col("doc_b")))
     releasePostings()
     connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("label").as("keep_id"))
@@ -448,17 +477,18 @@ object Dedup {
     containmentPairsDf(Tables.documents(spark, dir))
 
   /** Core of [[containmentPairs]] over any (doc_id, text) DataFrame.
-    * Materializes eagerly (localCheckpoint) so the pair generator's
-    * internal posting cache can be released before returning — repeated
-    * library calls accumulate no cache (CacheHygieneSpec pins it). */
+    * Materializes EAGERLY (via [[truncate]] — reliable checkpoint when
+    * configured) so the pair generator's internal posting cache can be
+    * released before returning — repeated library calls accumulate no
+    * cache (CacheHygieneSpec pins it). */
   def containmentPairsDf(documents: DataFrame): DataFrame = {
     val (stats, releasePostings) = ngramPairStatsReleasable(documents)
-    val out = stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+    val out = truncate(
+      stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
         round(col("common").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
       .filter(col("containment") >= 0.8)
-      .orderBy("doc_a", "doc_b")
-      .localCheckpoint()
+      .orderBy("doc_a", "doc_b"))
     releasePostings()
     out
   }

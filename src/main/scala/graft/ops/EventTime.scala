@@ -224,10 +224,16 @@ object EventTime {
     // variance 0 — there is no evidence of a difference either, so z = 0
     // (also keeps ANSI division happy on tiny shards)
     val zSafe = when(pPool > 0 && pPool < 1, z).otherwise(lit(0.0))
+    // sign-aware floor(|z|·10⁴ + 0.5)/10⁴ — the repo-standard half-up
+    // rendering (round() half-up boundaries diverge between engines on
+    // boundary double representations; -0.0 falls into the >= 0 branch on
+    // both engines, so no negative-zero hash split either)
+    val zHalfUp = when(zSafe >= 0, floor(zSafe * 10000d + 0.5d) / 10000d)
+      .otherwise(-(floor(-zSafe * 10000d + 0.5d) / 10000d))
     v.crossJoin(broadcast(pooled))
       .select(col("variant"), col("n_users"), col("n_converted"),
         (col("n_converted").cast("double") / col("n_users").cast("double")).as("conv_rate"),
-        round(zSafe, 4).as("z_score"))
+        zHalfUp.as("z_score"))
       .withColumn("significant", abs(col("z_score")) >= 1.96)
       .orderBy("variant")
   }

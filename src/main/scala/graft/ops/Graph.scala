@@ -115,10 +115,6 @@ object Graph {
   private def powerIterate(e: DataFrame, ranks0: DataFrame, iters: Int,
                            d: Double, checkpointEvery: Int,
                            static: Seq[DataFrame]): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val spark = e.sparkSession
-    val reliableDir = spark.conf.getOption(Dedup.CheckpointDirKey)
-    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
     var ranks = ranks0
     var i = 0
     while (i < iters) {
@@ -131,18 +127,10 @@ object Graph {
         .select(col("node"), col("outdeg"),
           (lit(1.0 - d) + lit(d) * coalesce(col("msum"), lit(0.0))).as("rank"))
       i += 1
-      if (i % checkpointEvery == 0 || i == iters) {
-        ranks = reliableDir match {
-          case Some(_) =>
-            // persist first so the checkpoint write replays from cache, and
-            // unpersist right after — the checkpointed copy supersedes it
-            ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            val chk = ranks.checkpoint()
-            ranks.unpersist(blocking = false)
-            chk
-          case None => ranks.localCheckpoint()
-        }
-      }
+      // eager lineage cut every `checkpointEvery` rounds — reliable
+      // checkpoint when configured, localCheckpoint otherwise (shared
+      // persist-bracketed helper)
+      if (i % checkpointEvery == 0 || i == iters) ranks = Dedup.truncate(ranks)
     }
     // the final ranks are checkpointed (i == iters above), so the static
     // caches are no longer reachable from the result — release them rather
@@ -208,7 +196,7 @@ object Graph {
     val und = adj.select(col("w").as("u"), explode(col("ids")).as("v"))
     // sizes re-attach AFTER the pair aggregate is a ~|V|-row broadcast
     // onto the pair table — map-side, never a pair-table shuffle
-    val out = wedges
+    val out = Dedup.truncate(wedges
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
       .join(und, Seq("u", "v"), "left_anti")
       .join(sizes.select(col("node").as("u"), col("sz").as("sz_u")), Seq("u"))
@@ -217,8 +205,9 @@ object Graph {
         round(col("common").cast("double") /
           (col("sz_u") + col("sz_v") - col("common")), 4).as("nbr_jaccard"))
       .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
-      .limit(50) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
-      .localCheckpoint() // eager, so the caches below can release (CacheHygieneSpec)
+      .limit(50)) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
+    // ^ eager truncate (reliable checkpoint when configured), so the
+    //   caches below can release (CacheHygieneSpec)
     adj.unpersist(blocking = false)
     out
   }
@@ -271,14 +260,15 @@ object Graph {
       .select(col("u"), col("on").as("un"), explode(col("on")).as("v"))
       .join(oadj.select(col("u").as("v"), col("on").as("vn")), Seq("v"))
       .select(col("u"), col("v"), explode(array_intersect(col("un"), col("vn"))).as("w"))
-    // materialize the 25-row result eagerly (localCheckpoint) so the cached
-    // inputs can be released before returning — no leaked cache blocks for
-    // long-lived library sessions (CacheHygieneSpec pins this)
-    val out = tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
-      .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(desc("n_triangles"), col("part_id"))
-      .limit(25)
-      .localCheckpoint()
+    // materialize the 25-row result eagerly (Dedup.truncate — reliable
+    // checkpoint when configured) so the cached inputs can be released
+    // before returning — no leaked cache blocks for long-lived library
+    // sessions (CacheHygieneSpec pins this)
+    val out = Dedup.truncate(
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+        .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(desc("n_triangles"), col("part_id"))
+        .limit(25))
     adj.unpersist(blocking = false)
     oadj.unpersist(blocking = false)
     out

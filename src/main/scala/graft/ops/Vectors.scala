@@ -180,9 +180,14 @@ object Vectors {
     pairs
       .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosineCol(col("vec_a"), col("vec_b")).as("cos"))
+      // threshold compares the ROUNDED similarity (ann_range_search
+      // pattern): a last-ulp cross-engine difference at the cut line would
+      // flip an edge — and downstream [[embDupClustersDf]] feeds these
+      // edges into transitive closure, where one flipped edge reshapes
+      // whole clusters
+      .select(col("id_a"), col("id_b"),
+        round(cosineCol(col("vec_a"), col("vec_b")), 4).as("cos"))
       .filter(col("cos") >= 0.45)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
 
@@ -200,12 +205,14 @@ object Vectors {
   def embDupClusters(spark: SparkSession, dir: String): DataFrame =
     embDupClustersDf(Tables.embeddings(spark, dir))
 
-  /** Core of [[embDupClusters]] over any (vec_id, embedding) DataFrame. */
+  /** Core of [[embDupClusters]] over any (vec_id, embedding) DataFrame.
+    * EAGER: the pair graph materializes at construction (reliable
+    * checkpoint when [[Dedup.CheckpointDirKey]] is set). */
   def embDupClustersDf(emb: DataFrame): DataFrame = {
     // eager checkpoint: truncates the LSH/cosine lineage under the CC
     // rounds and lets this operator leave no cache behind (CacheHygieneSpec)
-    val pairs = cosineNearDupPairsDf(emb)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val pairs = truncate(cosineNearDupPairsDf(emb)
+      .select(col("id_a"), col("id_b")))
     graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -278,16 +285,9 @@ object Vectors {
       ExpressionEncoder[Array[Double]]()
   }
 
-  /** Lineage truncation for iterative loops: localCheckpoint by default;
-    * when [[Dedup.CheckpointDirKey]] points at a durable dir, a RELIABLE
-    * checkpoint (survives executor loss on a real cluster). */
-  private def truncate(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(Dedup.CheckpointDirKey) match {
-      case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
-    }
+  /** Lineage truncation for iterative loops — the shared reliable-when-
+    * configured helper ([[Dedup.truncate]]). */
+  private def truncate(df: DataFrame): DataFrame = Dedup.truncate(df)
 
   /** Lloyd's k-means over the embedding corpus as pure DataFrame ops:
     * assignment is the map-side broadcast argmax above (no corpus
@@ -334,7 +334,7 @@ object Vectors {
     val nlist = 16
     val nprobe = 4
     val emb = Tables.embeddings(spark, dir)
-    val cOne = centsRow(kmeansCentroids(emb, nlist, iters = 2)).localCheckpoint()
+    val cOne = truncate(centsRow(kmeansCentroids(emb, nlist, iters = 2)))
     val corpus = assignCentroid(
       emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1)
       .select(col("cent_id"), col("c_id"), col("embedding").as("c_vec"))
