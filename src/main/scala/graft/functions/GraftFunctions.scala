@@ -76,4 +76,86 @@ object GraftFunctions {
       Seq(bridge.expression(ids)),
       inputTypes = Seq(ArrayType(LongType)),
       returnNullable = false))
+
+  /** [[sortedLongPairs]] with each (a, b) pair PACKED into one int64
+    * (a << 32 | b, a < b) — half the shuffle-key bytes of the struct form
+    * and ZERO per-pair allocations on the explode side (one primitive
+    * long[] per row instead of one GenericInternalRow per pair; measured
+    * ~2× faster on the ~10⁷-pair neighbor-Jaccard wedge stage). Requires
+    * every id in [0, 2³²) and throws otherwise — callers with wider id
+    * spaces use [[sortedLongPairs]] (the struct form) unchanged. */
+  def sortedLongPairsPacked(ids: ArrayData): ArrayData = {
+    val n0 = ids.numElements()
+    val a = new Array[Long](n0)
+    var m = 0
+    var i = 0
+    while (i < n0) {
+      if (!ids.isNullAt(i)) { a(m) = ids.getLong(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(a, 0, m)
+    if (m > 0 && (a(0) < 0L || a(m - 1) > 0xFFFFFFFFL))
+      throw new IllegalArgumentException(
+        s"sortedLongPairsPacked: ids must fit in 32 bits, got [${a(0)}, ${a(m - 1)}] " +
+          "— use the struct-pair form (graft_sorted_pairs) for wider id spaces")
+    var n = 0
+    i = 0
+    while (i < m) {
+      if (n == 0 || a(n - 1) != a(i)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = (a(i) << 32) | a(j)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def sortedLongPairsPackedKernel(ids: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      ArrayType(LongType, containsNull = false),
+      "sortedLongPairsPacked",
+      Seq(bridge.expression(ids)),
+      inputTypes = Seq(ArrayType(LongType)),
+      returnNullable = false))
+
+  /** O(log n) binary-search lookup into a DICTIONARY shipped as parallel
+    * sorted arrays (keys ascending + aligned values) — the single-row
+    * broadcast alternative to a per-key equi-join when a small table must
+    * be probed per row from TWO key columns at once (one crossJoin with
+    * one dictionary row replaces two join stages). A map column is not an
+    * option: GetMapValue is a LINEAR scan per lookup (measured; see
+    * [[graft.functions.TextKernels.trigramScore]], which exists for the
+    * same reason). Returns 0 for an absent key — callers guarantee
+    * presence (e.g. every pair endpoint has a restricted degree by
+    * construction). */
+  def sortedLongLookup(keys: ArrayData, vals: ArrayData, key: Long): Long = {
+    var lo = 0
+    var hi = keys.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val k = keys.getLong(mid)
+      if (k == key) return vals.getLong(mid)
+      else if (k < key) lo = mid + 1
+      else hi = mid - 1
+    }
+    0L
+  }
+
+  def sortedLongLookupKernel(keys: Column, vals: Column, key: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      LongType,
+      "sortedLongLookup",
+      Seq(bridge.expression(keys), bridge.expression(vals), bridge.expression(key)),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), LongType),
+      returnNullable = false))
 }

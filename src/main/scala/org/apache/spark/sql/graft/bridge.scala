@@ -14,6 +14,18 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The materialized RDD behind a checkpoint()/localCheckpoint() result
+    * (the `LogicalRDD` leaf), if the plan is such a flat scan — lets
+    * library-level memos of checkpointed DataFrames VALIDATE that the
+    * backing storage still exists (a caller's unpersist-all removes
+    * local-checkpoint blocks; reliable checkpoint files survive). */
+  def materializedRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+
   /** Register a SQL function on an ALREADY-RUNNING session (extensions
     * only apply at builder time). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -66,6 +66,16 @@ class GraphSpec extends SparkSpec {
     assert(rows((1L, 6L)) == math.rint(1.0 / 3.0 * 10000) / 10000)
   }
 
+  test("neighbor jaccard: dictionary attach ≡ two-join attach on real data") {
+    // the broadcast-dictionary kernel path (default) and the equi-join
+    // fallback must be row-identical — same pairs, same scores, same cut
+    val adj = Graph.adjacency(spark, sfDir)
+    val dict = Graph.neighborJaccardAdj(adj).collect().toSeq
+    val joins = Graph.neighborJaccardAdj(adj, dictAttach = false).collect().toSeq
+    assert(dict.nonEmpty)
+    assert(dict.map(_.toSeq) == joins.map(_.toSeq))
+  }
+
   test("co-purchase edges are symmetric and self-loop-free") {
     val e = Graph.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet

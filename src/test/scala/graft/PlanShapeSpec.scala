@@ -130,6 +130,7 @@ class PlanShapeSpec extends SparkSpec {
       "ev_ab_test",        // single-row broadcast pooled-stats crossJoin
       "emb_knn_classify",  // built on ann_brute_force
       "ann_ivf",           // single-row broadcast centroid-array crossJoin (map-side argmax)
+      "graph_nbr_jaccard", // single-row broadcast size-dictionary crossJoin (kernel lookups)
       "sql_vec_cosine",    // inequality-only join predicate by design
       "join_cross_small",  // deliberate cross of two tiny dims
       "q22_idle_rich",     // single-row broadcast scalar-subquery crossJoin
