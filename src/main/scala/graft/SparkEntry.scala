@@ -731,6 +731,13 @@ object SparkEntry {
     // rendered-constants oracle (same trick as the LSH hyperplanes)
     "dedup_minhash_sql" -> graft.ops.Dedup.minhashSqlOracle,
 
+    // the md5-based kernel sketches replay fully in DuckDB (rendered CW
+    // constants + the md5_number_upper byte-swap idiom) — previously
+    // rows-only under xxhash64
+    "dedup_minhash" -> graft.ops.Dedup.minhashOracle,
+    "dedup_simhash" -> graft.ops.Dedup.simhashGroupsOracle,
+    "dedup_simhash_near" -> graft.ops.Dedup.simhashNearOracle,
+
     "text_entropy" ->
       """WITH tf AS (
         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok

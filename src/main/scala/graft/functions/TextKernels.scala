@@ -16,29 +16,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * measured ~2-4× slower end-to-end on the dedup queries. A kernel does one
   * pass over the tokens with zero per-element closure overhead.
   *
-  * MinHash here uses one xxhash64-style base hash per shingle plus
-  * Carter-Wegman mixing (h_i = h1 + i·h2) instead of re-hashing the string
-  * per permutation — the standard trick to make signature cost independent
-  * of permutation count.
+  * MinHash here uses one md5-derived base hash per shingle plus
+  * Carter-Wegman mixing ((a_i·h + b_i) mod p) instead of re-hashing the
+  * string per permutation — the standard trick to make signature cost
+  * independent of permutation count — with md5 (not xxhash64) as the base
+  * so every sketch replays bit-for-bit in the DuckDB oracle.
   */
 object TextKernels {
 
-  /** 64-bit avalanche mix (splitmix64 finalizer — public-domain constant
-    * set) applied to a string's bytes via polynomial rolling, giving the
-    * two independent base hashes for Carter-Wegman permutation synthesis. */
-  private def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  /** Carter-Wegman permutation constants for the MinHash family — ONE
+    * source shared by the kernel, the HOF reference form, the SQL-parity
+    * pipeline, and the rendered DuckDB oracles. `a` odd and < 2²⁰ keeps
+    * a·h + b < 2⁵² exact in int64 on BOTH engines (DuckDB raises on
+    * BIGINT overflow; Spark wraps — stay where they agree). */
+  def permA(i: Int): Long = ((i * 2654435761L) % 1048573L) | 1L
+  def permB(i: Int): Long = (i * 40503L + 2531011L) % 2147483647L
+  val SqlPrime = 2147483647L // 2^31 - 1
+
+  // Base hashes are md5-derived so every sketch is REPLAYABLE in a second
+  // engine (DuckDB has md5; xxhash64 it does not): the 32-bit words are
+  // big-endian slices of the digest, i.e. exactly
+  // conv(substring(md5(s), 1+8w, 8), 16, 10) on the Spark SQL side and a
+  // byte-swap of md5_number_upper's 32-bit halves on the DuckDB side
+  // (the repo's verified cross-engine md5 idiom; see minhashSqlOracle).
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def baseHash(s: String, seed: Long): Long = {
-    var h = seed
-    var i = 0
-    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
-    mix64(h)
+  private def md5Digest(s: UTF8String): Array[Byte] = {
+    val d = mdLocal.get()
+    d.reset()
+    d.digest(s.getBytes)
   }
+
+  private def word32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
+      ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
 
   /** Normalized (lowercase, whitespace-split, empty tokens dropped)
     * distinct word k-shingles, in first-occurrence order — semantics
@@ -70,22 +84,25 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
-  /** numPerms-wide MinHash signature of a shingle array: per shingle one
-    * base hash pair (h1, h2), permutation i hash = h1 + i·h2. */
+  /** numPerms-wide MinHash signature of a shingle array: per shingle ONE
+    * md5 (base hash = big-endian top 32 bits of the digest), permutation
+    * i = (permA(i)·h + permB(i)) mod SqlPrime — Carter-Wegman mixing, so
+    * signature cost is one digest per shingle regardless of permutation
+    * count, and the whole signature replays bit-for-bit in DuckDB. */
   def minhashSig(shingles: ArrayData, numPerms: Int): ArrayData = {
     val sig = Array.fill[Long](numPerms)(Long.MaxValue)
+    val as = Array.tabulate(numPerms)(permA)
+    val bs = Array.tabulate(numPerms)(permB)
     val n = shingles.numElements()
     var s = 0
     while (s < n) {
       val str = shingles.getUTF8String(s)
       if (str != null) {
-        val st = str.toString
-        val h1 = baseHash(st, 0x9e3779b97f4a7c15L)
-        val h2 = baseHash(st, 0xc2b2ae3d27d4eb4fL) | 1L // odd => full-period
+        val h = word32(md5Digest(str), 0)
         var i = 0
         while (i < numPerms) {
-          val h = h1 + i * h2
-          if (h < sig(i)) sig(i) = h
+          val v = (as(i) * h + bs(i)) % SqlPrime
+          if (v < sig(i)) sig(i) = v
           i += 1
         }
       }
@@ -94,17 +111,25 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
-  /** 64-bit SimHash of whitespace tokens: per-token hash votes on each bit.
-    * NULL text yields NULL (StaticInvoke propagateNull). */
+  /** 64-bit SimHash of whitespace tokens (lowercased, `\s+`-split, empty
+    * tokens dropped; a no-token document fingerprints to 0): per-token
+    * md5 supplies two independent 32-bit words (big-endian digest bytes
+    * 0-3 and 4-7) that vote on bits 0-31 and 32-63 respectively — each
+    * word replays exactly in DuckDB via the md5_number_upper byte-swap
+    * idiom, keeping the whole fingerprint oracle-able. NULL text yields
+    * NULL (StaticInvoke propagateNull). */
   def simhash64(text: UTF8String): Long = {
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      val h = baseHash(toks(t), 0x9e3779b97f4a7c15L)
+      val d = md5Digest(UTF8String.fromString(toks(t)))
+      val ha = word32(d, 0)
+      val hb = word32(d, 4)
       var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      while (j < 32) {
+        if (((ha >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((hb >>> j) & 1L) == 1L) votes(j + 32) += 1 else votes(j + 32) -= 1
         j += 1
       }
       t += 1

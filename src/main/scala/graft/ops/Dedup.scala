@@ -37,15 +37,21 @@ object Dedup {
         i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
-  /** MinHash signature, HOF form: sig[i] = min over shingles of
-    * xxhash64(shingle, i). numPerms nested array traversals per row —
-    * reference implementation only; hot paths use
-    * [[graft.functions.TextKernels.minhashSigKernel]] (one base hash per
-    * shingle + Carter-Wegman mixing). */
-  def minhashSigCol(shingles: Column, numPerms: Int): Column =
-    transform(
-      sequence(lit(0), lit(numPerms - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+  /** MinHash signature, HOF form — SAME hash as the kernel (md5-top-32
+    * base + Carter-Wegman (a·h + b) mod p): sig[i] = min over shingles.
+    * numPerms array traversals per row — reference implementation for the
+    * kernel-equivalence spec only; hot paths use
+    * [[graft.functions.TextKernels.minhashSigKernel]] (one digest per
+    * shingle, constants folded). */
+  def minhashSigCol(shingles: Column, numPerms: Int): Column = {
+    import graft.functions.TextKernels.{permA, permB}
+    val hashed = transform(shingles,
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    array((0 until numPerms).map { i =>
+      array_min(transform(hashed,
+        h => (lit(permA(i)) * h + lit(permB(i))) % graft.functions.TextKernels.SqlPrime))
+    }: _*)
+  }
 
   val NumPerms = 32
   val Bands = 16   // 16 bands x 2 rows: candidate threshold ~ (1/16)^(1/2) = 0.25 Jaccard
@@ -96,13 +102,19 @@ object Dedup {
         TextKernels.minhashSigKernel(col("shingles"), NumPerms).as("sig"))
       .persist()
 
+    // band keys are the RAW signature components (band, sig[2b], sig[2b+1])
+    // — directly replayable in the DuckDB oracle, unlike a re-hash of the
+    // slice; the grouping key is 20 bytes instead of 8, on a per-doc-
+    // per-band row count that the banding keeps linear
     val banded = sigs.select(
       col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * Rows + 1, lit(Rows))))).as("bucket"))
+      explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
+        col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k0").as("k0"), col("bk.k1").as("k1"))
 
     val pairs = banded
-      .groupBy(col("bucket"))
+      .groupBy(col("band"), col("k0"), col("k1"))
       .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, 1000))
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
@@ -129,7 +141,8 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document: explode tokens → per-token xxhash64 →
+  /** 64-bit SimHash per document: explode tokens → per-token md5-derived
+    * 32-bit word pair (same base hash as the kernel) →
     * per-doc two-phase aggregation where each of the 64 bits sums +1/-1
     * votes → reassemble the sign bits into a long. The explode + partial
     * aggregation shape means a document's vote accumulation can span
@@ -141,11 +154,17 @@ object Dedup {
     * this form stays as the giant-doc escape hatch and the independent
     * implementation the property tests cross-check against. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenization mirrors the kernel (lowercase, \s+-split, empties
+    // dropped); NOTE the explode drops zero-token documents entirely —
+    // the kernel fingerprints them as 0 (this form is the giant-doc
+    // escape hatch, not the driver path)
     val tokens = df.select(col(idCol),
-      explode(Text.tokensCol(lower(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+      .withColumn("ha", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hb", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+      val word = if (j < 32) col("ha") else col("hb")
+      sum(when(shiftright(word, j % 32).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j")
     }
     val bits = (0 until 64).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
@@ -495,15 +514,14 @@ object Dedup {
 
   // ---- SQL-parity MinHash (cross-engine reproducible) -----------------
 
-  /** Deterministic Carter-Wegman permutation constants for the SQL-parity
-    * MinHash: a odd and < 2^20 so a*h + b < 2^52 stays exact in int64 on
-    * BOTH engines (DuckDB raises on BIGINT overflow; Spark wraps — keep
-    * the arithmetic in range where they agree). Rendered verbatim into
-    * the DuckDB oracle's VALUES list. */
+  /** Deterministic Carter-Wegman permutation constants for the MinHash
+    * family — sourced from [[graft.functions.TextKernels.permA]]/`permB`
+    * (the kernel, the HOF form, and the SQL-parity pipeline all share
+    * them). Rendered verbatim into the DuckDB oracles' VALUES lists. */
   val SqlPerms: Seq[(Int, Long, Long)] = (0 until NumPerms).map { i =>
-    (i, ((i * 2654435761L) % 1048573L) | 1L, (i * 40503L + 2531011L) % 2147483647L)
+    (i, graft.functions.TextKernels.permA(i), graft.functions.TextKernels.permB(i))
   }
-  val SqlPrime = 2147483647L // 2^31 - 1
+  val SqlPrime: Long = graft.functions.TextKernels.SqlPrime
 
   /** MinHash banding with EVERY step expressible in ANSI-ish SQL, so the
     * whole sketch pipeline — shingling, hashing, 32 permutations, 16×2
@@ -550,6 +568,106 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** DuckDB oracle for [[minhashPairs]] — the FULL kernel pipeline
+    * replayed: shingling (inc. the ≤k-token single-shingle edge, via
+    * concat_ws's NULL-skip), md5-top-32 base hashes (byte-swap of
+    * md5_number_upper's low word — the repo's verified cross-engine md5
+    * idiom), all 32 CW permutations, (band, sig-component) buckets with
+    * the 2..1000 cap, signature-estimate gate, and exact string-space
+    * Jaccard verification. Every constant renders from [[SqlPerms]], so
+    * oracle and kernel cannot drift. */
+  def minhashOracle: String = {
+    val values = SqlPerms.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks),
+       |shingles AS (SELECT DISTINCT doc_id,
+       |    concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1], tk[CAST(i AS INT) + 2]) AS s
+       |  FROM sh0),
+       |hs AS (SELECT doc_id, s,
+       |    ((x & 255) << 24) | (((x >> 8) & 255) << 16) | (((x >> 16) & 255) << 8) | ((x >> 24) & 255) AS h
+       |  FROM (SELECT doc_id, s, CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS x FROM shingles)),
+       |perms(i, a, b) AS (VALUES $values),
+       |sigs AS (SELECT doc_id, i, min((a * h + b) % ${SqlPrime}) AS m FROM hs, perms GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // ${Rows} AS band,
+       |    max(CASE WHEN i % 2 = 0 THEN m END) AS k0,
+       |    max(CASE WHEN i % 2 = 1 THEN m END) AS k1
+       |  FROM sigs GROUP BY 1, 2),
+       |g AS (SELECT band, k0, k1 FROM bands GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND 1000),
+       |kb AS (SELECT b.doc_id, b.band, b.k0, b.k1 FROM bands b JOIN g USING (band, k0, k1)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM kb a JOIN kb b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |                             AND a.doc_id < b.doc_id),
+       |est AS (SELECT doc_a, doc_b,
+       |    CAST(count(*) FILTER (WHERE sa.m = sb.m) AS DOUBLE) / ${NumPerms} AS est_sim
+       |  FROM pairs JOIN sigs sa ON sa.doc_id = doc_a
+       |             JOIN sigs sb ON sb.doc_id = doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.25),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+       |common AS (SELECT c.doc_a, c.doc_b, c.est_sim, count(*) AS cmn
+       |  FROM cand c JOIN shingles x ON x.doc_id = c.doc_a
+       |              JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, round(est_sim, 4) AS est_sim, round(jaccard, 4) AS jaccard
+       |FROM (SELECT c.doc_a, c.doc_b, c.est_sim,
+       |        CAST(cmn AS DOUBLE) / (sa.sz + sb.sz - cmn) AS jaccard
+       |      FROM common c JOIN szs sa ON sa.doc_id = c.doc_a
+       |                    JOIN szs sb ON sb.doc_id = c.doc_b)
+       |WHERE jaccard >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Shared DuckDB fingerprint CTE for the SimHash oracles: per-token md5
+    * word pair (byte-swapped halves of md5_number_upper), 64 bit votes,
+    * sign-bit assembly into a SIGNED int64 (bit 63 contributes −2⁶³, so
+    * the value equals the kernel's long bit pattern), zero-token docs
+    * fingerprint to 0 via the LEFT JOIN + coalesce. */
+  private def simhashFpCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |hw AS (SELECT doc_id,
+      |    ((xl & 255) << 24) | (((xl >> 8) & 255) << 16) | (((xl >> 16) & 255) << 8) | ((xl >> 24) & 255) AS ha,
+      |    ((xh & 255) << 24) | (((xh >> 8) & 255) << 16) | (((xh >> 16) & 255) << 8) | ((xh >> 24) & 255) AS hb
+      |  FROM (SELECT doc_id,
+      |          CAST(md5_number_upper(tok) & 4294967295 AS BIGINT) AS xl,
+      |          CAST((md5_number_upper(tok) >> 32) & 4294967295 AS BIGINT) AS xh
+      |        FROM toks)),
+      |votes AS (SELECT doc_id, j,
+      |    sum(CASE WHEN ((CASE WHEN j < 32 THEN ha ELSE hb END) >> (j % 32)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hw, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+      |fp0 AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN
+      |      (CASE WHEN j = 63 THEN -9223372036854775807 - 1 ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END)
+      |      ELSE 0 END) AS BIGINT) AS fp
+      |  FROM votes GROUP BY 1),
+      |fps AS (SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+      |        FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[simhashGroups]]. */
+  def simhashGroupsOracle: String =
+    s"""WITH ${simhashFpCte}
+       |SELECT fp AS simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+       |FROM fps GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** DuckDB oracle for [[simhashNearPairs]] — replays the 4×16-bit
+    * pigeonhole banding INCLUDING the bucket cap (arithmetic >> plus the
+    * 0xFFFF mask equals the kernel's unsigned shift on every chunk). */
+  def simhashNearOracle: String =
+    s"""WITH ${simhashFpCte},
+       |chunks AS (SELECT doc_id, c, (fp >> (c * 16)) & 65535 AS key
+       |           FROM fps, (SELECT unnest(range(4)) AS c)),
+       |g AS (SELECT c, key FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+       |kc AS (SELECT ch.doc_id, ch.c, ch.key FROM chunks ch JOIN g USING (c, key)),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM kc a JOIN kc b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+       |FROM cands JOIN fps fa ON fa.doc_id = doc_a JOIN fps fb ON fb.doc_id = doc_b
+       |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The DuckDB oracle for [[minhashSqlPairs]], with the permutation
     * constants rendered as a VALUES list — same trick as the rendered
