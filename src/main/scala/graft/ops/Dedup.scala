@@ -501,15 +501,23 @@ object Dedup {
     * released before returning — repeated library calls accumulate no
     * cache (CacheHygieneSpec pins it). */
   def containmentPairsDf(documents: DataFrame): DataFrame = {
+    val (plan, releasePostings) = containmentPlanReleasable(documents)
+    val out = truncate(plan)
+    releasePostings()
+    out
+  }
+
+  /** The un-truncated [[containmentPairsDf]] plan plus its posting-cache
+    * release thunk — for plan-shape assertions; operator callers get the
+    * eager form above. */
+  private[graft] def containmentPlanReleasable(
+      documents: DataFrame): (DataFrame, () => Unit) = {
     val (stats, releasePostings) = ngramPairStatsReleasable(documents)
-    val out = truncate(
-      stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+    (stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
         round(col("common").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
       .filter(col("containment") >= 0.8)
-      .orderBy("doc_a", "doc_b"))
-    releasePostings()
-    out
+      .orderBy("doc_a", "doc_b"), releasePostings)
   }
 
   // ---- SQL-parity MinHash (cross-engine reproducible) -----------------

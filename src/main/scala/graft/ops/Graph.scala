@@ -245,7 +245,15 @@ object Graph {
     *     outgrows a single broadcastable row at extreme graph sizes.
     * Both paths produce identical output (GraphSpec pins it). */
   def neighborJaccardAdj(adj: DataFrame, maxDeg: Int = 256,
-                         dictAttach: Boolean = true): DataFrame = {
+                         dictAttach: Boolean = true): DataFrame =
+    Dedup.truncate(neighborJaccardPlan(adj, maxDeg, dictAttach))
+    // ^ EAGER: materializes at construction so downstream consumers plan
+    //   against a flat scan (PlanShapeSpec pins the pre-truncate shape)
+
+  /** The un-truncated [[neighborJaccardAdj]] plan — for plan-shape
+    * assertions; operator callers get the eager form above. */
+  private[graft] def neighborJaccardPlan(adj: DataFrame, maxDeg: Int = 256,
+                                         dictAttach: Boolean = true): DataFrame = {
     import graft.functions.GraftFunctions.{sortedLongPairsPackedKernel, sortedLongLookupKernel}
     // ONE adjacency feeds everything — the capped pair expansion, the
     // restricted degrees, and the adjacency check for the final anti-join
@@ -286,12 +294,12 @@ object Graph {
           .join(sizes.select(col("node").as("u"), col("sz").as("sz_u")), Seq("u"))
           .join(sizes.select(col("node").as("v"), col("sz").as("sz_v")), Seq("v"))
       }
-    Dedup.truncate(scored
+    scored
       .select(col("u").as("part_a"), col("v").as("part_b"),
         round(col("common").cast("double") /
           (col("sz_u") + col("sz_v") - col("common")), 4).as("nbr_jaccard"))
       .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
-      .limit(50)) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
+      .limit(50) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
   }
 
   /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration — the

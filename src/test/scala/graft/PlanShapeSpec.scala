@@ -110,6 +110,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 6, s"minhash plan now has $n shuffles (cap 6) — a stage double-shuffles")
   }
 
+  test("dedup_containment shuffle budget: shared pair-stats core stays flat") {
+    // same inverted-index core as ngram-jaccard (postings groupBy, pair
+    // groupBy, two size joins, final sort) — only the score differs, so
+    // the same one-exchange-per-stage cap applies
+    var release: () => Unit = () => ()
+    try {
+      val n = shuffleCount {
+        val (p, r) = Dedup.containmentPlanReleasable(Tables.documents(spark, sfDir))
+        release = r; p
+      }
+      assert(n <= 6, s"containment plan now has $n shuffles (cap 6) — a stage double-shuffles")
+    } finally release()
+  }
+
+  test("graph_nbr_jaccard: cap before pair kernel, anti-join, one dict crossJoin") {
+    val df = Graph.neighborJaccardPlan(Graph.adjacency(spark, sfDir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // packed pair kernel feeds from the degree-capped adjacency: the cap
+    // filter must exist in-plan BEFORE the quadratic pair expansion
+    assert(plan.contains("sortedLongPairsPacked"), plan.take(3000))
+    assert(plan.contains("<= 256"), plan.take(3000))
+    // existing edges drop via an anti-join, and the ONLY non-equi join is
+    // the single-row size-dictionary broadcast
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("ev_ab_test: per-user + per-variant aggregates, one single-row broadcast") {
+    val df = EventTime.abTest(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    // the pooled stats attach through ONE single-row broadcast crossJoin —
+    // never a wide join of the variant table against the events
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("text pipeline shuffle budgets: perplexity/entropy/fuzzy-join stay flat") {
     // stages each own at most one exchange (tf agg, per-key agg, sort,
     // spread repartitions on the documents scans); these caps stop future
