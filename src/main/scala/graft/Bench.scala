@@ -38,7 +38,12 @@ object Bench {
     val persisted = spark.sparkContext.getPersistentRDDs.values
       .filterNot(r => keep.contains(r.id))
     spark.catalog.clearCache()
-    persisted.foreach(_.unpersist(blocking = true))
+    // best-effort: the ContextCleaner may be removing a just-unreferenced
+    // checkpoint block concurrently — a vanished block is the desired end
+    // state, not a failure
+    persisted.foreach(r =>
+      try r.unpersist(blocking = true)
+      catch { case _: org.apache.spark.SparkException => () })
     if (persisted.nonEmpty) System.gc()
     dt
   }
