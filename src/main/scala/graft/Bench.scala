@@ -30,11 +30,11 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     // queries may persist reused intermediates; drop them synchronously
     // (and let GC settle) so one query's cache/garbage never skews the
-    // next query's measurement. The graph family's SHARED adjacency memo
-    // is exempt — it is a deliberate cross-query artifact (built once per
-    // (session, dir), consumed by pagerank/triangles/nbr-jaccard), not a
-    // per-query leak.
-    val keep = graft.ops.Graph.memoizedRddIds
+    // next query's measurement. The SHARED family memos (graph adjacency,
+    // dedup pair stats, embedding near-dup pairs — see PlanMemo) are
+    // exempt: they are deliberate cross-query artifacts built once per
+    // (session, dir), not per-query leaks.
+    val keep = graft.ops.PlanMemo.rddIds
     val persisted = spark.sparkContext.getPersistentRDDs.values
       .filterNot(r => keep.contains(r.id))
     spark.catalog.clearCache()

@@ -389,18 +389,14 @@ object Dedup {
     * unchanged — the clustering operator is agnostic to the pair source
     * (RecallSpec covers that composition on planted duplicates). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint (eager, reliable-when-configured via [[truncate]]), not
-    // persist: the undirected-edge union reads the pair list twice and
-    // every propagation round joins against it, and checkpointing ALSO
-    // truncates the whole ngram-pipeline lineage — each CC round plans
-    // against a flat block scan instead of re-analyzing the full
-    // explode/agg/pair-kernel plan just to hit its cache. Once the
-    // checkpoint materializes, the pair generator's internal posting cache
-    // is unreachable — release it (CacheHygieneSpec pins no leaks).
-    val (pairsDf, releasePostings) =
-      ngramJaccardPairsReleasable(Tables.documents(spark, dir))
-    val pairs = truncate(pairsDf.select(col("doc_a"), col("doc_b")))
-    releasePostings()
+    // The pair graph derives from the MEMOIZED pair stats ([[pairStats]]):
+    // the memo is already checkpoint-materialized, so every CC round plans
+    // against a flat block scan + a cheap filter instead of re-analyzing
+    // the full explode/agg/pair-kernel plan — and the ngram pipeline runs
+    // at most once per (session, dir) across this operator,
+    // [[ngramJaccardPairs]] and [[containmentPairs]].
+    val pairs = jaccardFromStats(pairStats(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
     connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -411,10 +407,36 @@ object Dedup {
   }
 
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardCore(spark, dir).orderBy("doc_a", "doc_b")
+    jaccardFromStats(pairStats(spark, dir)).orderBy("doc_a", "doc_b")
 
-  private def ngramJaccardCore(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairsDf(Tables.documents(spark, dir))
+  /** Memoized candidate-pair statistics (doc_a < doc_b, common, sz_a,
+    * sz_b) over the MaxDf-capped int64-hashed shingle space — the shared
+    * subplan of the whole set-overlap dedup family. [[ngramJaccardPairs]]
+    * (symmetric near-dup), [[containmentPairs]] (asymmetric
+    * doc-inside-doc) and [[dedupClusters]] (transitive closure) each
+    * derive their score from THIS one materialized stats table, so the
+    * posting-list build — the dominant cost — runs once per (session,
+    * dir), not once per query. At 100 TB this is the "materialize the
+    * candidate pairs once, score them many ways" layout a production
+    * dedup pass would use. */
+  def pairStats(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.getOrBuildReleasable(spark, dir, "dedup.pairStats") {
+      ngramPairStatsReleasable(Tables.documents(spark, dir))
+    }
+
+  /** Jaccard score + threshold over [[pairStats]]-shaped stats. */
+  private def jaccardFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+
+  /** Containment score + threshold over [[pairStats]]-shaped stats. */
+  private def containmentFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        round(col("common").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
+      .filter(col("containment") >= 0.8)
 
   /** Core over any (doc_id, text) DataFrame — unsorted; the recall/
     * equivalence specs run it on planted corpora against an independent
@@ -430,11 +452,7 @@ object Dedup {
   private[graft] def ngramJaccardPairsReleasable(
       documents: DataFrame): (DataFrame, () => Unit) = {
     val (stats, release) = ngramPairStatsReleasable(documents)
-    val pairs = stats.select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-    (pairs, release)
+    (jaccardFromStats(stats), release)
   }
 
   /** Shared candidate-pair statistics for the set-overlap dedup family:
@@ -493,7 +511,7 @@ object Dedup {
     * exist where shingles collide — never all-pairs), same int64-hashed
     * posting shuffle; only the final score/threshold differ. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairsDf(Tables.documents(spark, dir))
+    containmentFromStats(pairStats(spark, dir)).orderBy("doc_a", "doc_b")
 
   /** Core of [[containmentPairs]] over any (doc_id, text) DataFrame.
     * Materializes EAGERLY (via [[truncate]] — reliable checkpoint when
@@ -513,11 +531,7 @@ object Dedup {
   private[graft] def containmentPlanReleasable(
       documents: DataFrame): (DataFrame, () => Unit) = {
     val (stats, releasePostings) = ngramPairStatsReleasable(documents)
-    (stats.select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
-        round(col("common").cast("double") /
-          least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
-      .filter(col("containment") >= 0.8)
-      .orderBy("doc_a", "doc_b"), releasePostings)
+    (containmentFromStats(stats).orderBy("doc_a", "doc_b"), releasePostings)
   }
 
   // ---- SQL-parity MinHash (cross-engine reproducible) -----------------

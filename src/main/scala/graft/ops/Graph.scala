@@ -79,48 +79,23 @@ object Graph {
   private def aggAdjacency(directed: DataFrame): DataFrame =
     directed.groupBy(col("src")).agg(collect_set(col("dst")).as("ids"))
 
-  // One checkpoint-materialized co-purchase adjacency per (session, dir):
-  // pagerank, triangles and neighbor-Jaccard all consume the SAME
-  // aggregate, and before this memo each of the three rebuilt the whole
-  // lineitem-scan → order-group → pair-explode → collect_set subplan
-  // (~1.5-2 s of identical work per query at sf0.1, 3× per bench run).
-  // Values are truncate()d (reliable checkpoint when configured), so the
-  // memo holds flat block scans, not live lineage; entries release via
-  // [[clearAdjacencyMemo]] (ContextCleaner reclaims the blocks once the
-  // DataFrames are unreferenced).
-  private val adjMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** Memoized co-purchase adjacency (src, ids) for the graph family.
-    * SELF-HEALING: an entry whose local-checkpoint blocks were removed by
-    * a caller's unpersist-all (or a lost executor before any reliable dir
-    * is configured) fails validation and is rebuilt instead of poisoning
-    * every later graph query with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. */
-  def adjacency(spark: SparkSession, dir: String): DataFrame = {
-    def valid(df: DataFrame): Boolean =
-      org.apache.spark.sql.graft.bridge.materializedRdd(df).forall { r =>
-        // reliable checkpoint data lives in files and survives unpersist;
-        // local-checkpoint blocks exist only while the RDD stays persisted
-        r.getCheckpointFile.isDefined ||
-          spark.sparkContext.getPersistentRDDs.contains(r.id)
-      }
-    adjMemo.get((spark, dir)).filter(valid).getOrElse {
-      val built = Dedup.truncate(aggAdjacency(coPurchaseDirected(spark, dir)))
-      adjMemo((spark, dir)) = built
-      built
+  /** Memoized co-purchase adjacency (src, ids) for the graph family:
+    * pagerank, triangles and neighbor-Jaccard all consume the SAME
+    * aggregate, and before the memo each of the three rebuilt the whole
+    * lineitem-scan → order-group → pair-explode → collect_set subplan
+    * (~1.5-2 s of identical work per query at sf0.1, 3× per bench run).
+    * Materialization, validity self-healing and release live in
+    * [[PlanMemo]]. */
+  def adjacency(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.getOrBuild(spark, dir, "graph.adjacency") {
+      aggAdjacency(coPurchaseDirected(spark, dir))
     }
-  }
 
   /** Drop all memoized adjacencies (long-lived sessions / tests). */
-  def clearAdjacencyMemo(): Unit = adjMemo.clear()
+  def clearAdjacencyMemo(): Unit = PlanMemo.clear()
 
-  /** Block-storage ids of the live memo entries — lets cache-sweeping
-    * harnesses (Bench's inter-query unpersist-all) EXEMPT the shared
-    * adjacency, which exists precisely to persist across the graph
-    * family's queries. */
-  def memoizedRddIds: Set[Int] =
-    adjMemo.values.flatMap(df =>
-      org.apache.spark.sql.graft.bridge.materializedRdd(df).map(_.id)).toSet
+  /** Block-storage ids of the live memo entries — see [[PlanMemo.rddIds]]. */
+  def memoizedRddIds: Set[Int] = PlanMemo.rddIds
 
   /** Simplified PageRank (uniform teleport, unnormalized: r' = (1−d) +
     * d·Σ_in r/outdeg — the textbook power-iteration form) over the nodes

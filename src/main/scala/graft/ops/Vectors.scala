@@ -162,7 +162,16 @@ object Vectors {
     * (Driver data has no planted high-cosine dups; 0.45 sits just above
     * the similarity noise floor, max ≈ 0.51.) */
   def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDupPairsDf(Tables.embeddings(spark, dir))
+    nearDupPairsMemo(spark, dir).orderBy("id_a", "id_b")
+
+  /** Memoized, checkpoint-materialized near-dup pair list per (session,
+    * dir) — [[cosineNearDupPairs]] and [[embDupClusters]] both consume
+    * it, so the LSH-bucket/pair-explode/cosine-verify pipeline (the
+    * family's dominant cost) runs once, not once per query. */
+  private def nearDupPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanMemo.getOrBuild(spark, dir, "vectors.nearDupPairs") {
+      cosineNearDupPairsDf(Tables.embeddings(spark, dir))
+    }
 
   /** Core over any (vec_id, embedding) DataFrame — lets the recall specs
     * run the identical pipeline on synthetic corpora with planted
@@ -203,7 +212,7 @@ object Vectors {
     * composition — LSH, verification, transitive closure — is replayable
     * in DuckDB (recursive-CTE closure over the SQL-rendered LSH pairs). */
   def embDupClusters(spark: SparkSession, dir: String): DataFrame =
-    embDupClustersDf(Tables.embeddings(spark, dir))
+    clustersFromPairs(nearDupPairsMemo(spark, dir).select(col("id_a"), col("id_b")))
 
   /** Core of [[embDupClusters]] over any (vec_id, embedding) DataFrame.
     * EAGER: the pair graph materializes at construction (reliable
@@ -213,6 +222,13 @@ object Vectors {
     // rounds and lets this operator leave no cache behind (CacheHygieneSpec)
     val pairs = truncate(cosineNearDupPairsDf(emb)
       .select(col("id_a"), col("id_b")))
+    clustersFromPairs(pairs)
+  }
+
+  /** Transitive closure + cluster rollup over a materialized (id_a, id_b)
+    * pair list — the shared tail of [[embDupClusters]] (memoized pairs)
+    * and [[embDupClustersDf]] (self-built pairs). */
+  private def clustersFromPairs(pairs: DataFrame): DataFrame =
     graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -220,7 +236,6 @@ object Vectors {
       .select(col("keep_id"), col("cluster_size"),
         concat_ws(",", col("members")).as("members"))
       .orderBy("keep_id")
-  }
 
   /** The full centroid table collapsed to ONE row holding an array of
     * (cent_id, cent_vec) structs — broadcastable, so centroid assignment
