@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the heavy
+  // aggregate stages (10M+-entry hash maps × 32 tasks) plus a long
+  // bench run's accumulated garbage push GC time past 50% of stage
+  // wall time (measured: gc=2.4s inside a 2.3s-wall stage). 24g keeps
+  // task working sets + the family memos comfortably resident on the
+  // 128 GiB host while staying under the compressed-oops ceiling.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~140 queries × whole-stage-codegen classes overflow the default
+  // 240m code cache late in a bench run — the JIT then stops compiling
+  // and compute-heavy kernels run interpreted (2-3× per-query swings).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -161,6 +161,15 @@ object SparkEntry {
     "dq_report"         -> (Quality.dqReport(_, _)),
     "dq_snapshot_diff"  -> (Quality.snapshotDiff(_, _)),
     "dq_drift"          -> (Quality.dqDrift(_, _)),
+    // --- round 7: corpus analysis / attribution / PQ / components ---
+    "text_boilerplate"  -> (Text.boilerplateStats(_, _)),
+    "text_tfidf"        -> (Text.tfidfTopTerms(_, _)),
+    "text_collocations" -> (Text.collocations(_, _)),
+    "graph_components"  -> (Graph.components(_, _)),
+    "pipeline_keep_best"-> (Dedup.keepBestPerCluster(_, _)),
+    "ev_attribution"    -> (EventTime.lastTouchAttribution(_, _)),
+    "join_asof_nearest" -> (AsOf.eventAsofNearest(_, _)),
+    "emb_pq_codes"      -> (Vectors.pqCodes(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -190,9 +199,208 @@ object SparkEntry {
        |ORDER BY rank DESC, part_id LIMIT 25""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.ops.Vectors.pqCodes]]: the 4×8 ±1 codebook
+    * dots as aliased columns (one `list_dot_product(CAST(slice AS
+    * DOUBLE[]), [±1…])` each — DOUBLE[] casts force double accumulation,
+    * the float32 gotcha sql_vec_cosine documents), greatest() per
+    * subspace, first-match CASE chains for the tie rule, and the same
+    * left-associative error sum. */
+  private def pqOracle: String = {
+    import graft.ops.Vectors.{PqSub, PqSubDim}
+    val dotCols = (0 until PqSub).flatMap { s =>
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      val vv = s"list_dot_product(CAST(e[$lo:$hi] AS DOUBLE[]), CAST(e[$lo:$hi] AS DOUBLE[])) AS vv$s"
+      vv +: graft.ops.Vectors.pqOracleDots(s).zipWithIndex.map {
+        case (d, c) => s"${d.replace(s"e[$lo:$hi]", s"CAST(e[$lo:$hi] AS DOUBLE[])")} AS d${s}_$c"
+      }
+    }
+    val bests = (0 until PqSub).map { s =>
+      s"greatest(${(0 until graft.ops.Vectors.PqCents).map(c => s"d${s}_$c").mkString(", ")}) AS b$s"
+    }
+    val codes = (0 until PqSub).map { s =>
+      val cases = (0 until graft.ops.Vectors.PqCents)
+        .map(c => s"WHEN d${s}_$c = b$s THEN $c").mkString(" ")
+      s"CASE $cases ELSE -1 END AS code$s"
+    }
+    val err = (0 until PqSub).map(s => s"(vv$s - 2.0 * b$s + $PqSubDim.0)").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |d AS (SELECT vec_id, ${dotCols.mkString(",\n        ")} FROM v),
+       |b AS (SELECT *, ${bests.mkString(",\n        ")} FROM d)
+       |SELECT vec_id, ${codes.mkString(",\n       ")},
+       |       round($err, 4) AS recon_err
+       |FROM b ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (same parquet tables, same column names,
     * same deterministic ORDER BY). Omitted for sketch/hash-dependent ops. */
   def oracleSql: Map[String, String] = Map(
+    "emb_pq_codes" -> pqOracle,
+
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     sh AS (SELECT doc_id,
+        |                   list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                                                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |            FROM toks),
+        |     post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |     dfs AS (SELECT shingle, count(*) AS df FROM post GROUP BY 1),
+        |     top AS (SELECT shingle FROM dfs ORDER BY df DESC, shingle ASC LIMIT 100),
+        |     per AS (SELECT p.doc_id, count(*) AS n_shingles,
+        |                    CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |             FROM post p LEFT JOIN top t ON p.shingle = t.shingle
+        |             GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_boiler,
+        |       CAST(n_boiler AS DOUBLE) / n_shingles AS boiler_ratio,
+        |       (CAST(n_boiler AS DOUBLE) / n_shingles) <= 0.5 AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH t2 AS (SELECT doc_id, lang, token FROM (
+        |              SELECT doc_id, lang,
+        |                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |              FROM documents) x WHERE token <> ''),
+        |     dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+        |     tf AS (SELECT lang, token, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |     n AS (SELECT count(*) AS n_docs FROM documents),
+        |     sc AS (SELECT lang, tf.token AS token, tf.tf AS tf, dfs.df AS df,
+        |                   round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (dfs.df + 1)) + 1), 4) AS tfidf
+        |            FROM tf JOIN dfs ON tf.token = dfs.token CROSS JOIN n),
+        |     r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |                      ORDER BY tfidf DESC, token ASC) AS rk FROM sc)
+        |SELECT lang, token, tf, df, tfidf, rk FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+
+    "text_collocations" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     u AS (SELECT token, count(*) AS n FROM (
+        |             SELECT unnest(t) AS token FROM toks) x GROUP BY 1),
+        |     b AS (SELECT (pr).a AS tok_a, (pr).b AS tok_b FROM (
+        |             SELECT unnest(list_transform(range(1, len(t)),
+        |                                          i -> {'a': t[i], 'b': t[i+1]})) AS pr
+        |             FROM toks) x),
+        |     bc AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM b GROUP BY 1, 2),
+        |     tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM u),
+        |     btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS bt FROM bc)
+        |SELECT tok_a || ' ' || tok_b AS bigram, n_ab,
+        |       round(ln(CAST(n_ab AS DOUBLE) * tt * tt /
+        |                (CAST(bt AS DOUBLE) * ua.n * ub.n)), 4) AS pmi
+        |FROM bc JOIN u ua ON bc.tok_a = ua.token
+        |        JOIN u ub ON bc.tok_b = ub.token
+        |        CROSS JOIN tot CROSS JOIN btot
+        |WHERE n_ab >= 10
+        |ORDER BY pmi DESC, bigram ASC LIMIT 25""".stripMargin,
+
+    "graph_components" ->
+      """WITH RECURSIVE
+        |     li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_quantity >= 25),
+        |     prs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok AS ok
+        |             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |     edges AS (SELECT pa, pb FROM (
+        |                 SELECT pa, pb, count(*) AS n_orders FROM prs GROUP BY 1, 2) x
+        |               WHERE n_orders >= 2),
+        |     und AS (SELECT pa AS src, pb AS dst FROM edges
+        |             UNION ALL SELECT pb AS src, pa AS dst FROM edges),
+        |     reach(src, dst) AS (
+        |       SELECT src, dst FROM und
+        |       UNION
+        |       SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |     labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |                FROM reach GROUP BY src)
+        |SELECT label AS component, count(*) AS n_nodes,
+        |       array_to_string(list_sort(list(id)), ',') AS members
+        |FROM labels GROUP BY 1 ORDER BY component""".stripMargin,
+
+    "pipeline_keep_best" ->
+      """WITH RECURSIVE
+        |     toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     sh AS (SELECT doc_id,
+        |                   list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                                                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |            FROM toks),
+        |     post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |     kept AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= 100),
+        |     kp AS (SELECT p.doc_id, p.shingle FROM post p JOIN kept k ON p.shingle = k.shingle),
+        |     sizes AS (SELECT doc_id, count(*) AS sz FROM kp GROUP BY 1),
+        |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |               FROM kp a JOIN kp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |               GROUP BY 1, 2),
+        |     prs AS (SELECT doc_a, doc_b FROM (
+        |               SELECT doc_a, doc_b,
+        |                      round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) AS jaccard
+        |               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        |                          JOIN sizes sb ON doc_b = sb.doc_id) q
+        |             WHERE jaccard >= 0.5),
+        |     und AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |             UNION ALL SELECT doc_b AS src, doc_a AS dst FROM prs),
+        |     reach(src, dst) AS (
+        |       SELECT src, dst FROM und
+        |       UNION
+        |       SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |     labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |                FROM reach GROUP BY src),
+        |     best AS (SELECT l.label, d.doc_id, d.n_chars,
+        |                     row_number() OVER (PARTITION BY l.label
+        |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        |              FROM labels l JOIN documents d ON l.id = d.doc_id),
+        |     agg AS (SELECT label, count(*) AS cluster_size,
+        |                    CAST(sum(id) AS BIGINT) AS id_sum FROM labels GROUP BY 1)
+        |SELECT a.label AS cluster_id, a.cluster_size, b.doc_id AS keep_doc,
+        |       b.n_chars AS keep_chars, a.id_sum - b.doc_id AS dropped_id_sum
+        |FROM agg a JOIN best b ON a.label = b.label AND b.rk = 1
+        |ORDER BY cluster_id""".stripMargin,
+
+    "ev_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+        |     p AS (SELECT pu.event_id AS pid, pu.es, pu.value,
+        |                  t.event_type AS ttype, t.es AS tes,
+        |                  row_number() OVER (PARTITION BY pu.event_id
+        |                                     ORDER BY t.es DESC, t.event_id DESC) AS rn
+        |           FROM (SELECT * FROM e WHERE event_type = 'purchase') pu
+        |           LEFT JOIN (SELECT * FROM e WHERE event_type IN ('click', 'view')) t
+        |             ON t.user_id = pu.user_id AND t.es <= pu.es)
+        |SELECT CASE WHEN tes IS NOT NULL AND es - tes <= 604800 THEN ttype
+        |            ELSE 'none' END AS channel,
+        |       count(*) AS conversions, round(sum(value), 2) AS revenue
+        |FROM p WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+        |     prev AS (SELECT c.event_id AS cid, c.user_id, c.es AS click_es,
+        |                     v.event_id AS vid, v.value AS vval, v.es AS ves,
+        |                     row_number() OVER (PARTITION BY c.event_id
+        |                                        ORDER BY v.es DESC, v.event_id DESC) AS rn
+        |              FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |              LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |                ON v.user_id = c.user_id AND v.es <= c.es),
+        |     nxt AS (SELECT c.event_id AS cid,
+        |                    v.event_id AS vid, v.value AS vval, v.es AS ves,
+        |                    row_number() OVER (PARTITION BY c.event_id
+        |                                       ORDER BY v.es ASC, v.event_id ASC) AS rn
+        |             FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |             LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |               ON v.user_id = c.user_id AND v.es > c.es)
+        |SELECT p.user_id, p.click_es,
+        |       CASE WHEN n.vid IS NULL THEN p.vid
+        |            WHEN p.vid IS NULL THEN n.vid
+        |            WHEN p.click_es - p.ves <= n.ves - p.click_es THEN p.vid
+        |            ELSE n.vid END AS view_id,
+        |       round(CASE WHEN n.vid IS NULL THEN p.vval
+        |                  WHEN p.vid IS NULL THEN n.vval
+        |                  WHEN p.click_es - p.ves <= n.ves - p.click_es THEN p.vval
+        |                  ELSE n.vval END, 2) AS view_value
+        |FROM (SELECT * FROM prev WHERE rn = 1) p
+        |JOIN (SELECT * FROM nxt WHERE rn = 1) n ON p.cid = n.cid
+        |ORDER BY user_id, click_es""".stripMargin,
+
     "p1_select_alias" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY custkey""".stripMargin,

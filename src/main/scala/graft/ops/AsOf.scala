@@ -152,6 +152,64 @@ object AsOf {
       .orderBy("user_id", "click_es")
   }
 
+  /** NEAREST-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): for each `right` row, whichever of {latest left row at
+    * or before, earliest left row strictly after} is closer in time —
+    * ties go backward. ONE union + ONE shuffle + ONE sort: both window
+    * frames (preceding-last and following-first) share the same
+    * (t, side, tb) ordering, so Spark plans a single Exchange + Sort and
+    * evaluates both directions in one Window operator — the nearest
+    * variant costs no more than either one-sided form. Left rows sort
+    * before right rows at equal t, so an equal-time left row lands in the
+    * backward frame (asof ≤ / strict >). Among equal-time left rows the
+    * max-tiebreak one wins backward and the min-tiebreak forward, both
+    * deterministic. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String, time: String,
+                      leftVals: Seq[String], tiebreak: String): DataFrame = {
+    val lTagged = left.select(
+      col(key).as("k"), col(time).as("t"), lit(0).as("side"),
+      col(tiebreak).as("tb"),
+      struct((leftVals.map(col) :+ col(time).as("_lt")): _*).as("lv"))
+    val rTagged = right.select(
+      col(key).as("k"), col(time).as("t"), lit(1).as("side"),
+      lit(null).cast(lTagged.schema("tb").dataType).as("tb"),
+      lit(null).cast(lTagged.schema("lv").dataType).as("lv"))
+    val ord = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("tb").asc_nulls_first)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = lTagged.unionByName(rTagged)
+      .withColumn("prev", last(col("lv"), ignoreNulls = true).over(back))
+      .withColumn("next", first(col("lv"), ignoreNulls = true).over(fwd))
+    val dPrev = col("t") - col("prev").getField("_lt")
+    val dNext = col("next").getField("_lt") - col("t")
+    val chosen = when(col("prev").isNull, col("next"))
+      .when(col("next").isNull, col("prev"))
+      .when(dPrev <= dNext, col("prev"))
+      .otherwise(col("next"))
+    val rightRows = unioned.filter(col("side") === 1).withColumn("asof", chosen)
+    leftVals.foldLeft(rightRows) { (df, c) =>
+      df.withColumn(s"asof_$c", col("asof").getField(c))
+    }.drop("side", "tb", "lv", "prev", "next", "asof")
+  }
+
+  /** Nearest as-of self-join on events: each 'click' picks up whichever
+    * same-user 'view' is closest in time (prior-or-equal wins ties). */
+  def eventAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("es"), col("event_id").as("view_id"), col("value").as("view_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("es"), col("event_id"))
+    asofJoinNearest(views, clicks, "user_id", "es", Seq("view_id", "view_value"), "view_id")
+      .select(col("k").as("user_id"), col("t").as("click_es"),
+        col("asof_view_id").as("view_id"),
+        round(col("asof_view_value"), 2).as("view_value"))
+      .orderBy("user_id", "click_es")
+  }
+
   /** As-of self-join on events: each 'click' event picks up the most recent
     * prior-or-equal 'view' event of the same user. */
   def eventAsof(spark: SparkSession, dir: String): DataFrame = {

@@ -388,22 +388,56 @@ object Dedup {
     * ([[minhashPairs]]) plugs into the same [[connectedComponents]]
     * unchanged — the clustering operator is agnostic to the pair source
     * (RecallSpec covers that composition on planted duplicates). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // The pair graph derives from the MEMOIZED pair stats ([[pairStats]]):
-    // the memo is already checkpoint-materialized, so every CC round plans
-    // against a flat block scan + a cheap filter instead of re-analyzing
-    // the full explode/agg/pair-kernel plan — and the ngram pipeline runs
-    // at most once per (session, dir) across this operator,
-    // [[ngramJaccardPairs]] and [[containmentPairs]].
-    val pairs = jaccardFromStats(pairStats(spark, dir))
-      .select(col("doc_a"), col("doc_b"))
-    connectedComponents(pairs, "doc_a", "doc_b")
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),
         sort_array(collect_list(col("id"))).as("members"))
       .select(col("keep_id"), col("cluster_size"),
         concat_ws(",", col("members")).as("members"))
       .orderBy("keep_id")
+
+  /** Memoized (id, label) near-dup cluster assignment: the pair graph
+    * derives from the MEMOIZED [[pairStats]] (so the ngram pipeline runs
+    * at most once per (session, dir) across the whole family), and the
+    * connected-components closure itself also runs once — [[dedupClusters]]
+    * (the cluster report) and [[keepBestPerCluster]] (canonical-document
+    * selection) are both rollups over THIS one materialized label table. */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.getOrBuild(spark, dir, "dedup.clusterLabels") {
+      val pairs = jaccardFromStats(pairStats(spark, dir))
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs, "doc_a", "doc_b")
+    }
+
+  /** Canonical-document selection — the step a dedup pipeline runs AFTER
+    * clustering: per near-dup cluster, keep the LONGEST member (n_chars
+    * desc, doc_id asc tiebreak — "keep the most complete copy" is the
+    * standard C4/RefinedWeb keeper heuristic, and an integer sort key is
+    * cross-engine exact where a float quality score could tie-break
+    * differently at the last ulp). Output: one row per cluster with the
+    * kept doc and what was dropped. Scale shape: the label table is
+    * memoized ([[clusterLabels]]); the doc-length attach is an equi-join
+    * on doc_id (broadcast-sized here, shuffle-partitioned at corpus
+    * scale); the per-cluster argmax is a WindowGroupLimit top-1, no
+    * self-join. */
+  def keepBestPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = clusterLabels(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        col("id") === col("doc_id"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labeled.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("label").as("cluster_id"), col("doc_id").as("keep_doc"),
+        col("n_chars").as("keep_chars"))
+      .join(clusterLabels(spark, dir).groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"), sum(col("id")).as("id_sum")),
+        Seq("cluster_id"))
+      .select(col("cluster_id"), col("cluster_size"), col("keep_doc"),
+        col("keep_chars"), (col("id_sum") - col("keep_doc")).as("dropped_id_sum"))
+      .orderBy("cluster_id")
   }
 
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =

@@ -237,4 +237,46 @@ object EventTime {
       .withColumn("significant", abs(col("z_score")) >= 1.96)
       .orderBy("variant")
   }
+
+  /** Last-touch attribution: each purchase is credited to the most recent
+    * prior-or-equal click/view of the same user within a 7-day lookback
+    * ('none' when no touch qualifies), then conversions and revenue roll
+    * up per attributed channel — the standard marketing-attribution
+    * readout. Same union + merge-scan shape as [[graft.ops.AsOf]]: tag
+    * touches and purchases, ONE shuffle on user_id, carry the latest
+    * touch forward with a last(ignoreNulls) window (touches sort before
+    * purchases at equal timestamps, larger event_id wins equal-time touch
+    * ties) — no join operator at all, so the plan is one exchange + one
+    * sort regardless of event volume. */
+  def lastTouchAttribution(spark: SparkSession, dir: String,
+                           lookbackSec: Long = 7L * 24 * 3600): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("es"), lit(0).as("side"), col("event_id").as("tb"),
+        col("event_type").as("touch_type"), col("es").as("touch_es"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"), lit(1).as("side"),
+        lit(null).cast("long").as("tb"),
+        lit(null).cast("string").as("touch_type"),
+        lit(null).cast("long").as("touch_es"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("side").asc, col("tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the two last() calls share one ordering, so they pick fields of the
+    // SAME touch row — no torn (type, ts) pairs
+    touches.unionByName(purchases)
+      .withColumn("lt_type", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("lt_es", last(col("touch_es"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        when(col("lt_es").isNotNull && col("es") - col("lt_es") <= lookbackSec,
+          col("lt_type")).otherwise("none").as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"), round(sum(col("value")), 2).as("revenue"))
+      .orderBy("channel")
+  }
 }

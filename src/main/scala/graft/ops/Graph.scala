@@ -85,10 +85,20 @@ object Graph {
     * lineitem-scan → order-group → pair-explode → collect_set subplan
     * (~1.5-2 s of identical work per query at sf0.1, 3× per bench run).
     * Materialization, validity self-healing and release live in
-    * [[PlanMemo]]. */
+    * [[PlanMemo]].
+    *
+    * The materialized blocks are pinned at shuffle-partition count (an
+    * explicit numPartitions repartition AQE cannot override): the
+    * adjacency is tiny BY BYTES, so AQE's size-based coalesce would
+    * checkpoint it as ~3 blocks — and every map-side consumer of the memo
+    * (the C(d,2) pair kernels of [[neighborJaccard]] and
+    * [[triangleCounts]]) inherits block count as task count, capping a
+    * quadratic compute stage at 3 of 32 cores. Partition the COMPUTE a
+    * row fans out to, not its bytes. */
   def adjacency(spark: SparkSession, dir: String): DataFrame =
     PlanMemo.getOrBuild(spark, dir, "graph.adjacency") {
-      aggAdjacency(coPurchaseDirected(spark, dir))
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      aggAdjacency(coPurchaseDirected(spark, dir)).repartition(n, col("src"))
     }
 
   /** Drop all memoized adjacencies (long-lived sessions / tests). */
@@ -340,5 +350,48 @@ object Graph {
         .limit(25))
     oadj.unpersist(blocking = false)
     out
+  }
+
+  /** Connected components of the REPEATED co-purchase graph: an edge
+    * exists where two parts were bought together (qty ≥ 25) in at least
+    * `minOrders` DISTINCT orders — the multiplicity floor prunes the
+    * one-off co-occurrence noise that would otherwise glue everything
+    * into one giant component, which is exactly how production
+    * co-occurrence graphs (sessions, carts, citations) are sparsified
+    * before clustering. Components close under the shared min-label
+    * propagation ([[Dedup.connectedComponents]] — pointer jumping,
+    * O(log diameter) rounds); output = one row per non-singleton
+    * component (label = min part id) with size and members.
+    *
+    * Scale shape: per-order pair explosion from the order-grouped part
+    * lists (groups are small — the [[graft.functions.GraftFunctions
+    * .sortedLongPairsKernel]] a<b kernel bounds the quadratic step by the
+    * order size), one (a, b) count aggregate, then the CC loop whose
+    * per-round shuffle carries labels only. DuckDB replays the whole
+    * thing — pairing, multiplicity floor, transitive closure (recursive
+    * CTE) — so the operator is hash-verified end to end. */
+  def components(spark: SparkSession, dir: String, minOrders: Long = 2): DataFrame = {
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // kernel sorts + dedups the order's part list, so each unordered pair
+    // appears at most once per order — count(*) IS the distinct-order
+    // multiplicity, no countDistinct shuffle
+    val edges = li.groupBy(col("ok"))
+      .agg(collect_list(col("pk")).as("pks"))
+      .filter(size(col("pks")) >= 2)
+      .select(explode(sortedLongPairsKernel(col("pks"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select(col("a"), col("b"))
+    Dedup.connectedComponents(edges, "a", "b")
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("component"), col("n_nodes"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy("component")
   }
 }

@@ -726,4 +726,111 @@ object Text {
         levenshtein(col("p_name"), lit("small bolt")).as("dist"))
       .filter(col("dist") <= 4)
       .orderBy("partkey")
+
+  /** Boilerplate detection (the C4/RefinedWeb "repeated template" filter
+    * class): the top-`topK` word-3-gram shingles by document frequency —
+    * ties broken by shingle string, so the set is deterministic at every
+    * corpus size, unlike an absolute-df cut — form the boilerplate set;
+    * each document reports what fraction of its distinct shingles fall in
+    * it. Scale shape: one posting aggregate (shuffle carries shingle
+    * strings — this operator NEEDS the string identities for the
+    * broadcast set, unlike the dedup family's hashed postings), a
+    * TakeOrderedAndProject top-K (tiny), and a BROADCAST semi-annotation
+    * join of the ≤topK-row set back onto the postings — the fact side is
+    * never shuffled twice. The keep flag compares the unrounded int/int
+    * quotient (bit-identical cross-engine; see [[qualityScores]]). */
+  def boilerplateStats(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import graft.functions.TextKernels
+    val post = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextKernels.shinglesKernel(col("text"), 3)).as("shingle"))
+    // shingles are distinct per doc (kernel dedups), so count(*) IS the
+    // document frequency — no countDistinct shuffle needed
+    val top = post.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(topK)
+      .select(col("shingle"), lit(1).as("is_boiler"))
+    post.join(broadcast(top), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_ratio"),
+        (col("n_boiler").cast("double") / col("n_shingles") <= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top terms per language — the retrieval-weighting companion to
+    * the raw counts of [[topTokensPerLang]]: rank terms by total term
+    * frequency × smoothed idf (ln((N+1)/(df+1)) + 1, df = documents
+    * containing the term corpus-wide). The ranking compares the ROUNDED
+    * score (cross-engine-stable cut lines, the repo convention), with the
+    * term string as tiebreak. Scale shape: one token-count aggregate per
+    * (lang, token), one per-token distinct-doc aggregate, N via a
+    * single-row broadcast crossJoin — the unigram/df tables are
+    * vocabulary-bounded, so every join is broadcast-sized. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokensCol(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val nDocs = broadcast(Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs")))
+    val dfs = toks.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(dfs), Seq("token"))
+      .crossJoin(nDocs)
+      .select(col("lang"), col("token"), col("tf"), col("df"),
+        round(col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+
+  /** Collocation mining: top-`k` adjacent-token bigrams by pointwise
+    * mutual information, PMI = ln(n_ab·T² / (B·n_a·n_b)) with T total
+    * tokens and B total bigrams — the "New York"-finder every corpus
+    * analysis runs. Support floor `minCount` keeps the PMI estimate out
+    * of the low-count noise regime. Both engines evaluate the IDENTICAL
+    * double expression (one product quotient, one ln, one round), so the
+    * rounded ranking key cannot diverge. Scale shape: two map-side
+    * explode→count aggregates (bigrams, unigrams); the unigram table is
+    * vocabulary-bounded → broadcast re-attach ×2; totals ride a
+    * single-row broadcast crossJoin; TakeOrderedAndProject tail. */
+  def collocations(spark: SparkSession, dir: String, minCount: Long = 10,
+                   k: Int = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(tokensCol(lower(col("text"))), t => t =!= "").as("t"))
+    val uni = docs.select(explode(col("t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val bigrams = docs
+      .select(explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS tok_a, element_at(t, i + 1) AS tok_b))"))
+        .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>")))
+        .as("bg"))
+      .select(col("bg.tok_a").as("tok_a"), col("bg.tok_b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab"))
+    val totals = broadcast(uni.agg(sum(col("n")).as("tt")))
+    val btotals = broadcast(bigrams.agg(sum(col("n_ab")).as("bt")))
+    val scored = bigrams.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("token").as("tok_a"), col("n").as("n_a"))), Seq("tok_a"))
+      .join(broadcast(uni.select(col("token").as("tok_b"), col("n").as("n_b"))), Seq("tok_b"))
+      .crossJoin(totals).crossJoin(btotals)
+      .select(concat_ws(" ", col("tok_a"), col("tok_b")).as("bigram"),
+        col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("tt") * col("tt") /
+          (col("bt").cast("double") * col("n_a") * col("n_b"))), 4).as("pmi"))
+    scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k)
+      .orderBy(col("pmi").desc, col("bigram").asc)
+  }
 }

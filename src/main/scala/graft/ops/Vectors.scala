@@ -267,6 +267,74 @@ object Vectors {
       .drop("sc")
   }
 
+  private[graft] val PqSub = 4        // subspaces
+  private[graft] val PqSubDim = Dim / PqSub
+  private[graft] val PqCents = 8      // codebook entries per subspace
+
+  /** Deterministic ±1 product-quantization codebooks (seeded PRNG, same
+    * discipline as [[planes]]): PqSub × PqCents × PqSubDim sign patterns.
+    * ±1 entries make the nearest-centroid argmin FP-exact cross-engine:
+    * ‖v−c‖² = v·v − 2·v·c + PqSubDim, so argmin distance ≡ argmax v·c,
+    * and a ±1 dot product is a left-to-right sum of EXACT sign-flipped
+    * floats — bit-identical in Spark and DuckDB, like the LSH sign
+    * tests. */
+  private[graft] lazy val pqCodebooks: Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(PqSub, PqCents, PqSubDim)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Product-quantization codes: split each embedding into [[PqSub]]
+    * subvectors, assign each to its nearest ±1 codebook entry (argmax
+    * dot, ties to the smaller code — rendered as greatest() + a
+    * first-match CASE chain in BOTH engines), and report the exact
+    * reconstruction error via the dot identity above. 64 dims collapse
+    * to 4 bytes/vector — the memory layout every billion-scale ANN index
+    * (FAISS IVFPQ) uses; at scale the codes join an IVF list and the
+    * query side scores against 4 lookup tables instead of 64 floats.
+    * Pure map-side: codebooks are literals, no shuffle but the output
+    * sort. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def sub(s: Int): Column = slice(col("embedding"), s * PqSubDim + 1, PqSubDim)
+    def dots(s: Int): Seq[Column] = (0 until PqCents).map { c =>
+      val centLit = array(pqCodebooks(s)(c).toIndexedSeq.map(lit): _*)
+      dotCol(sub(s), centLit)
+    }
+    // per subspace: best = greatest(d0..d7); code = first c with d_c = best
+    // (first match wins → smallest code on ties, same rule both engines)
+    def codeAndErr(s: Int): (Column, Column) = {
+      val ds = dots(s)
+      val best = greatest(ds: _*)
+      // foldRight builds when(d0=best, 0).otherwise(when(d1=best, 1)...) —
+      // the FIRST matching code wins, i.e. ties go to the smaller code
+      val code = ds.zipWithIndex.foldRight(lit(-1): Column) { case ((d, c), e) =>
+        when(d === best, lit(c)).otherwise(e)
+      }
+      val err = dotCol(sub(s), sub(s)) - lit(2.0) * best + lit(PqSubDim.toDouble)
+      (code, err)
+    }
+    val (codes, errs) = (0 until PqSub).map(codeAndErr).unzip
+    emb.select(
+        col("vec_id"),
+        codes(0).as("code0"), codes(1).as("code1"),
+        codes(2).as("code2"), codes(3).as("code3"),
+        round(errs.reduceLeft(_ + _), 4).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** [[pqCodes]]' codebook dots rendered as DuckDB SQL fragments — one
+    * `list_dot_product(e[a:b], [±1, …])` per (subspace, code), so the
+    * oracle replays the identical FP computation. */
+  def pqOracleDots(s: Int): Seq[String] = {
+    val lo = s * PqSubDim + 1
+    val hi = (s + 1) * PqSubDim
+    (0 until PqCents).map { c =>
+      val arr = pqCodebooks(s)(c).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"list_dot_product(e[$lo:$hi], $arr)"
+    }
+  }
+
   /** Mutable (count, element-wise sum) accumulator for [[VecMean]]. */
   case class VecAcc(var n: Long, var s: Array[Double])
 

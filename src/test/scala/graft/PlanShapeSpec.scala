@@ -178,7 +178,9 @@ class PlanShapeSpec extends SparkSpec {
       "text_bm25",         // single-row broadcast corpus-stats crossJoin
       "text_hybrid_search", // single-row query-vector + corpus-stats crossJoins
       "pipeline_mixture",  // single-row broadcast grand-total crossJoin
-      "pipeline_temp_resample") // two single-row broadcast scalar crossJoins
+      "pipeline_temp_resample", // two single-row broadcast scalar crossJoins
+      "text_tfidf",        // single-row broadcast corpus-size crossJoin
+      "text_collocations") // two single-row broadcast total crossJoins
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       if (!documented(name) &&
