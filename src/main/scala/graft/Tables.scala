@@ -23,17 +23,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which Spark
-    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench/test sessions). Under that flag `ts` arrives as LongType
-    * nanoseconds; convert to a microsecond TimestampType via integer
-    * division — exactly the truncation DuckDB 1.x applies when it reads the
-    * same file, so both engines see identical values. */
+  /** The events table's `ts` column normalizes to TimestampType regardless
+    * of the parquet physical type the generator used:
+    *  - TIMESTAMP(NANOS): Spark only reads it with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
+    *    sessions); `ts` arrives as LongType nanoseconds and integer division
+    *    converts to microseconds — exactly the truncation DuckDB 1.x applies
+    *    when it reads the same file, so both engines see identical values.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+    *    which event-time watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    *    TYPE); cast to TimestampType — wall-preserving because every session
+    *    here pins `spark.sql.session.timeZone=UTC`, and value-identical to
+    *    DuckDB's naive read of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -30,11 +30,19 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    // events.parquet ships TIMESTAMP(NANOS); under nanosAsLong it reads as
-    // LongType ns → convert to a real timestamp for watermarking.
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    // Normalize ts to TimestampType for watermarking, mirroring
+    // graft.Tables.events: TIMESTAMP(NANOS) arrives as LongType ns under
+    // nanosAsLong; TIMESTAMP(MICROS) without UTC adjustment arrives as
+    // TIMESTAMP_NTZ, which watermarks reject — cast (wall-preserving, all
+    // sessions pin spark.sql.session.timeZone=UTC).
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark (late data
