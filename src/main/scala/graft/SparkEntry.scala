@@ -170,6 +170,10 @@ object SparkEntry {
     "ev_attribution"    -> (EventTime.lastTouchAttribution(_, _)),
     "join_asof_nearest" -> (AsOf.eventAsofNearest(_, _)),
     "emb_pq_codes"      -> (Vectors.pqCodes(_, _)),
+    // --- round 7b: sub-document dedup / IVF-PQ / SCD2 ---
+    "dedup_chunks"      -> (Dedup.chunkDedup(_, _)),
+    "ann_ivf_pq"        -> (Vectors.annIvfPq(_, _)),
+    "scd2_build"        -> (Windows.scd2Intervals(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -232,10 +236,105 @@ object SparkEntry {
        |FROM b ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.ops.Vectors.annIvfPq]]: data-sampled
+    * centroids (vec_id < IvfPqList), row_number assignment with the same
+    * cosine-desc/cent-asc order, the [[pqOracle]] code chains for the
+    * corpus, per-query LUT columns (the same ±1 codebook dots over the
+    * query subvectors), and ADC as a CASE-indexed LUT lookup per
+    * subspace — every FP operation replayed in the same order. */
+  private def ivfPqOracle: String = {
+    import graft.ops.Vectors.{PqSub, PqSubDim, PqCents, IvfPqList, IvfPqProbe}
+    def castDots(s: Int, alias: Int => String): Seq[String] = {
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      graft.ops.Vectors.pqOracleDots(s).zipWithIndex.map { case (d, c) =>
+        s"${d.replace(s"e[$lo:$hi]", s"CAST(e[$lo:$hi] AS DOUBLE[])")} AS ${alias(c)}"
+      }
+    }
+    val dotCols = (0 until PqSub).flatMap(s => castDots(s, c => s"d${s}_$c"))
+    val bests = (0 until PqSub).map { s =>
+      s"greatest(${(0 until PqCents).map(c => s"d${s}_$c").mkString(", ")}) AS b$s"
+    }
+    val codes = (0 until PqSub).map { s =>
+      val cases = (0 until PqCents).map(c => s"WHEN d${s}_$c = b$s THEN $c").mkString(" ")
+      s"CASE $cases ELSE -1 END AS code$s"
+    }
+    val lutCols = (0 until PqSub).flatMap(s => castDots(s, c => s"qd${s}_$c"))
+    val adc = (0 until PqSub).map { s =>
+      val whens = (0 until PqCents).map(c => s"WHEN $c THEN qd${s}_$c").mkString(" ")
+      s"(CASE k.code$s $whens END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, CAST(e AS DOUBLE[]) AS ce FROM v
+       |          WHERE vec_id < $IvfPqList),
+       |asg AS (SELECT v.vec_id, c.cent_id,
+       |          row_number() OVER (PARTITION BY v.vec_id
+       |            ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.ce) DESC,
+       |                     c.cent_id ASC) AS crk
+       |        FROM v, cents c),
+       |clists AS (SELECT vec_id AS c_id, cent_id FROM asg WHERE crk = 1),
+       |kd AS (SELECT vec_id, ${dotCols.mkString(",\n        ")} FROM v),
+       |kb AS (SELECT *, ${bests.mkString(",\n        ")} FROM kd),
+       |k AS (SELECT vec_id, ${codes.mkString(",\n       ")} FROM kb),
+       |probes AS (SELECT vec_id AS q_id, cent_id FROM asg
+       |           WHERE vec_id < 10 AND crk <= $IvfPqProbe),
+       |luts AS (SELECT vec_id AS q_id, ${lutCols.mkString(",\n        ")}
+       |         FROM v WHERE vec_id < 10),
+       |s AS (SELECT p.q_id, cl.c_id, $adc AS approx
+       |      FROM probes p JOIN clists cl USING (cent_id)
+       |        JOIN k ON cl.c_id = k.vec_id
+       |        JOIN luts q ON p.q_id = q.q_id
+       |      WHERE cl.c_id <> p.q_id),
+       |r AS (SELECT q_id, c_id, approx,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY approx DESC, c_id ASC) AS rk
+       |      FROM s)
+       |SELECT q_id, rk, c_id, round(approx, 4) AS approx
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (same parquet tables, same column names,
     * same deterministic ORDER BY). Omitted for sketch/hash-dependent ops. */
   def oracleSql: Map[String, String] = Map(
     "emb_pq_codes" -> pqOracle,
+    "ann_ivf_pq" -> ivfPqOracle,
+
+    // sub-document exact dedup: tile fingerprints + first-occurrence
+    // keeper; ratios use the half-up floor idiom (small-integer fractions
+    // land exactly on round()'s divergent half-way boundary)
+    "dedup_chunks" ->
+      """WITH d AS (SELECT doc_id, text,
+        |                  greatest(CAST(ceil(CAST(n_chars AS DOUBLE) / 200) AS BIGINT), 1) AS nt
+        |           FROM documents),
+        |     t AS (SELECT doc_id, text, unnest(range(0, nt)) AS idx FROM d),
+        |     f AS (SELECT doc_id, idx,
+        |                  md5(substring(text, CAST(idx * 200 + 1 AS INT), 200)) AS fp
+        |           FROM t),
+        |     k AS (SELECT doc_id, idx,
+        |                  min(doc_id * 1048576 + idx) OVER (PARTITION BY fp) AS keeper
+        |           FROM f)
+        |SELECT doc_id, count(*) AS n_tiles,
+        |       CAST(sum(CASE WHEN doc_id * 1048576 + idx <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles,
+        |       floor(CAST(sum(CASE WHEN doc_id * 1048576 + idx <> keeper THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*) * 10000 + 0.5) / 10000 AS dup_ratio
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SCD2 build: change points by lag, intervals closed by lead — both
+    // windows share the (custkey, date, orderkey) order
+    "scd2_build" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM chg ORDER BY custkey, valid_from, priority""".stripMargin,
 
     "text_boilerplate" ->
       """WITH toks AS (SELECT doc_id,

@@ -725,6 +725,57 @@ object Dedup {
        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Sub-document EXACT dedup (chunk granularity): tile each document
+    * into fixed non-overlapping character windows, fingerprint each tile
+    * (md5 — 16 bytes shuffle, never text), and mark every tile whose
+    * fingerprint already appeared earlier in the corpus (first occurrence
+    * by (doc_id, idx) is the keeper). Per-document output: tile count,
+    * duplicated-tile count, duplication ratio. This is the "exact
+    * substring dedup" pass training-data pipelines run BELOW document
+    * granularity — a doc that quotes half of another doc slips past
+    * whole-document fingerprints ([[exactDedup]]) but lights up here.
+    *
+    * Scale shape: tiling is a map-side explode (sequence + substring —
+    * no UDF, stays in codegen); the ONLY shuffle carries (16-byte fp,
+    * packed int64 position) — at 100 TB that is the same
+    * fingerprint-shuffle discipline as exact dedup, with fan-out
+    * n_chars/window per doc. The keeper rule is one window min over the
+    * fingerprint partition (no self-join), and the per-doc rollup
+    * reshuffles only (doc_id, flag) pairs. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupDf(Tables.documents(spark, dir))
+
+  /** Core of [[chunkDedup]] over any (doc_id, text, n_chars) frame (spec
+    * entry point: synthetic corpora with planted shared tiles). */
+  def chunkDedupDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = 200 // tile width (chars); non-overlapping, so idx*win tiles
+    val nTiles = greatest(
+      ceil(col("n_chars").cast("double") / win).cast("long"), lit(1L))
+    // packed position key: doc_id * 2^20 + idx — total order over
+    // (doc_id, idx) in ONE int64, so the keeper rule is a single min()
+    // (idx < 2^20 ⇔ docs under ~200 MB at win=200; assert via the shift)
+    val pos = col("doc_id") * lit(1048576L) + col("idx")
+    val tiles = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nTiles - 1)).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        md5(substring(col("text"), (col("idx") * win + 1).cast("int"), lit(win)))
+          .as("fp"))
+    tiles
+      .withColumn("keeper", min(pos).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when(pos =!= col("keeper"), 1L).otherwise(0L)).as("n_dup_tiles"))
+      // half-up floor idiom, not round(): tile ratios are small-integer
+      // fractions (1/32 = .03125, …) that land EXACTLY on the half-way
+      // boundary where Spark/DuckDB round() conventions diverge
+      .withColumn("dup_ratio",
+        floor(col("n_dup_tiles").cast("double") / col("n_tiles") * 10000d + 0.5d) / 10000d)
+      .orderBy("doc_id")
+  }
+
   /** The DuckDB oracle for [[minhashSqlPairs]], with the permutation
     * constants rendered as a VALUES list — same trick as the rendered
     * LSH hyperplanes (`Vectors.lshOracleCodes`). */

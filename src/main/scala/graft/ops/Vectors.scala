@@ -293,13 +293,33 @@ object Vectors {
     * query side scores against 4 lookup tables instead of 64 floats.
     * Pure map-side: codebooks are literals, no shuffle but the output
     * sort. */
+  /** Subspace `s` of `vec` (1-based slice, PqSubDim wide). */
+  private[graft] def pqSub(vec: Column, s: Int): Column =
+    slice(vec, s * PqSubDim + 1, PqSubDim)
+
+  /** The PqCents codebook dots of `vec`'s subspace `s` — shared by the
+    * code assignment ([[pqCodes]]) and the query-side ADC lookup tables
+    * ([[annIvfPq]]). */
+  private[graft] def pqDots(vec: Column, s: Int): Seq[Column] =
+    (0 until PqCents).map { c =>
+      val centLit = array(pqCodebooks(s)(c).toIndexedSeq.map(lit): _*)
+      dotCol(pqSub(vec, s), centLit)
+    }
+
+  /** Subspace `s`'s PQ code for `vec`: first code reaching the max dot
+    * (first match wins → smallest code on ties, same rule both engines). */
+  private[graft] def pqCodeCol(vec: Column, s: Int): Column = {
+    val ds = pqDots(vec, s)
+    val best = greatest(ds: _*)
+    ds.zipWithIndex.foldRight(lit(-1): Column) { case ((d, c), e) =>
+      when(d === best, lit(c)).otherwise(e)
+    }
+  }
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    def sub(s: Int): Column = slice(col("embedding"), s * PqSubDim + 1, PqSubDim)
-    def dots(s: Int): Seq[Column] = (0 until PqCents).map { c =>
-      val centLit = array(pqCodebooks(s)(c).toIndexedSeq.map(lit): _*)
-      dotCol(sub(s), centLit)
-    }
+    def sub(s: Int): Column = pqSub(col("embedding"), s)
+    def dots(s: Int): Seq[Column] = pqDots(col("embedding"), s)
     // per subspace: best = greatest(d0..d7); code = first c with d_c = best
     // (first match wins → smallest code on ties, same rule both engines)
     def codeAndErr(s: Int): (Column, Column) = {
@@ -432,6 +452,62 @@ object Vectors {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  private[graft] val IvfPqList = 8   // coarse lists
+  private[graft] val IvfPqProbe = 2  // lists probed per query
+
+  /** IVF-PQ composed search — the index layout every billion-scale ANN
+    * system runs (FAISS IVFPQ): a coarse quantizer routes each vector to
+    * one inverted list, vectors inside a list are stored as 4-byte PQ
+    * codes, and a query scans only its nprobe closest lists, scoring
+    * candidates by ADC (asymmetric distance computation: the query builds
+    * one lookup table of its subvector·codebook dots, and each candidate's
+    * approximate similarity is 4 table lookups — never a 64-float dot).
+    *
+    * Unlike [[annIvf]] (k-means centroids — FP-iterative, rows-only by
+    * design), the coarse quantizer here is DATA-SAMPLED: the first
+    * IvfPqList corpus vectors ARE the centroids (how real indexes seed
+    * their quantizer before refinement), kept un-refined so the ENTIRE
+    * build + search — assignment, codes, LUTs, ADC ranking — replays
+    * exactly in DuckDB and the query is hash-verified.
+    *
+    * Scale shape: assignment and code computation are pure map-side
+    * (centroids are one broadcast row, codebooks are literals); the
+    * query side is IvfPqProbe rows per query carrying a 4×8-double LUT,
+    * broadcast; the candidate join touches ~nprobe/nlist of the corpus;
+    * per-query top-k is a windowed rank over candidates. At 100 TB the
+    * inverted lists are the table's partition key, so probe limiting is
+    * partition pruning, and the scan reads 4-byte codes, not vectors. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cOne = centsRow(emb.filter(col("vec_id") < IvfPqList)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec")))
+    // corpus: one list per vector + its 4 PQ codes (codebook dots fold
+    // into codegen; the embedding itself is DROPPED after this projection)
+    val corpus = assignCentroid(
+        emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1)
+      .select(col("cent_id") +: col("c_id") +:
+        (0 until PqSub).map(s => pqCodeCol(col("embedding"), s).as(s"code$s")): _*)
+    // queries: nprobe (cent_id, q_id) rows, each carrying the per-subspace
+    // ADC lookup tables (computed ONCE per query, before the join)
+    val queries = assignCentroid(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+        cOne, keep = IvfPqProbe)
+      .select(col("cent_id") +: col("q_id") +:
+        (0 until PqSub).map(s => array(pqDots(col("embedding"), s): _*).as(s"lut$s")): _*)
+    // ADC: 4 LUT lookups per candidate, summed left-to-right (both engines)
+    val adc = (0 until PqSub)
+      .map(s => element_at(col(s"lut$s"), col(s"code$s") + 1))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id").asc)
+    corpus.join(broadcast(queries), Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), adc.as("approx"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("approx"), 4).as("approx"))
       .orderBy("q_id", "rk")
   }
 

@@ -118,4 +118,45 @@ object Windows {
         last(col("v"), ignoreNulls = true).over(w).as("filled"))
       .orderBy("user_id", "event_id")
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) build: collapse each
+    * customer's o_orderpriority sequence into validity intervals — emit a
+    * version row only where the tracked attribute CHANGES (lag ≠ current,
+    * or first observation), then close each interval with the next
+    * change's start (`lead`); the open interval is the current version.
+    * This is the standard warehouse pattern for building a temporal
+    * dimension from an event log, and the batch analog of a CDC merge.
+    *
+    * Scale shape: both window passes share ONE partitioning (o_custkey) —
+    * the change-point filter runs on the first pass's output without
+    * re-shuffling, so the whole build is a single exchange + two
+    * executor-local sorts over (custkey, date, orderkey). At 100 TB the
+    * dimension key is the shuffle key and per-key state is a sequential
+    * scan — no driver involvement, no self-join (the naive SCD2 via
+    * "join each row to the next change" would shuffle twice and skew on
+    * hot keys). */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2Df(Tables.orders(spark, dir))
+
+  /** Core of [[scd2Intervals]] over any orders-shaped frame (spec entry
+    * point: synthetic change sequences with known intervals). */
+  def scd2Df(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      // second window runs on the CHANGE ROWS under the same partitioning:
+      // Catalyst reuses the exchange, so no second shuffle appears
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("custkey", "valid_from", "priority")
+  }
 }
