@@ -1279,10 +1279,14 @@ object SparkEntry {
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
 
-    // two-proportion z-test: rate unrounded (int/int), z rendered with the
-    // repo-standard sign-aware floor(|z|·1e4 + 0.5)/1e4 half-up idiom in
-    // BOTH engines (round() boundary conventions diverge cross-engine);
-    // significance compared on that rendered z (engine-stable cut)
+    // two-proportion z-test, INTEGER-EXACT rendering: z² is the exact
+    // rational P/Q of the four counts (P = (ca·nb−cb·na)²·N,
+    // Q = na·nb·c·(N−c)), so m = round(|z|·1e4) half-up is the unique
+    // integer with (2m−1)²·Q ≤ 4e8·P < (2m+1)²·Q. The double z only
+    // seeds a candidate m0; exact HUGEINT comparisons correct it ±1, so
+    // both engines land on the same integer and m/10000.0 is the same
+    // IEEE division of the same integer — bit-identical. significant is
+    // m ≥ 19600 (the displayed |z| ≥ 1.96 cut on the same exact integer).
     "ev_ab_test" ->
       """WITH users AS (
         |  SELECT user_id,
@@ -1292,27 +1296,39 @@ object SparkEntry {
         |             count(*) AS n_users, sum(conv) AS n_converted
         |      FROM users GROUP BY 1),
         |pooled AS (SELECT
-        |    sum(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
-        |    sum(CASE WHEN variant = 'A' THEN n_users END) AS na,
-        |    sum(CASE WHEN variant = 'B' THEN n_converted END) AS cb,
-        |    sum(CASE WHEN variant = 'B' THEN n_users END) AS nb
+        |    COALESCE(sum(CASE WHEN variant = 'A' THEN n_converted END), 0) AS ca,
+        |    COALESCE(sum(CASE WHEN variant = 'A' THEN n_users END), 0) AS na,
+        |    COALESCE(sum(CASE WHEN variant = 'B' THEN n_converted END), 0) AS cb,
+        |    COALESCE(sum(CASE WHEN variant = 'B' THEN n_users END), 0) AS nb
         |  FROM v),
-        |z0 AS (SELECT CASE
-        |    WHEN (ca + cb) / CAST(na + nb AS DOUBLE) > 0
-        |     AND (ca + cb) / CAST(na + nb AS DOUBLE) < 1 THEN
+        |ex AS (SELECT ca, na, cb, nb,
+        |    CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na AS num,
+        |    CAST(na AS HUGEINT) * nb * (ca + cb) * ((na + nb) - (ca + cb)) AS q,
+        |    (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |      * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |      * (na + nb) AS p
+        |  FROM pooled),
+        |z0 AS (SELECT *, CASE WHEN q > 0 THEN
         |      (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
         |      sqrt(((ca + cb) / CAST(na + nb AS DOUBLE)) *
         |           (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE)) *
         |           (1.0 / na + 1.0 / nb))
         |    ELSE 0.0 END AS zr
-        |  FROM pooled),
-        |z AS (SELECT CASE WHEN zr >= 0 THEN floor(zr * 10000 + 0.5) / 10000
-        |            ELSE -(floor(-zr * 10000 + 0.5) / 10000) END AS z_score
-        |  FROM z0)
+        |  FROM ex),
+        |cand AS (SELECT *, CAST(floor(abs(zr) * 10000 + 0.5) AS BIGINT) AS m0 FROM z0),
+        |mc AS (SELECT num, CASE WHEN q = 0 THEN 0
+        |    WHEN CAST(2 * m0 + 1 AS HUGEINT) * (2 * m0 + 1) * q
+        |         <= CAST(400000000 AS HUGEINT) * p THEN m0 + 1
+        |    WHEN m0 >= 1 AND CAST(2 * m0 - 1 AS HUGEINT) * (2 * m0 - 1) * q
+        |         > CAST(400000000 AS HUGEINT) * p THEN m0 - 1
+        |    ELSE m0 END AS m FROM cand)
         |SELECT variant, n_users, n_converted,
         |       n_converted / CAST(n_users AS DOUBLE) AS conv_rate,
-        |       z_score, abs(z_score) >= 1.96 AS significant
-        |FROM v CROSS JOIN z ORDER BY variant""".stripMargin,
+        |       CASE WHEN m = 0 THEN 0.0
+        |            WHEN num < 0 THEN -(m / 10000.0)
+        |            ELSE m / 10000.0 END AS z_score,
+        |       m >= 19600 AS significant
+        |FROM v CROSS JOIN mc ORDER BY variant""".stripMargin,
 
     // degree-oriented triangle counting — all-integer, bit-exact oracle
     "graph_triangles" ->

@@ -194,9 +194,23 @@ object EventTime {
     * experimentation pipeline runs: variant = deterministic user-id
     * parity split, conversion = user reached a purchase event. Emits one
     * row per variant (users, conversions, rate) plus the pooled z-score
-    * and the |z| ≥ 1.96 significance call (computed on the ROUNDED z so
-    * the boolean cut is engine-stable; the rate itself stays UNROUNDED —
-    * an int/int quotient is bit-identical cross-engine).
+    * and the significance call.
+    *
+    * Rendering is INTEGER-EXACT: a rounded z is only engine-stable if the
+    * rounded value itself is derived exactly. z² is an exact rational of
+    * the four counts — z² = (ca·nb − cb·na)²·N / (na·nb·c·(N−c)) with
+    * c = ca+cb, N = na+nb — so the rendered m = round(|z|·10⁴) (half-up)
+    * is the unique integer with (2m−1)²·Q ≤ 4·10⁸·P < (2m+1)²·Q where
+    * P = (ca·nb−cb·na)²·N and Q = na·nb·c·(N−c). We take the double z's
+    * candidate m₀ and correct it ±1 against those DECIMAL(38) integer
+    * comparisons, so a last-ulp double divergence that straddles a 1e-4
+    * half-up boundary can no longer split the engines: both converge to
+    * the same exact integer, and m/10000.0 (one correctly-rounded IEEE
+    * division of the same integer) is then bit-identical. `significant`
+    * is m ≥ 19600 — the same exact integer, so it is the |z_rendered| ≥
+    * 1.96 cut the row displays. DECIMAL(38) holds the products exactly up
+    * to ~5·10⁵ users per variant; beyond that the one-row correction
+    * would move to a BigInt mapper (it is a single-row computation).
     *
     * Scale shape: one per-user aggregate (shuffles user ids + one bit),
     * one 2-row variant aggregate, and a single-row pooled-stats
@@ -208,33 +222,52 @@ object EventTime {
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
       .select(when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B").as("variant"),
         col("conv"))
+    abTestFromUsers(users)
+  }
+
+  /** Testable core of [[abTest]]: input is (variant: string, conv: 0/1). */
+  private[graft] def abTestFromUsers(users: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val v = users.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
     val pooled = v.agg(
-      sum(when(col("variant") === "A", col("n_converted"))).as("ca"),
-      sum(when(col("variant") === "A", col("n_users"))).as("na"),
-      sum(when(col("variant") === "B", col("n_converted"))).as("cb"),
-      sum(when(col("variant") === "B", col("n_users"))).as("nb"))
+      coalesce(sum(when(col("variant") === "A", col("n_converted"))), lit(0L)).as("ca"),
+      coalesce(sum(when(col("variant") === "A", col("n_users"))), lit(0L)).as("na"),
+      coalesce(sum(when(col("variant") === "B", col("n_converted"))), lit(0L)).as("cb"),
+      coalesce(sum(when(col("variant") === "B", col("n_users"))), lit(0L)).as("nb"))
+    // exact integer pieces of z² = P/Q (all DECIMAL(38,0), scale-0 → exact)
+    val caD = col("ca").cast(dec); val naD = col("na").cast(dec)
+    val cbD = col("cb").cast(dec); val nbD = col("nb").cast(dec)
+    val num = caD * nbD - cbD * naD        // sign(z); |num| ≤ U² fits easily
+    val cTot = caD + cbD; val nTot = naD + nbD; val dTot = nTot - cTot
+    val qEx = naD * nbD * cTot * dTot      // Q = na·nb·c·(N−c), 0 iff degenerate
+    val pEx = num * num * nTot             // P = (ca·nb−cb·na)²·N
+    // double z only seeds the candidate digit; the exact comparisons fix it
     val pa = col("ca").cast("double") / col("na")
     val pb = col("cb").cast("double") / col("nb")
     val pPool = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
     val z = (pa - pb) /
       sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
-    // degenerate pools (nobody / everybody converted) make the pooled
-    // variance 0 — there is no evidence of a difference either, so z = 0
-    // (also keeps ANSI division happy on tiny shards)
     val zSafe = when(pPool > 0 && pPool < 1, z).otherwise(lit(0.0))
-    // sign-aware floor(|z|·10⁴ + 0.5)/10⁴ — the repo-standard half-up
-    // rendering (round() half-up boundaries diverge between engines on
-    // boundary double representations; -0.0 falls into the >= 0 branch on
-    // both engines, so no negative-zero hash split either)
-    val zHalfUp = when(zSafe >= 0, floor(zSafe * 10000d + 0.5d) / 10000d)
-      .otherwise(-(floor(-zSafe * 10000d + 0.5d) / 10000d))
-    v.crossJoin(broadcast(pooled))
+    val m0 = floor(abs(zSafe) * 10000d + 0.5d).cast("long")
+    val fourE8P = lit(400000000L).cast(dec) * pEx
+    val upB = (m0 * 2 + 1).cast(dec); val dnB = (m0 * 2 - 1).cast(dec)
+    val m = when(qEx === 0, lit(0L))
+      .when(upB * upB * qEx <= fourE8P, m0 + 1)
+      .when(m0 >= 1 && dnB * dnB * qEx > fourE8P, m0 - 1)
+      .otherwise(m0)
+    val pooledZ = pooled.select(col("ca"), col("na"), col("cb"), col("nb"),
+      num.as("zsign"), m.as("zm"))
+    // m = 0 renders 0.0 (not −0.0) on both engines; otherwise one exact
+    // integer divided by 10000.0 — correctly-rounded IEEE, bit-identical
+    val zRendered = when(col("zm") === 0, lit(0.0))
+      .when(col("zsign") < 0, -(col("zm").cast("double") / 10000d))
+      .otherwise(col("zm").cast("double") / 10000d)
+    v.crossJoin(broadcast(pooledZ))
       .select(col("variant"), col("n_users"), col("n_converted"),
         (col("n_converted").cast("double") / col("n_users").cast("double")).as("conv_rate"),
-        zHalfUp.as("z_score"))
-      .withColumn("significant", abs(col("z_score")) >= 1.96)
+        zRendered.as("z_score"),
+        (col("zm") >= 19600).as("significant"))
       .orderBy("variant")
   }
 

@@ -114,4 +114,55 @@ class EventTimeSpec extends SparkSpec {
       else 0.0 // degenerate pool -> operator emits 0 by contract
     rows.foreach(r => assert(math.abs(r.getAs[Double]("z_score") - z) < 5e-4))
   }
+
+  test("ab test integer-exact z rendering matches a BigInt reference on synthetic counts") {
+    import spark.implicits._
+    // independent exact reference: m = round(|z|*1e4) half-up is the unique
+    // integer with (2m-1)^2*Q <= 4e8*P < (2m+1)^2*P-rational bounds; start
+    // from the double candidate and loop-correct with BigInt (the operator
+    // only corrects +-1, so agreement here proves the candidate is never
+    // more than one digit off AND the correction lands on the true integer)
+    def refM(ca: Long, na: Long, cb: Long, nb: Long): Long = {
+      val num = BigInt(ca) * nb - BigInt(cb) * na
+      val nTot = BigInt(na) + nb; val c = BigInt(ca) + cb; val d = nTot - c
+      val q = BigInt(na) * nb * c * d
+      if (q == 0) return 0L
+      val p = num * num * nTot
+      val f8 = BigInt(400000000)
+      val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+      val pp = (ca + cb).toDouble / (na + nb)
+      val zd = math.abs((pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)))
+      var m = math.floor(zd * 10000 + 0.5).toLong
+      while (BigInt(2 * m + 1).pow(2) * q <= f8 * p) m += 1
+      while (m >= 1 && BigInt(2 * m - 1).pow(2) * q > f8 * p) m -= 1
+      m
+    }
+    val cases = Seq(
+      (3L, 10L, 5L, 12L), (57L, 100L, 43L, 100L), (0L, 50L, 50L, 50L),
+      (50L, 50L, 0L, 50L), (0L, 40L, 0L, 60L), (40L, 40L, 60L, 60L),
+      (123L, 997L, 177L, 1003L), (499L, 1000L, 501L, 1000L),
+      (1L, 2L, 1L, 3L), (7L, 7L, 3L, 9L), (0L, 0L, 5L, 20L)
+    ) ++ (1 to 15).map { i =>
+      val na = 50L + (i * 37L) % 400; val nb = 60L + (i * 53L) % 380
+      ((i * 17L) % (na + 1), na, (i * 29L) % (nb + 1), nb)
+    }
+    cases.foreach { case (ca, na, cb, nb) =>
+      val users = (Seq.fill(ca.toInt)(("A", 1L)) ++ Seq.fill((na - ca).toInt)(("A", 0L)) ++
+        Seq.fill(cb.toInt)(("B", 1L)) ++ Seq.fill((nb - cb).toInt)(("B", 0L)))
+        .toDF("variant", "conv")
+      val out = EventTime.abTestFromUsers(users).collect()
+      val m = refM(ca, na, cb, nb)
+      val sign = BigInt(ca) * nb - BigInt(cb) * na
+      val zExp =
+        if (m == 0L) 0.0
+        else if (sign < 0) -(m.toDouble / 10000.0)
+        else m.toDouble / 10000.0
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        // exact double equality: both sides are the same integer / 10000.0
+        assert(r.getAs[Double]("z_score") == zExp, s"z case ($ca,$na,$cb,$nb)")
+        assert(r.getAs[Boolean]("significant") == (m >= 19600L), s"sig case ($ca,$na,$cb,$nb)")
+      }
+    }
+  }
 }
