@@ -225,7 +225,7 @@ object SparkEntry {
     val codes = (0 until PqSub).map { s =>
       val cases = (0 until graft.ops.Vectors.PqCents)
         .map(c => s"WHEN d${s}_$c = b$s THEN $c").mkString(" ")
-      s"CASE $cases ELSE -1 END AS code$s"
+      s"CASE $cases ELSE NULL END AS code$s"
     }
     val err = (0 until PqSub).map(s => s"(vv$s - 2.0 * b$s + $PqSubDim.0)").mkString(" + ")
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
@@ -257,7 +257,7 @@ object SparkEntry {
     }
     val codes = (0 until PqSub).map { s =>
       val cases = (0 until PqCents).map(c => s"WHEN d${s}_$c = b$s THEN $c").mkString(" ")
-      s"CASE $cases ELSE -1 END AS code$s"
+      s"CASE $cases ELSE NULL END AS code$s"
     }
     val lutCols = (0 until PqSub).flatMap(s => castDots(s, c => s"qd${s}_$c"))
     val adc = (0 until PqSub).map { s =>
@@ -320,7 +320,10 @@ object SparkEntry {
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // SCD2 build: change points by lag, intervals closed by lead — both
-    // windows share the (custkey, date, orderkey) order
+    // windows share the (custkey, date, orderkey) order. Output ORDER BY
+    // ends on o_orderkey: (custkey, valid_from, priority) alone is not a
+    // total order when a same-date priority repeats (A,X,A), and the
+    // driver hashes rows in emitted order
     "scd2_build" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
@@ -328,13 +331,15 @@ object SparkEntry {
         |           ORDER BY o_orderdate, o_orderkey) AS prev
         |  FROM orders),
         |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderpriority)
-        |SELECT o_custkey AS custkey, o_orderpriority AS priority,
-        |       o_orderdate AS valid_from,
-        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |         ORDER BY o_orderdate, o_orderkey) AS valid_to,
-        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |         ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
-        |FROM chg ORDER BY custkey, valid_from, priority""".stripMargin,
+        |SELECT custkey, priority, valid_from, valid_to, is_current FROM (
+        |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |         o_orderdate AS valid_from, o_orderkey,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |  FROM chg)
+        |ORDER BY custkey, valid_from, o_orderkey""".stripMargin,
 
     "text_boilerplate" ->
       """WITH toks AS (SELECT doc_id,

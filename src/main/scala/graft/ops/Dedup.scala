@@ -753,12 +753,19 @@ object Dedup {
     val nTiles = greatest(
       ceil(col("n_chars").cast("double") / win).cast("long"), lit(1L))
     // packed position key: doc_id * 2^20 + idx — total order over
-    // (doc_id, idx) in ONE int64, so the keeper rule is a single min()
-    // (idx < 2^20 ⇔ docs under ~200 MB at win=200; assert via the shift)
+    // (doc_id, idx) in ONE int64, so the keeper rule is a single min().
+    // idx < 2^20 ⇔ docs under ~209 MB at win=200; enforced per-doc below
+    // (assert_true), because a silent overflow corrupts keeper selection
+    // in a way the oracle CANNOT catch (it packs the same way)
     val pos = col("doc_id") * lit(1048576L) + col("idx")
+    val nTilesChecked = nTiles + coalesce(
+      assert_true(nTiles <= lit(1048576L),
+        lit(s"chunkDedup: document over ~${209}MB overflows the 2^20 idx packing " +
+          "(widen the shift or split the doc)")).cast("long"),
+      lit(0L))
     val tiles = docs
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), nTiles - 1)).as("idx"))
+        explode(sequence(lit(0L), nTilesChecked - 1)).as("idx"))
       .select(col("doc_id"), col("idx"),
         md5(substring(col("text"), (col("idx") * win + 1).cast("int"), lit(win)))
           .as("fp"))

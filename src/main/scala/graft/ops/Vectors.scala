@@ -307,11 +307,15 @@ object Vectors {
     }
 
   /** Subspace `s`'s PQ code for `vec`: first code reaching the max dot
-    * (first match wins → smallest code on ties, same rule both engines). */
+    * (first match wins → smallest code on ties, same rule both engines).
+    * Fall-through (only reachable when the dots contain NaN, i.e. a
+    * NaN/null embedding entry) is NULL — the same value the oracle's CASE
+    * chains produce, and a null ADC `element_at` index yields null rather
+    * than the runtime error a -1 sentinel would cause at index 0. */
   private[graft] def pqCodeCol(vec: Column, s: Int): Column = {
     val ds = pqDots(vec, s)
     val best = greatest(ds: _*)
-    ds.zipWithIndex.foldRight(lit(-1): Column) { case ((d, c), e) =>
+    ds.zipWithIndex.foldRight(lit(null).cast("int"): Column) { case ((d, c), e) =>
       when(d === best, lit(c)).otherwise(e)
     }
   }
@@ -326,8 +330,9 @@ object Vectors {
       val ds = dots(s)
       val best = greatest(ds: _*)
       // foldRight builds when(d0=best, 0).otherwise(when(d1=best, 1)...) —
-      // the FIRST matching code wins, i.e. ties go to the smaller code
-      val code = ds.zipWithIndex.foldRight(lit(-1): Column) { case ((d, c), e) =>
+      // the FIRST matching code wins, i.e. ties go to the smaller code;
+      // NaN fall-through is NULL (matches the oracle CASE, see pqCodeCol)
+      val code = ds.zipWithIndex.foldRight(lit(null).cast("int"): Column) { case ((d, c), e) =>
         when(d === best, lit(c)).otherwise(e)
       }
       val err = dotCol(sub(s), sub(s)) - lit(2.0) * best + lit(PqSubDim.toDouble)

@@ -156,7 +156,14 @@ object Windows {
         col("o_orderpriority").as("priority"),
         col("o_orderdate").as("valid_from"),
         col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
-      .orderBy("custkey", "valid_from", "priority")
+        col("valid_to").isNull.as("is_current"),
+        col("o_orderkey"))
+      // (custkey, valid_from, priority) is NOT a total order: >=3 same-date
+      // orders whose tracked priority repeats (A,X,A on one date) give two
+      // change rows with identical keys but different valid_to, so row order
+      // would be engine-dependent. The change row's o_orderkey is unique per
+      // customer — sort on it, then drop it (projection preserves the sort)
+      .orderBy("custkey", "valid_from", "o_orderkey")
+      .drop("o_orderkey")
   }
 }

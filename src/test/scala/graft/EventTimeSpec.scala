@@ -115,6 +115,26 @@ class EventTimeSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("z_score") - z) < 5e-4))
   }
 
+  test("scd2: repeated same-date priority still yields a deterministic total order") {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2026-01-05")
+    val d1 = java.sql.Date.valueOf("2026-02-01")
+    // cust 1: three same-date orders with priorities A,X,A — the ambiguous
+    // case where (custkey, valid_from, priority) repeats across two change
+    // rows with DIFFERENT valid_to; order must follow o_orderkey
+    val orders = Seq(
+      (1L, d0, 10L, "A"), (1L, d0, 11L, "X"), (1L, d0, 12L, "A"),
+      (1L, d1, 13L, "A"), // no change — absorbed into the last interval
+      (2L, d0, 20L, "B")
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+    val rows = Windows.scd2Df(orders).collect()
+    val c1 = rows.filter(_.getAs[Long]("custkey") == 1L)
+    assert(c1.map(_.getAs[String]("priority")).toSeq == Seq("A", "X", "A"))
+    assert(c1.take(2).forall(r => r.getAs[java.sql.Date]("valid_to") == d0))
+    assert(c1.last.isNullAt(c1.last.fieldIndex("valid_to")) && c1.last.getAs[Boolean]("is_current"))
+    assert(rows.count(_.getAs[Long]("custkey") == 2L) == 1)
+  }
+
   test("ab test integer-exact z rendering matches a BigInt reference on synthetic counts") {
     import spark.implicits._
     // independent exact reference: m = round(|z|*1e4) half-up is the unique

@@ -241,4 +241,31 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Boolean]("keep") == (dup <= 0.95 && top <= 0.18))
     }
   }
+
+  test("chunk dedup: planted shared tiles are flagged, keepers exempt") {
+    import spark.implicits._
+    val tileA = "a" * 200; val tileB = "b" * 200
+    val tileC = "c" * 200; val tileD = "d" * 200
+    val docs = Seq(
+      (1L, tileA + tileB, 400L), // first occurrence of A and B — keeper
+      (2L, tileA + tileC, 400L), // A is a dup of doc 1's tile
+      (3L, tileD + tileD, 400L)  // self-duplicate: second D is a dup
+    ).toDF("doc_id", "text", "n_chars")
+    val rows = Dedup.chunkDedupDf(docs).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tiles"), r.getAs[Long]("n_dup_tiles"))).toMap
+    assert(byDoc(1L) == ((2L, 0L)))
+    assert(byDoc(2L) == ((2L, 1L)))
+    assert(byDoc(3L) == ((2L, 1L)))
+  }
+
+  test("chunk dedup: a document overflowing the 2^20 idx packing fails loudly") {
+    import spark.implicits._
+    // n_chars drives the tile count; 300M chars => 1.5M tiles > 2^20
+    val docs = Seq((1L, "x", 300000000L)).toDF("doc_id", "text", "n_chars")
+    val e = intercept[Exception] { Dedup.chunkDedupDf(docs).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overflows the 2^20 idx packing")), e.toString)
+  }
 }
