@@ -331,4 +331,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
     assert(plan.contains("Window"))
   }
+
+  test("join_asof_nearest: backward+forward frames share one exchange, no join") {
+    // merge-scan contract: 1 window exchange (user_id) + 1 final orderBy
+    // range exchange — the nearest variant must not cost more than either
+    // one-sided form
+    assert(shuffleCount(AsOf.eventAsofNearest(spark, sfDir)) <= 2)
+    val plan = executedPlan(AsOf.eventAsofNearest(spark, sfDir))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("ev_attribution: union merge-scan — no join operator, bounded shuffles") {
+    // ONE user_id shuffle for the carry-forward window, one channel
+    // rollup, one output sort; a join-based attribution would add a
+    // second keyed shuffle that skews on hot users at scale
+    assert(shuffleCount(EventTime.lastTouchAttribution(spark, sfDir)) <= 3)
+    val plan = executedPlan(EventTime.lastTouchAttribution(spark, sfDir))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("scd2_build: both window passes share ONE custkey exchange") {
+    // lag (change points) and lead (interval close) run under the same
+    // partitioning: 1 window exchange + 1 final orderBy range exchange;
+    // the change-point filter must not re-shuffle between them
+    assert(shuffleCount(Windows.scd2Intervals(spark, sfDir)) <= 2)
+    val plan = executedPlan(Windows.scd2Intervals(spark, sfDir))
+    assert(!plan.contains("Join"), plan.take(2000))
+    // AQE prints Final + Initial plans — count Window nodes in the final only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Window".r.findAllIn(finalPlan).size == 2, finalPlan.take(3000))
+  }
+
+  test("graph_components: checkpoint-truncated labels, equi-joins only") {
+    val df = Graph.components(spark, sfDir)
+    val plan = executedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    // pointer-jumping must end on a materialized (checkpointed) label
+    // table — the final rollup scans an RDD, not the re-derived lineage
+    assert(plan.contains("ExistingRDD"), plan.take(2000))
+  }
 }
