@@ -174,6 +174,11 @@ object SparkEntry {
     "dedup_chunks"      -> (Dedup.chunkDedup(_, _)),
     "ann_ivf_pq"        -> (Vectors.annIvfPq(_, _)),
     "scd2_build"        -> (Windows.scd2Intervals(_, _)),
+    // --- round 8: trained product quantization ---
+    // rows-only BY DESIGN (FP-iterative per-subspace k-means, same reason
+    // as ann_ivf); pinned by RecallSpec's reconstruction-error-improvement
+    // test against the deterministic oracled emb_pq_codes
+    "emb_pq_trained"    -> (Vectors.pqCodesTrained(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power

@@ -347,6 +347,99 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** Each embedding exploded into its [[PqSub]] double subvectors:
+    * (vec_id, sub, v) — the training/coding unit for product
+    * quantization. Map-side (one explode, no shuffle). */
+  private def pqSubvecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      explode(array((0 until PqSub).map(s => struct(lit(s).as("sub"),
+        transform(pqSub(col("embedding"), s), v => v.cast("double")).as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+
+  /** The trained codebook table collapsed to ONE broadcastable row
+    * (same trick as [[centsRow]]), with ‖c‖² precomputed per entry. */
+  private def pqCbRow(cb: DataFrame): DataFrame =
+    cb.agg(collect_list(struct(col("sub"), col("code"), col("cent_vec"),
+      dotCol(col("cent_vec"), col("cent_vec")).as("cent_norm2"))).as("cbs"))
+
+  /** Best trained-codebook entry for the current row's (sub, v):
+    * argmin ‖v−c‖² ≡ argmax (v·c − ‖c‖²/2), ties to the smaller code.
+    * Expects `cbs` (from [[pqCbRow]]) in scope via a single-row
+    * broadcast crossJoin — pure map-side, like [[assignCentroid]]. */
+  private def pqBest: Column = {
+    val cands = filter(col("cbs"), c => c.getField("sub") === col("sub"))
+    val scored = transform(cands, c => struct(
+      (dotCol(col("v"), c.getField("cent_vec")) -
+        lit(0.5) * c.getField("cent_norm2")).as("score"),
+      c.getField("code").as("code")))
+    val byScoreDescCodeAsc = (l: Column, r: Column) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("code") < r.getField("code"), -1)
+        .when(l.getField("code") > r.getField("code"), 1)
+        .otherwise(0)
+    element_at(array_sort(scored, byScoreDescCodeAsc), 1)
+  }
+
+  /** Per-subspace Lloyd's k-means PQ training — the real-quantizer
+    * upgrade over the deterministic ±1 [[pqCodebooks]]. All four
+    * subspaces train in ONE DataFrame pass per iteration: assignment is
+    * the single-row broadcast argmin above (no corpus shuffle), the
+    * update is [[VecMean]] keyed by packed (sub·PqCents + code) — the
+    * shuffle carries one fixed-size (count, 16-double sum) buffer per
+    * (map partition, sub, code) regardless of corpus size, and each
+    * iteration checkpoints the tiny codebook ([[kmeansCentroids]]'
+    * lineage discipline). Init = the first PqCents vectors' subvectors.
+    * Codes that lose all members drop out (standard empty-cluster
+    * behavior); coding still works against the surviving entries. */
+  def pqTrainCodebooks(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sv = pqSubvecs(emb)
+    var cb = Dedup.truncate(sv.filter(col("vec_id") < PqCents)
+      .select(col("sub"), col("vec_id").cast("int").as("code"), col("v").as("cent_vec")))
+    for (_ <- 1 to iters) {
+      val assigned = sv.crossJoin(broadcast(pqCbRow(cb)))
+        .select((col("sub").cast("long") * PqCents + pqBest.getField("code")).as("k"),
+          col("v"))
+        .as[(Long, Array[Double])]
+      cb = Dedup.truncate(
+        assigned.groupByKey(_._1).agg(VecMean.toColumn.name("cent_vec"))
+          .toDF("k", "cent_vec")
+          .select(floor(col("k") / PqCents).cast("int").as("sub"),
+            pmod(col("k"), lit(PqCents.toLong)).cast("int").as("code"),
+            col("cent_vec")))
+    }
+    cb
+  }
+
+  /** PQ codes against TRAINED codebooks ([[pqTrainCodebooks]]) — the
+    * quality companion to the deterministic [[pqCodes]]: same output
+    * shape (vec_id, code0..3, recon_err), real per-subspace k-means
+    * centroids. ROWS-ONLY by design (FP-iterative training, like
+    * [[annIvf]]); pinned by the RecallSpec reconstruction-error-
+    * improvement test against the fixed ±1 codebooks. Coding is
+    * map-side (one broadcast codebook row); the only shuffle is the
+    * 4-rows-per-vector pivot back to one row per vec_id, with
+    * ‖v−c‖² recovered exactly as v·v − 2·score. */
+  def pqCodesTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = pqTrainCodebooks(emb, iters = 3)
+    pqSubvecs(emb).crossJoin(broadcast(pqCbRow(cb)))
+      .withColumn("best", pqBest) // evaluate the argmin ONCE per subvector
+      .select(col("vec_id"), col("sub"),
+        col("best.code").as("code"),
+        (dotCol(col("v"), col("v")) - lit(2.0) * col("best.score")).as("err"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("sub") === 0, col("code"))).as("code0"),
+        max(when(col("sub") === 1, col("code"))).as("code1"),
+        max(when(col("sub") === 2, col("code"))).as("code2"),
+        max(when(col("sub") === 3, col("code"))).as("code3"),
+        round(sum(col("err")), 4).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   /** [[pqCodes]]' codebook dots rendered as DuckDB SQL fragments — one
     * `list_dot_product(e[a:b], [±1, …])` per (subspace, code), so the
     * oracle replays the identical FP computation. */

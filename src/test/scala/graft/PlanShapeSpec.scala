@@ -171,6 +171,7 @@ class PlanShapeSpec extends SparkSpec {
       "emb_knn_classify",  // built on ann_brute_force
       "ann_ivf",           // single-row broadcast centroid-array crossJoin (map-side argmax)
       "ann_ivf_pq",        // same single-row broadcast centroid-array crossJoin (assignCentroid) + per-query ADC LUT broadcast
+      "emb_pq_trained",    // single-row broadcast trained-codebook crossJoin (map-side coding)
       "graph_nbr_jaccard", // single-row broadcast size-dictionary crossJoin (kernel lookups)
       "sql_vec_cosine",    // inequality-only join predicate by design
       "join_cross_small",  // deliberate cross of two tiny dims

@@ -129,4 +129,27 @@ class RecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.6, s"mean recall@3 = $mean (nprobe 4 of nlist 16)")
   }
+
+  test("trained PQ codebooks reconstruct better than the fixed ±1 codebooks") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val fixedAvg = Vectors.pqCodes(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("recon_err")).first().getDouble(0)
+    val rows = Vectors.pqCodesTrained(spark, sfDir).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      (0 until 4).foreach { s =>
+        val c = r.getAs[Int](s"code$s")
+        assert(c >= 0 && c < 8, s"code$s out of range: $c")
+      }
+      // err = sum of exact ||v-c||^2 per subspace; small negative FP dust
+      // is impossible because each term is v.v - 2(v.c - c.c/2) evaluated
+      // on doubles, but allow rounding slack at the 4dp render
+      assert(r.getAs[Double]("recon_err") >= -1e-4)
+    }
+    val trainedAvg = rows.map(_.getAs[Double]("recon_err")).sum / n
+    // the whole point of training: strictly better average reconstruction
+    // than the deterministic sign codebooks (measured ~70x at sf0.001)
+    assert(trainedAvg < fixedAvg,
+      s"trained avg MSE $trainedAvg not better than fixed $fixedAvg")
+  }
 }
