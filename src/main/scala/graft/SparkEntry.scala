@@ -1314,9 +1314,10 @@ object SparkEntry {
         |ex AS (SELECT ca, na, cb, nb,
         |    CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na AS num,
         |    CAST(na AS HUGEINT) * nb * (ca + cb) * ((na + nb) - (ca + cb)) AS q,
-        |    (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
-        |      * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
-        |      * (na + nb) AS p
+        |    CASE WHEN na > 500000 OR nb > 500000 THEN CAST(0 AS HUGEINT)
+        |         ELSE (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |              * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |              * (na + nb) END AS p
         |  FROM pooled),
         |z0 AS (SELECT *, CASE WHEN q > 0 THEN
         |      (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
@@ -1326,7 +1327,9 @@ object SparkEntry {
         |    ELSE 0.0 END AS zr
         |  FROM ex),
         |cand AS (SELECT *, CAST(floor(abs(zr) * 10000 + 0.5) AS BIGINT) AS m0 FROM z0),
-        |mc AS (SELECT num, CASE WHEN q = 0 THEN 0
+        |mc AS (SELECT num, CASE
+        |    WHEN na > 500000 OR nb > 500000 THEN m0
+        |    WHEN q = 0 THEN 0
         |    WHEN CAST(2 * m0 + 1 AS HUGEINT) * (2 * m0 + 1) * q
         |         <= CAST(400000000 AS HUGEINT) * p THEN m0 + 1
         |    WHEN m0 >= 1 AND CAST(2 * m0 - 1 AS HUGEINT) * (2 * m0 - 1) * q

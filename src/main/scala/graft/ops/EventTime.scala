@@ -209,8 +209,10 @@ object EventTime {
     * division of the same integer) is then bit-identical. `significant`
     * is m ≥ 19600 — the same exact integer, so it is the |z_rendered| ≥
     * 1.96 cut the row displays. DECIMAL(38) holds the products exactly up
-    * to ~5·10⁵ users per variant; beyond that the one-row correction
-    * would move to a BigInt mapper (it is a single-row computation).
+    * to [[AbExactBound]] users per variant; beyond it both engines fall
+    * back to the double candidate identically (see the bound's doc —
+    * graceful degradation instead of an ANSI overflow at production arm
+    * sizes).
     *
     * Scale shape: one per-user aggregate (shuffles user ids + one bit),
     * one 2-row variant aggregate, and a single-row pooled-stats
@@ -226,10 +228,24 @@ object EventTime {
   }
 
   /** Testable core of [[abTest]]: input is (variant: string, conv: 0/1). */
-  private[graft] def abTestFromUsers(users: DataFrame): DataFrame = {
+  private[graft] def abTestFromUsers(users: DataFrame): DataFrame =
+    abTestFromCounts(users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted")))
+
+  /** Exact-correction bound: the DECIMAL(38) products hold exactly while
+    * both arm sizes stay ≤ 5·10⁵ ((2m+1)²·Q and 4·10⁸·P grow ~U⁵).
+    * Above it the CASE falls back to the double candidate BEFORE any
+    * decimal product is evaluated (lazy CASE in both engines — no ANSI
+    * overflow error), accepting a ~1e-10-probability last-digit straddle
+    * instead of a guaranteed runtime failure at production arm sizes.
+    * The oracle carries the identical bound on HUGEINT. */
+  private val AbExactBound = 500000L
+
+  /** z-test readout from pre-aggregated (variant, n_users, n_converted)
+    * counts — split out so specs can exercise the overflow fallback with
+    * synthetic billion-user arms (2 rows, no giant users frame). */
+  private[graft] def abTestFromCounts(v: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val v = users.groupBy(col("variant"))
-      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
     val pooled = v.agg(
       coalesce(sum(when(col("variant") === "A", col("n_converted"))), lit(0L)).as("ca"),
       coalesce(sum(when(col("variant") === "A", col("n_users"))), lit(0L)).as("na"),
@@ -252,7 +268,12 @@ object EventTime {
     val m0 = floor(abs(zSafe) * 10000d + 0.5d).cast("long")
     val fourE8P = lit(400000000L).cast(dec) * pEx
     val upB = (m0 * 2 + 1).cast(dec); val dnB = (m0 * 2 - 1).cast(dec)
-    val m = when(qEx === 0, lit(0L))
+    val overBound = col("na") > AbExactBound || col("nb") > AbExactBound
+    // overBound FIRST: past ~1.4e9 per arm even qEx overflows DECIMAL(38),
+    // so no decimal product may evaluate on that path (degenerate pools
+    // there still land on m0 = 0 via zSafe, so the answer is unchanged)
+    val m = when(overBound, m0)
+      .when(qEx === 0, lit(0L))
       .when(upB * upB * qEx <= fourE8P, m0 + 1)
       .when(m0 >= 1 && dnB * dnB * qEx > fourE8P, m0 - 1)
       .otherwise(m0)

@@ -135,28 +135,29 @@ class EventTimeSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("custkey") == 2L) == 1)
   }
 
+  // independent exact reference: m = round(|z|*1e4) half-up is the unique
+  // integer with (2m-1)^2*Q <= 4e8*P < (2m+1)^2*Q; start from the double
+  // candidate and loop-correct with BigInt (the operator only corrects
+  // +-1, so agreement here proves the candidate is never more than one
+  // digit off AND the correction lands on the true integer)
+  private def refMExact(ca: Long, na: Long, cb: Long, nb: Long): Long = {
+    val num = BigInt(ca) * nb - BigInt(cb) * na
+    val nTot = BigInt(na) + nb; val c = BigInt(ca) + cb; val d = nTot - c
+    val q = BigInt(na) * nb * c * d
+    if (q == 0) return 0L
+    val p = num * num * nTot
+    val f8 = BigInt(400000000)
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val zd = math.abs((pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)))
+    var m = math.floor(zd * 10000 + 0.5).toLong
+    while (BigInt(2 * m + 1).pow(2) * q <= f8 * p) m += 1
+    while (m >= 1 && BigInt(2 * m - 1).pow(2) * q > f8 * p) m -= 1
+    m
+  }
+
   test("ab test integer-exact z rendering matches a BigInt reference on synthetic counts") {
     import spark.implicits._
-    // independent exact reference: m = round(|z|*1e4) half-up is the unique
-    // integer with (2m-1)^2*Q <= 4e8*P < (2m+1)^2*P-rational bounds; start
-    // from the double candidate and loop-correct with BigInt (the operator
-    // only corrects +-1, so agreement here proves the candidate is never
-    // more than one digit off AND the correction lands on the true integer)
-    def refM(ca: Long, na: Long, cb: Long, nb: Long): Long = {
-      val num = BigInt(ca) * nb - BigInt(cb) * na
-      val nTot = BigInt(na) + nb; val c = BigInt(ca) + cb; val d = nTot - c
-      val q = BigInt(na) * nb * c * d
-      if (q == 0) return 0L
-      val p = num * num * nTot
-      val f8 = BigInt(400000000)
-      val pa = ca.toDouble / na; val pb = cb.toDouble / nb
-      val pp = (ca + cb).toDouble / (na + nb)
-      val zd = math.abs((pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)))
-      var m = math.floor(zd * 10000 + 0.5).toLong
-      while (BigInt(2 * m + 1).pow(2) * q <= f8 * p) m += 1
-      while (m >= 1 && BigInt(2 * m - 1).pow(2) * q > f8 * p) m -= 1
-      m
-    }
     val cases = Seq(
       (3L, 10L, 5L, 12L), (57L, 100L, 43L, 100L), (0L, 50L, 50L, 50L),
       (50L, 50L, 0L, 50L), (0L, 40L, 0L, 60L), (40L, 40L, 60L, 60L),
@@ -171,18 +172,46 @@ class EventTimeSpec extends SparkSpec {
         Seq.fill(cb.toInt)(("B", 1L)) ++ Seq.fill((nb - cb).toInt)(("B", 0L)))
         .toDF("variant", "conv")
       val out = EventTime.abTestFromUsers(users).collect()
-      val m = refM(ca, na, cb, nb)
-      val sign = BigInt(ca) * nb - BigInt(cb) * na
-      val zExp =
-        if (m == 0L) 0.0
-        else if (sign < 0) -(m.toDouble / 10000.0)
-        else m.toDouble / 10000.0
-      assert(out.nonEmpty)
-      out.foreach { r =>
-        // exact double equality: both sides are the same integer / 10000.0
-        assert(r.getAs[Double]("z_score") == zExp, s"z case ($ca,$na,$cb,$nb)")
-        assert(r.getAs[Boolean]("significant") == (m >= 19600L), s"sig case ($ca,$na,$cb,$nb)")
-      }
+      checkCase(out, ca, na, cb, nb)
+    }
+
+    // billion-user arms: past the DECIMAL(38)-exact bound both engines
+    // must fall back to the double candidate (no overflow error) and the
+    // rendered z still matches the double reference to the last digit
+    val big = Seq(
+      (300000000L, 1000000000L, 300500000L, 1000000000L),
+      (0L, 2000000000L, 0L, 2000000000L), // degenerate over-bound pool
+      (123456789L, 900000000L, 123000000L, 910000000L))
+    big.foreach { case (ca, na, cb, nb) =>
+      val v = Seq(("A", na, ca), ("B", nb, cb)).toDF("variant", "n_users", "n_converted")
+      val out = EventTime.abTestFromCounts(v).collect()
+      assert(out.length == 2)
+      val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+      val pp = (ca + cb).toDouble / (na + nb)
+      val zd =
+        if (pp > 0 && pp < 1)
+          (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+        else 0.0
+      val m0 = math.floor(math.abs(zd) * 10000 + 0.5).toLong
+      val zExp = if (m0 == 0L) 0.0 else math.signum(zd) * (m0.toDouble / 10000.0)
+      out.foreach(r => assert(r.getAs[Double]("z_score") == zExp,
+        s"over-bound case ($ca,$na,$cb,$nb)"))
+    }
+  }
+
+  private def checkCase(out: Array[org.apache.spark.sql.Row],
+                        ca: Long, na: Long, cb: Long, nb: Long): Unit = {
+    val m = refMExact(ca, na, cb, nb)
+    val sign = BigInt(ca) * nb - BigInt(cb) * na
+    val zExp =
+      if (m == 0L) 0.0
+      else if (sign < 0) -(m.toDouble / 10000.0)
+      else m.toDouble / 10000.0
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // exact double equality: both sides are the same integer / 10000.0
+      assert(r.getAs[Double]("z_score") == zExp, s"z case ($ca,$na,$cb,$nb)")
+      assert(r.getAs[Boolean]("significant") == (m >= 19600L), s"sig case ($ca,$na,$cb,$nb)")
     }
   }
 }

@@ -6,7 +6,7 @@ oracle, run the SQL in DuckDB over the sf parquet tables and compare to
 the Spark result parquet (columns sorted by name, rows sorted by all
 columns). Usage: python3 tools/check_oracle.py <sfDir> <verifyOut>
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -30,7 +30,12 @@ def canon(rows, cols):
 def main(sf_dir, verify_out):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single files; ScaleGen (sf1) writes Spark
+        # directories of part files — read whichever shape exists
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{verify_out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
