@@ -179,6 +179,7 @@ object SparkEntry {
     // as ann_ivf); pinned by RecallSpec's reconstruction-error-improvement
     // test against the deterministic oracled emb_pq_codes
     "emb_pq_trained"    -> (Vectors.pqCodesTrained(_, _)),
+    "pipeline_shard"    -> (Text.shardManifest(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1878,6 +1879,24 @@ object SparkEntry {
         |SELECT p.doc_id, count(DISTINCT p.s) AS n_overlap
         |FROM post p JOIN ev ON p.s = ev.s WHERE p.doc_id >= 10
         |GROUP BY 1 HAVING count(DISTINCT p.s) >= 2 ORDER BY doc_id""".stripMargin,
+
+    // content-addressed output sharding: shard id = top-32 md5 word mod 64
+    // (Spark conv(substring(md5,1,8),16,10) ≡ DuckDB byte-swap of
+    // md5_number_upper's low word — the repo's verified cross-engine md5
+    // idiom, same as minhashOracle); all-integer manifest, bit-exact
+    "pipeline_shard" ->
+      """WITH sh AS (SELECT doc_id, n_chars,
+        |    (((x & 255) << 24) | (((x >> 8) & 255) << 16) |
+        |     (((x >> 16) & 255) << 8) | ((x >> 24) & 255)) % 64 AS shard_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+        |  FROM (SELECT doc_id, n_chars, text,
+        |          CAST(md5_number_upper(text) & 4294967295 AS BIGINT) AS x
+        |        FROM documents))
+        |SELECT shard_id, count(*) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM sh GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     // CASTs pin DuckDB's HUGEINT sums; share = cell tokens / corpus tokens
     "pipeline_mixture" ->

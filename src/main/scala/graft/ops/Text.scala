@@ -201,6 +201,34 @@ object Text {
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_md5"))
       .orderBy("doc_id")
 
+  /** Deterministic output sharding — the WRITE stage of a training-data
+    * pipeline: each document routes to one of `nShards` shards by a
+    * content hash (top-32 md5 word, the repo's verified cross-engine
+    * idiom), and the manifest reports per-shard doc/token/char totals
+    * for balance auditing. Content-addressed routing keeps byte-equal
+    * replicas in one shard (the dedup-friendly layout) and is engine-
+    * and partitioning-independent — re-running anywhere yields the same
+    * shard map. Scale shape: the shard id is one codegen'd md5+conv
+    * projection (map-side); the ONLY shuffle is the ≤nShards-row
+    * manifest aggregate. The actual write is the same plan with
+    * `.write.partitionBy("shard_id")` — at 100 TB each shard lands as
+    * its own parquet partition and the manifest is the audit artifact
+    * the training loader reads. */
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard_id"),
+        size(tokensCol(col("text"))).as("n_toks"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard_id")
+
   /** End-to-end corpus-cleaning pipeline — the composition a pre-training
     * data pipeline actually runs, expressed as ONE declarative plan so
     * Catalyst fuses the stages: length filter → exact dedup (keep the

@@ -259,6 +259,22 @@ class TextDedupSpec extends SparkSpec {
     assert(byDoc(3L) == ((2L, 1L)))
   }
 
+  test("shard manifest: shards partition the corpus, ids in range, totals conserve") {
+    val total = Tables.documents(spark, sfDir).count()
+    val rows = Text.shardManifest(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val sid = r.getAs[Long]("shard_id")
+      assert(sid >= 0 && sid < 64)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs")) // >=1 token/doc
+      assert(r.getAs[Long]("min_doc_id") <= r.getAs[Long]("max_doc_id"))
+    }
+    // deterministic: a second run yields the identical manifest
+    val again = Text.shardManifest(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("chunk dedup: a document overflowing the 2^20 idx packing fails loudly") {
     import spark.implicits._
     // n_chars drives the tile count; 300M chars => 1.5M tiles > 2^20

@@ -70,7 +70,6 @@ def main(sf_dir, verify_out):
             print(f"PASS {name} ({len(orows_c)} rows)")
             n_pass += 1
     # queries with no oracle: rows-only check
-    import os
     for name in sorted(os.listdir(verify_out)):
         p = os.path.join(verify_out, name)
         if os.path.isdir(p) and name not in oracle:
