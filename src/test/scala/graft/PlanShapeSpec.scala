@@ -363,6 +363,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(finalPlan).size == 2, finalPlan.take(3000))
   }
 
+  test("pipeline_shard: map-side shard assignment, one aggregate exchange") {
+    // md5 shard id must stay a projection over the scan — the shuffles
+    // are Tables.documents' spread() repartition (single-file scan
+    // guard, a no-op on real multi-split inputs), the 64-row manifest
+    // aggregate, and the output sort
+    assert(shuffleCount(Text.shardManifest(spark, sfDir)) <= 3)
+    val plan = executedPlan(Text.shardManifest(spark, sfDir))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("graph_components: checkpoint-truncated labels, equi-joins only") {
     val df = Graph.components(spark, sfDir)
     val plan = executedPlan(df)
