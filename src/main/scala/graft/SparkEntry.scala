@@ -1024,13 +1024,19 @@ object SparkEntry {
         |FROM part WHERE levenshtein(p_name, 'small bolt') <= 4
         |ORDER BY partkey""".stripMargin,
 
+    // argmax ordered by the TIE-FREE packed (cents·2^33 + key) int64, so
+    // tied prices resolve to the key identically in both engines
     "agg_conditional" ->
       """SELECT o_orderstatus AS status,
         |       CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
         |       bool_and(o_totalprice > 0.0) AS all_positive,
         |       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-        |       max_by(o_orderkey, o_totalprice) AS priciest_key,
-        |       min_by(o_orderkey, o_totalprice) AS cheapest_key
+        |       max_by(o_orderkey,
+        |              CAST(round(o_totalprice * 100) AS BIGINT) * 8589934592 + o_orderkey)
+        |         AS priciest_key,
+        |       min_by(o_orderkey,
+        |              CAST(round(o_totalprice * 100) AS BIGINT) * 8589934592 + o_orderkey)
+        |         AS cheapest_key
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "text_perplexity" ->

@@ -352,18 +352,28 @@ object Aggregates {
   /** Conditional / selective aggregate breadth: count_if, bool_and /
     * bool_or, and max_by / min_by (argmax without a self-join — at scale
     * this replaces the "join back on the max" anti-pattern with one
-    * single-pass aggregate). totalprice is continuous, so the argmax row
-    * is unique and cross-engine deterministic. */
-  def conditionalAggregates(spark: SparkSession, dir: String): DataFrame =
+    * single-pass aggregate). The ordering value is a TIE-FREE packed
+    * int64 — exact cents (totalprice is 2-decimal money, so
+    * round(p·100) recovers the integer exactly) shifted by 2^33 plus the
+    * unique order key: a bare max_by(key, price) picks
+    * partition-order-arbitrarily among TIED prices (non-deterministic
+    * run to run and engine-divergent — caught by the sf1 replica replay,
+    * where every price has 10 copies). Packing bound: cents < 2^26,
+    * keys < 2^33 (≈8.6e9 orders) — widen the shift alongside the key
+    * space if a larger corpus needs it. */
+  def conditionalAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val packed = round(col("o_totalprice") * 100).cast("long") *
+      lit(8589934592L) + col("o_orderkey") // 2^33
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus").as("status"))
       .agg(
         count_if(col("o_totalprice") > 100000.0).as("n_big"),
         bool_and(col("o_totalprice") > 0.0).as("all_positive"),
         bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
-        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_key"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_key"))
+        max_by(col("o_orderkey"), packed).as("priciest_key"),
+        min_by(col("o_orderkey"), packed).as("cheapest_key"))
       .orderBy("status")
+  }
 
   /** HLL sketch MERGE — the property that makes approx-distinct work at
     * 100 TB: per-(status, priority) sketches are built in one pass (the
