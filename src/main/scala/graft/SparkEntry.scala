@@ -659,9 +659,15 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // revenue in integer-exact 1e-4 units with half-up 2dp render (the
+    // round(sum(double)) form straddled a cent on the 10x replica data);
+    // avg_retail stays a single identical-integer-quotient + round (the
+    // quotient is replica-invariant, so no magnitude-driven straddle)
     "q14_promo" ->
       """SELECT p.p_type AS ptype, count(*) AS n_items,
-        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS revenue,
         |       round(avg(p.p_retailprice), 4) AS avg_retail
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY ptype""".stripMargin,
@@ -919,13 +925,18 @@ object SparkEntry {
 
     // round() on sums of continuous doubles is tie-safe (memory: the
     // hazard is integer/decimal quotients, not continuous sums)
+    // integer-exact money units, filter by integer cross-multiplication,
+    // half-up 2dp render via (u+50)//100 — matches the Spark SQL's DIV
     "q11_part_value" ->
       """WITH pv AS (SELECT l_partkey AS partkey,
-        |                   sum(l_extendedprice * (1.0 - l_discount)) AS value
+        |                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS units
         |            FROM lineitem GROUP BY 1)
-        |SELECT partkey, round(value, 2) AS part_value
+        |SELECT partkey,
+        |       CAST((units + 50) // 100 AS DOUBLE) / 100.0 AS part_value
         |FROM pv
-        |WHERE value > (SELECT 1.5 * sum(value) / count(*) FROM pv)
+        |WHERE CAST(units AS HUGEINT) * (SELECT count(*) FROM pv) * 2
+        |      > CAST((SELECT sum(units) FROM pv) AS HUGEINT) * 3
         |ORDER BY part_value DESC, partkey""".stripMargin,
 
     "q16_supplier_cnt" ->
@@ -1440,15 +1451,16 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS suppkey,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS total_rev
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS units
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY 1)
         |SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
-        |       round(r.total_rev, 2) AS total_rev
+        |       CAST((r.units + 50) // 100 AS DOUBLE) / 100.0 AS total_rev
         |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
-        |ORDER BY r.total_rev DESC, suppkey LIMIT 1""".stripMargin,
+        |ORDER BY r.units DESC, suppkey LIMIT 1""".stripMargin,
 
     "set_ops_multiset" ->
       """WITH a AS (SELECT o_orderpriority AS p FROM orders

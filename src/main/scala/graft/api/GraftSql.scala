@@ -143,13 +143,23 @@ object GraftSql {
     * itself" shape. Threshold 1.5× the mean part value (the TPC-H spec's
     * fraction scales with SF the same way). */
   def partValueShare(spark: SparkSession, dir: String): DataFrame =
+    // INTEGER-EXACT money: price/discount are 2-decimal, so each line's
+    // value is an exact count of 1e-4 units (cents × (100−discCents));
+    // the sum, the 1.5×-average filter (integer cross-multiplication:
+    // v > 1.5·T/n ⟺ 2·v·n > 3·T) and the half-up 2dp render
+    // ((u+50) div 100) are all integer ops — no FP summation-order or
+    // rounding-boundary divergence at ANY scale (the round(sum(double))
+    // form straddled a cent boundary on the 10× replica data)
     sql(spark, dir,
       """WITH pv AS (SELECT l_partkey AS partkey,
-        |                   sum(l_extendedprice * (1.0 - l_discount)) AS value
+        |                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS units
         |            FROM lineitem GROUP BY 1)
-        |SELECT partkey, round(value, 2) AS part_value
+        |SELECT partkey,
+        |       CAST((units + 50) DIV 100 AS DOUBLE) / 100.0 AS part_value
         |FROM pv
-        |WHERE value > (SELECT 1.5 * sum(value) / count(*) FROM pv)
+        |WHERE CAST(units AS DECIMAL(38,0)) * (SELECT count(*) FROM pv) * 2
+        |      > CAST((SELECT sum(units) FROM pv) AS DECIMAL(38,0)) * 3
         |ORDER BY part_value DESC, partkey
         |""".stripMargin)
 
@@ -336,18 +346,24 @@ object GraftSql {
     * near-ties). The scalar-subquery-over-own-CTE shape Q15 also
     * exercises lives safely (as an inequality) in [[partValueShare]]. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame =
+    // integer-exact revenue (see partValueShare) + the suppkey tiebreak:
+    // top-1 on a double revenue was BOTH rounding-fragile and
+    // tie-arbitrary when distinct suppliers earn identical revenue (the
+    // 10× replica data makes that certain); exact units + key order is
+    // deterministic everywhere
     sql(spark, dir,
       """WITH rev AS (
         |  SELECT l_suppkey AS suppkey,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS total_rev
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS units
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY 1)
         |SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
-        |       round(r.total_rev, 2) AS total_rev
+        |       CAST((r.units + 50) DIV 100 AS DOUBLE) / 100.0 AS total_rev
         |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
-        |ORDER BY r.total_rev DESC, suppkey LIMIT 1
+        |ORDER BY r.units DESC, suppkey LIMIT 1
         |""".stripMargin)
 
   /** Correlated scalar subquery in SQL (reference has no subqueries at

@@ -85,12 +85,22 @@ object Aggregates {
   def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
+    // revenue summed as integer-exact 1e-4 money units (cents ×
+    // (100−discCents)) and rendered 2dp by integer half-up division —
+    // round(sum(double), 2) straddled a cent boundary on 10× data
+    // (parallel FP summation order differs between engines); the exact
+    // integer sum cannot, at any magnitude
+    val units = round(l("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(l("l_discount") * 100).cast("long"))
     l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(p("p_type").as("ptype"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+        sum(units).as("u"),
         round(avg("p_retailprice"), 4).as("avg_retail"))
+      .select(col("ptype"), col("n_items"),
+        (expr("(u + 50) div 100").cast("double") / 100.0).as("revenue"),
+        col("avg_retail"))
       .orderBy("ptype")
   }
 
