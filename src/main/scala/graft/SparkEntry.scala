@@ -478,7 +478,7 @@ object SparkEntry {
         |             ON t.user_id = pu.user_id AND t.es <= pu.es)
         |SELECT CASE WHEN tes IS NOT NULL AND es - tes <= 604800 THEN ttype
         |            ELSE 'none' END AS channel,
-        |       count(*) AS conversions, round(sum(value), 2) AS revenue
+        |       count(*) AS conversions, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |FROM p WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "join_asof_nearest" ->
@@ -617,12 +617,20 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.es >= p.es - 600 AND c.es <= p.es
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
 
+    // money sums in integer-exact units (cents / 1e-4 / 1e-6), half-up
+    // integer render — see Aggregates.centsCol; sum_qty stays double
+    // (quantity is integer-valued, its fp sum is exact)
     "q1_pricing_summary" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS sum_disc_price,
+        |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |                 * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) // 10000
+        |            AS DOUBLE) / 100.0 AS sum_charge,
         |       round(avg(l_quantity), 4) AS avg_qty,
         |       round(avg(l_extendedprice), 4) AS avg_price,
         |       round(avg(l_discount), 4) AS avg_disc,
@@ -633,7 +641,9 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT o.o_orderkey AS orderkey,
-        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -642,7 +652,9 @@ object SparkEntry {
 
     "q5_nation_revenue" ->
       """SELECT n.n_name AS nation,
-        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -673,7 +685,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY ptype""".stripMargin,
 
     "q19_disjunctive" ->
-      """SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+      """SELECT CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -693,7 +707,9 @@ object SparkEntry {
 
     "q10_returns" ->
       """SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
-        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -704,7 +720,9 @@ object SparkEntry {
     "q7_nations" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l.l_shipdate) AS INT) AS yr,
-        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -891,7 +909,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY returnflag""".stripMargin,
 
     "sql_tpch_q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100
+        |            AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -954,7 +974,8 @@ object SparkEntry {
     // 0.2*avg is bit-identical cross-engine; sum of continuous prices /7
     // rounded 2dp is tie-safe
     "q17_small_qty" ->
-      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT CAST((2 * sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) + 7) // 14
+        |            AS DOUBLE) / 100.0 AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_brand = 'Brand#1'
         |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -973,7 +994,8 @@ object SparkEntry {
     "q8_market_share" ->
       """WITH vol AS (
         |  SELECT year(o.o_orderdate) AS yr,
-        |         l.l_extendedprice * (1.0 - l.l_discount) AS v,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS v,
         |         ns.n_name AS supp_nation
         |  FROM lineitem l
         |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -985,8 +1007,8 @@ object SparkEntry {
         |  JOIN region rc  ON nc.n_regionkey = rc.r_regionkey
         |  WHERE rc.r_name = 'AMERICA' AND p.p_type = 'LARGE')
         |SELECT yr,
-        |       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
-        |             / sum(v), 6) AS mkt_share
+        |       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(v) AS DOUBLE), 6) AS mkt_share
         |FROM vol GROUP BY yr ORDER BY yr""".stripMargin,
 
     "agg_regression" ->
@@ -1397,7 +1419,7 @@ object SparkEntry {
     "ev_histogram" ->
       """SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket,
         |       count(*) AS n,
-        |       round(sum(value), 2) AS sum_value,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
         |       round(min(value), 2) AS min_value,
         |       round(max(value), 2) AS max_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
@@ -1424,8 +1446,11 @@ object SparkEntry {
 
     "q9_product_profit" ->
       """SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
-        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
-        |                 - p.p_retailprice * 0.6 * l.l_quantity), 4) AS profit
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |                - CAST(round(p.p_retailprice * 100) AS BIGINT)
+        |                  * 60 * CAST(round(l.l_quantity) AS BIGINT))
+        |            AS DOUBLE) / 10000.0 AS profit
         |FROM lineitem l
         |JOIN part p     ON p.p_partkey = l.l_partkey
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1601,7 +1626,7 @@ object SparkEntry {
         |                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
         |SELECT user_id, event_id, es,
         |       count(*) OVER w AS n_last_hour,
-        |       round(sum(value) OVER w, 2) AS value_last_hour
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS value_last_hour
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
         |                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
@@ -1609,8 +1634,8 @@ object SparkEntry {
     "ev_tumbling" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |       event_type AS etype, count(*) AS n,
-        |       round(sum(value), 2) AS sum_value,
-        |       round(sum(value), 2) / count(*) AS avg_value
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_sliding" ->
@@ -1633,7 +1658,7 @@ object SparkEntry {
         |           FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(es) AS start_epoch, max(es) AS end_epoch,
-        |       round(sum(value), 2) AS sum_value
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_funnel" ->
@@ -1995,7 +2020,8 @@ object SparkEntry {
         |                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |           FROM f)
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     // string-space recomputation of the int64-hashed Spark plan: identical

@@ -46,7 +46,11 @@ object GraftSql {
     * + single global agg, the simplest whole-pipeline SQL check. */
   def tpchQ6(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      // integer-exact 1e-4 units (cents x discCents) + half-up render:
+      // immune to parallel-sum rounding straddles at any magnitude
+      """SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+        |                 * CAST(round(l_discount * 100) AS BIGINT)) + 50) DIV 100
+        |            AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -190,7 +194,10 @@ object GraftSql {
     * avg is order-independent and the comparison cannot flip. */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
-      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      // exact cents sum; round2(u/700) = (2u+7) div 14 then /100 - the
+      // half-up division stays in integers, so /7.0 cannot straddle
+      """SELECT CAST((2 * sum(CAST(round(l.l_extendedprice * 100) AS DECIMAL(38,0))) + 7) DIV 14
+        |            AS DOUBLE) / 100.0 AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_brand = 'Brand#1'
         |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -228,7 +235,8 @@ object GraftSql {
     sql(spark, dir,
       """WITH vol AS (
         |  SELECT year(o.o_orderdate) AS yr,
-        |         l.l_extendedprice * (1.0 - l.l_discount) AS v,
+        |         CAST(round(l.l_extendedprice * 100) AS DECIMAL(38,0))
+        |           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS v,
         |         ns.n_name AS supp_nation
         |  FROM lineitem l
         |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -240,8 +248,8 @@ object GraftSql {
         |  JOIN region rc  ON nc.n_regionkey = rc.r_regionkey
         |  WHERE rc.r_name = 'AMERICA' AND p.p_type = 'LARGE')
         |SELECT yr,
-        |       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
-        |             / sum(v), 6) AS mkt_share
+        |       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(v) AS DOUBLE), 6) AS mkt_share
         |FROM vol GROUP BY yr ORDER BY yr
         |""".stripMargin)
 
@@ -301,9 +309,15 @@ object GraftSql {
     * on-lattice value can never be a midpoint of its own grid. */
   def productProfit(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
+      // profit in exact 1e-4 units: cents(100-dc) - retailCents*60*qty
+      // (retail 2-decimal, qty integer-valued); u/10000 has exactly 4
+      // decimals, so the round(...,4) disappears entirely
       """SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
-        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
-        |                 - p.p_retailprice * 0.6 * l.l_quantity), 4) AS profit
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS DECIMAL(38,0))
+        |                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |                - CAST(round(p.p_retailprice * 100) AS DECIMAL(38,0))
+        |                  * 60 * CAST(round(l.l_quantity) AS BIGINT))
+        |            AS DOUBLE) / 10000.0 AS profit
         |FROM lineitem l
         |JOIN part p     ON p.p_partkey = l.l_partkey
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey

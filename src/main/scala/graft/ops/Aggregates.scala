@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Standard OLAP operators — absent from the reference (its capability-
@@ -17,24 +17,65 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** INTEGER-EXACT money summation — the anti-straddle discipline the sf1
+    * replica replay mandated (q11/q14/q15 failures): lineitem money is
+    * 2-decimal, so cents = round(price·100) is an exact integer and every
+    * revenue term cents·(100−discCents) is an exact count of 1e-4 units.
+    * Summing integers is immune to parallel FP summation order;
+    * round(sum(double), 2) straddles a cent whenever the two engines'
+    * last-ulp-different sums sit on a .005 boundary — a dice roll per
+    * group per round that 10× data magnitudes made land. Sums are
+    * DECIMAL(38,0) so the headroom survives 100 TB row counts (a long
+    * overflows at ~7·10⁷ max-value charge rows under ANSI). */
+  private[graft] def centsCol(price: Column): Column =
+    round(price * 100).cast("long")
+
+  /** Exact 1e-4-unit revenue term: cents × (100 − discCents). */
+  private[graft] def revUnits(price: Column, discount: Column): Column =
+    centsCol(price) * (lit(100L) - centsCol(discount))
+
+  /** DECIMAL(38,0) sum of an exact integer term, for the renderers. */
+  private[graft] def unitSum(term: Column): Column =
+    sum(term.cast("decimal(38,0)"))
+
+  /** Half-up 2-dp render of a NAMED unit-sum column (div needs SQL text):
+    * one integer division + one exact double division — bit-identical
+    * cross-engine at any magnitude. Non-negative sums. `scale` is the
+    * units-per-cent factor: 1 for cents, 100 for 1e-4, 10000 for 1e-6. */
+  private[graft] def render2dp(u: String, scale: Long): Column =
+    (if (scale == 1L) col(u).cast("decimal(38,0)")
+     else expr(s"($u + ${scale / 2}) div $scale"))
+      .cast("double") / 100.0
+
   /** TPC-H Q1 pricing summary: the canonical groupBy-agg. Two-stage hash agg
     * (partial map-side combine → final after shuffle on the 6-value grouping
     * key) — at 100 TB the partial agg collapses each scan partition to ≤6
-    * rows, so the shuffle is trivially small regardless of input size. */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    * rows, so the shuffle is trivially small regardless of input size.
+    * Money sums are integer-exact (see [[centsCol]]); sum_qty stays a
+    * double sum because quantity is integer-valued, making that sum exact
+    * in fp anyway (≤ 2^53). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centsCol(col("l_extendedprice"))
+    val dc = centsCol(col("l_discount")); val tc = centsCol(col("l_tax"))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        unitSum(cents).as("u_base"),
+        unitSum(cents * (lit(100L) - dc)).as("u_disc"),
+        unitSum(cents * (lit(100L) - dc) * (lit(100L) + tc)).as("u_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
+      .select(col("returnflag"), col("linestatus"), col("sum_qty"),
+        render2dp("u_base", 1L).as("sum_base_price"),
+        render2dp("u_disc", 100L).as("sum_disc_price"),
+        render2dp("u_charge", 10000L).as("sum_charge"),
+        col("avg_qty"), col("avg_price"), col("avg_disc"), col("count_order"))
       .orderBy("returnflag", "linestatus")
+  }
 
   /** TPC-H Q3-style: 3-way join + agg + top-10 by revenue. customer filter
     * reduces the build side before the join; both joins shuffle on their key
@@ -48,7 +89,8 @@ object Aggregates {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey").as("orderkey"))
-      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
+      .agg(unitSum(revUnits(l("l_extendedprice"), l("l_discount"))).as("u"))
+      .select(col("orderkey"), render2dp("u", 100L).as("revenue"))
       .orderBy(col("revenue").desc, col("orderkey").asc)
       .limit(10)
   }
@@ -73,7 +115,8 @@ object Aggregates {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(n("n_name").as("nation"))
-      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
+      .agg(unitSum(revUnits(l("l_extendedprice"), l("l_discount"))).as("u"))
+      .select(col("nation"), render2dp("u", 100L).as("revenue"))
       .orderBy(col("revenue").desc, col("nation"))
   }
 
@@ -133,7 +176,8 @@ object Aggregates {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(c("c_custkey").as("custkey"), c("c_name").as("name"),
         n("n_name").as("nation"))
-      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
+      .agg(unitSum(revUnits(l("l_extendedprice"), l("l_discount"))).as("u"))
+      .select(col("custkey"), col("name"), col("nation"), render2dp("u", 100L).as("revenue"))
       .orderBy(col("revenue").desc, col("custkey").asc)
       .limit(20)
   }
@@ -166,8 +210,10 @@ object Aggregates {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(l("l_shipdate")).as("yr"))
-      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+      .agg(unitSum(revUnits(l("l_extendedprice"), l("l_discount"))).as("u"),
         count(lit(1)).as("n_items"))
+      .select(col("supp_nation"), col("cust_nation"), col("yr"),
+        render2dp("u", 100L).as("revenue"), col("n_items"))
       .orderBy("supp_nation", "cust_nation", "yr")
   }
 
@@ -273,8 +319,9 @@ object Aggregates {
       (p("p_brand") === "Brand#3" && p("p_size").between(1, 35) &&
         l("l_quantity").between(20, 30))))
       .agg(
-        round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+        unitSum(revUnits(l("l_extendedprice"), l("l_discount"))).as("u"),
         count(lit(1)).as("n_items"))
+      .select(render2dp("u", 100L).as("revenue"), col("n_items"))
   }
 
   /** Exact money arithmetic: DECIMAL(18,2) aggregation — no FP drift, so

@@ -23,15 +23,15 @@ object EventTime {
         col("event_type").as("etype"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum("value"), 2).as("sum_value"),
-        // avg = UNROUNDED quotient of the agreed 2dp sum: round(avg, 4)
-        // is flaky with thousands of groups — FP wobble aside, sum/count
-        // lands on exact decimal ties (…51125) where Java's HALF_UP
-        // string-based round and DuckDB's binary round disagree (observed
-        // 3/3600 groups at sf0.1). The quotient of the same double by the
-        // same integer is bit-identical in both engines; no second
-        // rounding step, nothing to disagree about.
-        (round(sum("value"), 2) / count(lit(1))).as("avg_value"))
+        // value is 2-decimal money: sum exact integer cents, render by one
+        // double division (the round(sum(double), 2) form is a per-group
+        // dice roll on parallel-summation order — the straddle class the
+        // sf1 replica replay exposed); avg = the same exact cents divided
+        // twice, both divisions bit-identical cross-engine
+        sum(round(col("value") * 100).cast("long")).as("uv"))
+      .select(col("hour_epoch"), col("etype"), col("n"),
+        (col("uv").cast("double") / 100.0).as("sum_value"),
+        (col("uv").cast("double") / 100.0 / col("n")).as("avg_value"))
       .orderBy("hour_epoch", "etype")
 
   /** Sliding windows via the native `window()` function: 1-hour window
@@ -61,10 +61,11 @@ object EventTime {
   def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("uv")) // exact cents
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), (col("uv").cast("double") / 100.0).as("sum_value"))
       .orderBy("user_id", "session_start")
 
   /** Hourly cohort retention: of the users active in hour H, how many
@@ -134,7 +135,9 @@ object EventTime {
         count(lit(1)).as("n_events"),
         unix_timestamp(min(col("ts"))).as("start_epoch"),
         unix_timestamp(max(col("ts"))).as("end_epoch"),
-        round(sum("value"), 2).as("sum_value"))
+        sum(round(col("value") * 100).cast("long")).as("uv")) // exact cents
+      .withColumn("sum_value", col("uv").cast("double") / 100.0)
+      .drop("uv")
       .orderBy("user_id", "session_id")
   }
 
@@ -168,9 +171,12 @@ object EventTime {
       .groupBy((floor(col("value") / 50.0) * 50).cast("long").as("bucket"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum("value"), 2).as("sum_value"),
+        sum(round(col("value") * 100).cast("long")).as("uv"), // exact cents
         round(min("value"), 2).as("min_value"),
         round(max("value"), 2).as("max_value"))
+      .select(col("bucket"), col("n"),
+        (col("uv").cast("double") / 100.0).as("sum_value"),
+        col("min_value"), col("max_value"))
       .orderBy("bucket")
 
   /** First-order Markov transition counts over each user's event
@@ -330,7 +336,10 @@ object EventTime {
           col("lt_type")).otherwise("none").as("channel"),
         col("value"))
       .groupBy(col("channel"))
-      .agg(count(lit(1)).as("conversions"), round(sum(col("value")), 2).as("revenue"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(round(col("value") * 100).cast("long")).as("uv")) // exact cents
+      .select(col("channel"), col("conversions"),
+        (col("uv").cast("double") / 100.0).as("revenue"))
       .orderBy("channel")
   }
 }

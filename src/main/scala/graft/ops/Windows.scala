@@ -83,7 +83,10 @@ object Windows {
         unix_timestamp(col("ts")).as("es"), col("value"))
       .select(col("user_id"), col("event_id"), col("es"),
         count(lit(1)).over(w).as("n_last_hour"),
-        round(sum("value").over(w), 2).as("value_last_hour"))
+        // exact cents over the range frame: the window sum accumulates
+        // integers, so the per-row render cannot straddle a cent
+        (sum(round(col("value") * 100).cast("long")).over(w)
+          .cast("double") / 100.0).as("value_last_hour"))
       .orderBy("user_id", "event_id")
   }
 
