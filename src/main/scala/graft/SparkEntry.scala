@@ -180,6 +180,10 @@ object SparkEntry {
     // test against the deterministic oracled emb_pq_codes
     "emb_pq_trained"    -> (Vectors.pqCodesTrained(_, _)),
     "pipeline_shard"    -> (Text.shardManifest(_, _)),
+    // --- round 8b: bloom-gated incremental dedup / domain cap / LTV ---
+    "dedup_bloom"       -> (Dedup.bloomDedup(_, _)),
+    "pipeline_domain_cap" -> (Text.domainCap(_, _)),
+    "ev_ltv_cohort"     -> (EventTime.ltvCohort(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1726,6 +1730,28 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
+
+    "pipeline_domain_cap" ->
+      s"""SELECT source, doc_id, n_chars,
+         |       row_number() OVER (PARTITION BY source
+         |         ORDER BY n_chars DESC, doc_id ASC) AS rnk
+         |FROM documents
+         |QUALIFY rnk <= ${graft.ops.Text.DomainCapK}
+         |ORDER BY source, rnk""".stripMargin,
+
+    "ev_ltv_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        |           FROM events),
+        |     cohorts AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, date_diff('day', cohort_day, d) AS age_days,
+        |       count(DISTINCT e.user_id) AS n_active, count(*) AS n_events,
+        |       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS DOUBLE) / 100.0 AS purchase_value
+        |FROM e JOIN cohorts ON e.user_id = cohorts.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5

@@ -810,4 +810,107 @@ object Dedup {
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---- bloom-gated incremental dedup ----------------------------------
+
+  /** Bloom parameters: m = 2^22 bits, k = 7 probes — sized so the SET-BIT
+    * table stays broadcastable (≤ 4M ints ≈ 32 MB) at ANY corpus size
+    * (distinct() caps it at m rows no matter how many documents feed it),
+    * while the false-positive rate stays < 1% up to ~400k ingested docs. */
+  val BloomBits: Long = 1L << 22
+  val BloomHashes: Int = 7
+
+  /** The k md5-derived bit positions of one fingerprint — position i is
+    * the verified cross-engine md5-top-32 word of `fp || ":" || i`,
+    * reduced mod [[BloomBits]]. Deterministic, so a second engine can
+    * rebuild the identical filter (unlike Spark's built-in
+    * BloomFilterAggregate, whose serialized bitset is impl-defined). */
+  private def bloomPositions(fp: Column): Column =
+    transform(sequence(lit(0), lit(BloomHashes - 1)),
+      i => pmod(conv(substring(md5(concat(fp, lit(":"), i.cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(BloomBits)))
+
+  /** Incremental (cross-snapshot) dedup with a Bloom prefilter — the
+    * continuous-ingestion shape of [[exactDedup]]: an already-ingested
+    * corpus snapshot (even doc_ids here) guards a new batch (odd doc_ids)
+    * so definite-new documents skip the exact comparison entirely.
+    *
+    * Scale design: the "bitset" is rendered relationally as the DISTINCT
+    * set-bit table of the snapshot — bounded at [[BloomBits]] rows by
+    * construction, hence ALWAYS broadcastable regardless of corpus size —
+    * and probing is a broadcast left join (the batch side never shuffles
+    * for the membership test; the 7-per-doc probe rows collapse map-side
+    * in the partial aggregate before the 1-row-per-doc final shuffle).
+    * The exact confirmation is an equi-join on 16-byte fingerprints —
+    * never text — and in a production deployment runs only on the
+    * `maybe_seen` survivors; here it runs on the full batch because the
+    * oracle audits the no-false-negative contract (`bloom_ok`) on every
+    * row. Emits one row per batch doc: the Bloom verdict, the exact
+    * verdict, and `bloom_ok = maybe_seen OR NOT is_dup` (a Bloom filter
+    * may false-positive, NEVER false-negative — any FALSE here is a
+    * broken filter and flips the oracle hash red). */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame =
+    // the fingerprint frame feeds FOUR subplans (probe build, bit build,
+    // both sides of the exact confirm) — materialize the normalize+md5
+    // corpus scan ONCE instead of replaying it per consumer (at 100 TB
+    // this is the difference between one corpus pass and four)
+    bloomDedupFromFps(PlanMemo.getOrBuild(spark, dir, "bloom_fps") {
+      Tables.documents(spark, dir).select(col("doc_id"), normalizedFp)
+    })
+
+  private def normalizedFp: Column =
+    md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp")
+
+  /** Testable core of [[bloomDedup]]: input needs (doc_id, text). */
+  private[graft] def bloomDedupFromDocs(docs: DataFrame): DataFrame =
+    bloomDedupFromFps(docs.select(col("doc_id"), normalizedFp))
+
+  private def bloomDedupFromFps(fps: DataFrame): DataFrame = {
+    val snapshot = fps.filter(col("doc_id") % 2 === 0)
+    val batch    = fps.filter(col("doc_id") % 2 === 1)
+    val bits = snapshot
+      .select(explode(bloomPositions(col("fp"))).as("bit"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val verdict = batch
+      .select(col("doc_id"), explode(bloomPositions(col("fp"))).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")) === BloomHashes).as("maybe_seen"))
+    val exact = batch
+      .join(snapshot.select(col("fp")).distinct().withColumn("dup", lit(1)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), col("dup").isNotNull.as("is_dup"))
+    verdict.join(exact, Seq("doc_id"))
+      .select(col("doc_id"), col("maybe_seen"), col("is_dup"),
+        (col("maybe_seen") || !col("is_dup")).as("bloom_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bloomDedup]] — the filter rebuilt bit-for-bit
+    * via the md5_number_upper byte-swap idiom, so Bloom verdicts (not
+    * just the exact ones) hash-compare across engines. */
+  def bloomOracle: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |snapshot AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
+       |batch    AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+       |ks AS (SELECT unnest(range(0, ${BloomHashes})) AS i),
+       |bits AS (SELECT DISTINCT
+       |    (((x & 255) << 24) | (((x >> 8) & 255) << 16) | (((x >> 16) & 255) << 8) | ((x >> 24) & 255)) % ${BloomBits} AS bit
+       |  FROM (SELECT CAST(md5_number_upper(fp || ':' || CAST(i AS VARCHAR)) & 4294967295 AS BIGINT) AS x
+       |        FROM snapshot, ks)),
+       |probes AS (SELECT doc_id,
+       |    (((x & 255) << 24) | (((x >> 8) & 255) << 16) | (((x >> 16) & 255) << 8) | ((x >> 24) & 255)) % ${BloomBits} AS bit
+       |  FROM (SELECT doc_id, CAST(md5_number_upper(fp || ':' || CAST(i AS VARCHAR)) & 4294967295 AS BIGINT) AS x
+       |        FROM batch, ks)),
+       |verdict AS (SELECT doc_id, count(b.bit) = ${BloomHashes} AS maybe_seen
+       |  FROM probes p LEFT JOIN bits b ON p.bit = b.bit GROUP BY 1),
+       |exact AS (SELECT doc_id, s.fp IS NOT NULL AS is_dup
+       |  FROM batch LEFT JOIN (SELECT DISTINCT fp FROM snapshot) s ON batch.fp = s.fp)
+       |SELECT doc_id, maybe_seen, is_dup,
+       |       (maybe_seen OR NOT is_dup) AS bloom_ok
+       |FROM verdict JOIN exact USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

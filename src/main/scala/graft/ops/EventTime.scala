@@ -93,6 +93,34 @@ object EventTime {
       .orderBy("hour_epoch")
   }
 
+  /** Cohort lifetime-value matrix — the (acquisition day × account age)
+    * triangle every growth dashboard draws: users are cohorted by their
+    * first-ever event day, and each later activity day contributes to the
+    * cohort's row at `age_days = day − cohort_day`. Value sums are exact
+    * integer cents rendered by ONE double division (the repo's money
+    * discipline — parallel double summation is order-dependent; cents are
+    * not). Scale shape: the first-day aggregate and the join both key on
+    * user_id, so the two shuffles co-partition and the join is co-located;
+    * the output is bounded at |days|² rows regardless of event volume. */
+  def ltvCohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_type"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("age_days"))
+      .agg(
+        countDistinct(col("user_id")).as("n_active"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("uc"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("pc"))
+      .select(col("cohort_day"), col("age_days"), col("n_active"), col("n_events"),
+        (col("uc").cast("double") / 100.0).as("total_value"),
+        (col("pc").cast("double") / 100.0).as("purchase_value"))
+      .orderBy("cohort_day", "age_days")
+  }
+
   /** Ordered funnel: users who did view → click → purchase IN ORDER
     * (each stage's first occurrence at-or-after the previous stage's).
     * Three aggregations all keyed on user_id — the shuffles co-partition,

@@ -173,6 +173,26 @@ object Text {
       .orderBy("lang", "rk")
   }
 
+  /** Per-domain cap — the web-corpus guard against a single domain
+    * dominating the training mixture: within each source, keep only the
+    * top-[[DomainCapK]] documents by (length desc, doc_id) and emit their
+    * per-source rank. Kept deliberately a PURE rank-filter (no second
+    * unbounded window in the same pass) so Catalyst plans it as
+    * WindowGroupLimit: every map task keeps a k-heap per source and
+    * discards the long tail BEFORE the shuffle — at 100 TB the exchange
+    * carries ~|domains|·k rows, not the corpus. Pinned by PlanShapeSpec. */
+  val DomainCapK = 10
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= DomainCapK)
+      .orderBy("source", "rnk")
+  }
+
   /** Breadth check over the scalar string-function surface (the reference
     * has zero string functions, SURVEY.md §2.4): case mapping, slicing,
     * concat, regexp extraction, padding, reversal — all codegen'd. */

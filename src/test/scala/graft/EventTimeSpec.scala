@@ -115,6 +115,28 @@ class EventTimeSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("z_score") - z) < 5e-4))
   }
 
+  test("ltv cohort: triangle well-formed, day-0 present, totals conserve in cents") {
+    val rows = EventTime.ltvCohort(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("age_days") >= 0)
+      assert(r.getAs[Long]("n_active") >= 1L)
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_active"))
+      assert(r.getAs[Double]("purchase_value") <= r.getAs[Double]("total_value") + 1e-9)
+    }
+    // every cohort has its own day-0 row (first event IS activity at age 0)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.foreach { case (c, g) =>
+      assert(g.exists(_.getAs[Int]("age_days") == 0), s"cohort $c missing day 0")
+    }
+    // conservation: matrix cents == corpus cents; events count too
+    val totalCents = rows.map(r => math.round(r.getAs[Double]("total_value") * 100)).sum
+    val expCents = Tables.events(spark, sfDir)
+      .agg(sum(round(col("value") * 100).cast("long"))).collect()(0).getLong(0)
+    assert(totalCents == expCents)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sfDir).count())
+  }
+
   test("scd2: repeated same-date priority still yields a deterministic total order") {
     import spark.implicits._
     val d0 = java.sql.Date.valueOf("2026-01-05")

@@ -275,6 +275,53 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("bloom dedup: exact verdicts right, no false negatives, planted dup caught") {
+    import spark.implicits._
+    // doc 1 (batch) duplicates doc 2 (snapshot) after normalization;
+    // docs 3/5 are batch-only novel texts; doc 7 duplicates ANOTHER BATCH
+    // doc's text only (9) — cross-batch dups are NOT snapshot dups
+    val docs = Seq(
+      (1L, "  The Quick\nBrown   Fox "), (2L, "the quick brown fox"),
+      (3L, "completely novel text one"), (4L, "snapshot only text"),
+      (5L, "another novel batch doc"), (7L, "batch twin"), (9L, "batch twin"),
+      (6L, "more snapshot material")).toDF("doc_id", "text")
+    val out = Dedup.bloomDedupFromDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("maybe_seen"), r.getAs[Boolean]("is_dup"),
+          r.getAs[Boolean]("bloom_ok")))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L, 7L, 9L)) // batch = odd ids only
+    assert(out(1L)._2, "planted snapshot dup must be exact-confirmed")
+    assert(out(1L)._1, "a true dup must ALWAYS pass the bloom (no false negatives)")
+    assert(!out(3L)._2 && !out(5L)._2 && !out(7L)._2 && !out(9L)._2)
+    out.values.foreach { case (_, _, ok) => assert(ok, "bloom_ok must hold on every row") }
+  }
+
+  test("bloom dedup on driver data: bloom_ok everywhere, maybe_seen superset of dups") {
+    val rows = Dedup.bloomDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("bloom_ok"))
+      if (r.getAs[Boolean]("is_dup")) assert(r.getAs[Boolean]("maybe_seen"))
+    }
+  }
+
+  test("domain cap: <= K per source, ranks contiguous from 1, lengths non-increasing") {
+    val rows = Text.domainCap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, g) =>
+      val rks = g.map(_.getAs[Int]("rnk")).sorted
+      assert(rks.length <= Text.DomainCapK)
+      assert(rks.toSeq == (1 to rks.length))
+      val lens = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("n_chars"))
+      assert(lens.zip(lens.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("domain cap plans as WindowGroupLimit (map-side per-source top-k)") {
+    val plan = Text.domainCap(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("chunk dedup: a document overflowing the 2^20 idx packing fails loudly") {
     import spark.implicits._
     // n_chars drives the tile count; 300M chars => 1.5M tiles > 2^20
