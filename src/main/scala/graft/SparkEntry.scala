@@ -184,6 +184,7 @@ object SparkEntry {
     "dedup_bloom"       -> (Dedup.bloomDedup(_, _)),
     "pipeline_domain_cap" -> (Text.domainCap(_, _)),
     "ev_ltv_cohort"     -> (EventTime.ltvCohort(_, _)),
+    "pipeline_split"    -> (Dedup.leakSafeSplit(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1732,6 +1733,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
+
+    "pipeline_split" -> graft.ops.Dedup.splitOracle,
 
     "pipeline_domain_cap" ->
       s"""SELECT source, doc_id, n_chars,

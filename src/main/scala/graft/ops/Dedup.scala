@@ -854,9 +854,16 @@ object Dedup {
     // both sides of the exact confirm) — materialize the normalize+md5
     // corpus scan ONCE instead of replaying it per consumer (at 100 TB
     // this is the difference between one corpus pass and four)
-    bloomDedupFromFps(PlanMemo.getOrBuild(spark, dir, "bloom_fps") {
-      Tables.documents(spark, dir).select(col("doc_id"), normalizedFp)
-    })
+    bloomDedupFromFps(docFps(spark, dir))
+
+  /** The memoized (doc_id, fp, n_chars) fingerprint frame — ONE
+    * normalize+md5 corpus pass shared by every fingerprint consumer in
+    * the session ([[bloomDedup]]'s four subplans, [[leakSafeSplit]]). */
+  private def docFps(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.getOrBuild(spark, dir, "doc_fps") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), normalizedFp, col("n_chars"))
+    }
 
   private def normalizedFp: Column =
     md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp")
@@ -913,4 +920,68 @@ object Dedup {
        |       (maybe_seen OR NOT is_dup) AS bloom_ok
        |FROM verdict JOIN exact USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- leakage-safe train/val/test split ------------------------------
+
+  /** Leakage-safe corpus split — train/val/test assignment keyed on the
+    * CONTENT fingerprint, not the row id: two byte-identical documents
+    * hash to the same bucket by construction, so an exact duplicate can
+    * never straddle train and test (the eval-contamination failure mode
+    * an id-keyed split invites; cf. [[graft.ops.Text.contaminationCheck]]
+    * for the n-gram variant of the same concern). 80/10/10 by the top-32
+    * md5 word mod 100 — deterministic, reproducible across runs and
+    * engines, and pure map-side until the 3-row rollup.
+    *
+    * Emits one row per split with doc/char/distinct-fp counts plus
+    * `max_splits_per_fp` — a corpus-wide audit (computed, not assumed:
+    * a groupBy-fp distinct-split aggregate) that MUST be 1; a 2 means
+    * some fingerprint crossed splits and flips every row's hash red.
+    * The audit re-attach is a single-row broadcast crossJoin (documented
+    * in the no-NLJ whitelist). */
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakSafeSplitFromFps(docFps(spark, dir))
+
+  /** Testable core of [[leakSafeSplit]]: input needs (doc_id, text, n_chars). */
+  private[graft] def leakSafeSplitFromDocs(docs: DataFrame): DataFrame =
+    leakSafeSplitFromFps(docs.select(col("doc_id"), normalizedFp, col("n_chars")))
+
+  private def leakSafeSplitFromFps(fps: DataFrame): DataFrame = {
+    val assigned = fps.withColumn("split",
+      when(bucketCol < 80, "train").when(bucketCol < 90, "val").otherwise("test"))
+    val audit = assigned.groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns")).as("max_splits_per_fp"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fps"),
+        sum(col("n_chars")).as("n_chars"))
+      .crossJoin(broadcast(audit))
+      .orderBy("split")
+  }
+
+  /** Split bucket in [0, 100): the fingerprint's top-32 word mod 100. */
+  private def bucketCol: Column =
+    pmod(conv(substring(col("fp"), 1, 8), 16, 10).cast("long"), lit(100L))
+
+  /** DuckDB oracle for [[leakSafeSplit]] — same md5-word bucketing via
+    * the byte-swap idiom, same computed audit. */
+  def splitOracle: String =
+    """WITH norm AS (
+      |  SELECT doc_id, n_chars,
+      |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |  FROM documents),
+      |assigned AS (SELECT doc_id, n_chars, fp,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, n_chars, fp,
+      |          (((x & 255) << 24) | (((x >> 8) & 255) << 16) | (((x >> 16) & 255) << 8) | ((x >> 24) & 255)) % 100 AS b
+      |        FROM (SELECT doc_id, n_chars, md5(nt) AS fp,
+      |                CAST(md5_number_upper(nt) & 4294967295 AS BIGINT) AS x
+      |              FROM norm))),
+      |audit AS (SELECT max(ns) AS max_splits_per_fp FROM (
+      |    SELECT fp, count(DISTINCT split) AS ns FROM assigned GROUP BY 1))
+      |SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_fps,
+      |       sum(n_chars) AS n_chars, max_splits_per_fp
+      |FROM assigned, audit
+      |GROUP BY split, max_splits_per_fp
+      |ORDER BY split""".stripMargin
 }

@@ -182,7 +182,8 @@ class PlanShapeSpec extends SparkSpec {
       "pipeline_mixture",  // single-row broadcast grand-total crossJoin
       "pipeline_temp_resample", // two single-row broadcast scalar crossJoins
       "text_tfidf",        // single-row broadcast corpus-size crossJoin
-      "text_collocations") // two single-row broadcast total crossJoins
+      "text_collocations", // two single-row broadcast total crossJoins
+      "pipeline_split")    // single-row broadcast leakage-audit crossJoin
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       if (!documented(name) &&

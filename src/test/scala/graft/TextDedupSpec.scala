@@ -305,6 +305,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("leak-safe split: partitions corpus, duplicates co-locate, audit = 1") {
+    import spark.implicits._
+    val rows = Dedup.leakSafeSplit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.forall(_.getAs[Long]("max_splits_per_fp") == 1L))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // content-keyed: byte-identical docs land in the SAME split even with
+    // different ids — the eval-leakage guarantee the op exists for
+    val docs = (1L to 40L).map(i => (i, s"doc body number ${i % 10}", 20L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.leakSafeSplitFromDocs(docs).collect()
+    assert(out.forall(_.getAs[Long]("max_splits_per_fp") == 1L))
+    assert(out.map(_.getAs[Long]("n_fps")).sum == 10L) // 10 distinct bodies
+  }
+
   test("domain cap: <= K per source, ranks contiguous from 1, lengths non-increasing") {
     val rows = Text.domainCap(spark, sfDir).collect()
     assert(rows.nonEmpty)
