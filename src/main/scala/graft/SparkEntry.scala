@@ -185,6 +185,7 @@ object SparkEntry {
     "pipeline_domain_cap" -> (Text.domainCap(_, _)),
     "ev_ltv_cohort"     -> (EventTime.ltvCohort(_, _)),
     "pipeline_split"    -> (Dedup.leakSafeSplit(_, _)),
+    "agg_topk_sketch"   -> (Aggregates.topkSketch(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1735,6 +1736,18 @@ object SparkEntry {
     "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
 
     "pipeline_split" -> graft.ops.Dedup.splitOracle,
+
+    // exact top-25 companion; the sketch contributes only the in-plan
+    // guarantee booleans (MG estimates are merge-order-dependent, the
+    // bounds are not), so the oracle expects TRUE on every row
+    "agg_topk_sketch" ->
+      """SELECT token, n, TRUE AS in_sketch, TRUE AS est_ok FROM (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) t
+        |  WHERE token <> ''
+        |  GROUP BY token ORDER BY n DESC, token ASC LIMIT 25) s
+        |ORDER BY n DESC, token ASC""".stripMargin,
 
     "pipeline_domain_cap" ->
       s"""SELECT source, doc_id, n_chars,

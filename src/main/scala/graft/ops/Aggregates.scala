@@ -1,7 +1,9 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Standard OLAP operators — absent from the reference (its capability-
@@ -633,5 +635,84 @@ object Aggregates {
     val r = Tables.region(spark, dir).select(col("r_name").as("region"))
     val n = Tables.nation(spark, dir).select(col("n_name").as("nation"))
     r.crossJoin(n).orderBy("region", "nation")
+  }
+
+  // ---- Misra-Gries heavy hitters --------------------------------------
+
+  /** Misra-Gries summary buffer: item → decremented count. Immutable map
+    * in a product wrapper so [[Encoders.product]] serializes the partial
+    * state for the map-side/final aggregation split. */
+  case class MgAcc(m: Map[String, Long])
+
+  /** Misra-Gries frequent-items sketch as a typed [[Aggregator]] — the
+    * third classic mergeable sketch next to HLL ([[approxDistinct]]) and
+    * GK quantiles ([[percentilesApprox]]). Spark plans it with map-side
+    * partial aggregation: each input partition reduces to a ≤[[MgCapacity]]-
+    * entry summary and the shuffle carries one bounded buffer per
+    * partition — versus the exact top-k path, which must shuffle the FULL
+    * (token, count) vocabulary. Guarantee: for every item,
+    * true_count − N/C ≤ estimate ≤ true_count, so any item with
+    * frequency > N/C is guaranteed present.
+    *
+    * Merged-summary combine (sum counts, then subtract the (C+1)-th
+    * largest and drop non-positives) preserves the error bound
+    * (Agarwal et al., "Mergeable Summaries", PODS'12). */
+  case class MisraGries(C: Int) extends Aggregator[String, MgAcc, Map[String, Long]] {
+    def zero: MgAcc = MgAcc(Map.empty)
+    def reduce(b: MgAcc, tok: String): MgAcc = {
+      val m = b.m
+      m.get(tok) match {
+        case Some(c) => MgAcc(m.updated(tok, c + 1L))
+        case None if m.size < C => MgAcc(m.updated(tok, 1L))
+        case None =>
+          // decrement-all: the classic counter give-back step
+          MgAcc(m.flatMap { case (k, c) => if (c > 1L) Some(k -> (c - 1L)) else None })
+      }
+    }
+    def merge(x: MgAcc, y: MgAcc): MgAcc = {
+      val combined = y.m.foldLeft(x.m) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (combined.size <= C) MgAcc(combined)
+      else {
+        // subtract the (C+1)-th largest count; strictly-greater survivors
+        // number at most C
+        val d = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(C)
+        MgAcc(combined.flatMap { case (k, c) => if (c > d) Some(k -> (c - d)) else None })
+      }
+    }
+    def finish(r: MgAcc): Map[String, Long] = r.m
+    def bufferEncoder: Encoder[MgAcc] = Encoders.product[MgAcc]
+    def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+  }
+
+  val MgCapacity = 200
+
+  /** Heavy-hitter readout over the token stream: exact top-25 tokens
+    * (the DuckDB-hashable companion) each checked against the [[MisraGries]]
+    * sketch IN-PLAN — `in_sketch` (guaranteed for any token with
+    * n > N/C) and `est_ok` (the MG error bound n − N/C ≤ est ≤ n) must
+    * both be TRUE on every row, so a drifting sketch flips the oracle
+    * red. The estimates themselves are NOT emitted: partial-merge order
+    * varies run to run, and MG estimates (unlike the bound booleans) are
+    * order-dependent. Single-row sketch re-attach is a broadcast
+    * crossJoin (whitelisted). */
+  def topkSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.ops.Text.tokensCol(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = toks.as[String]
+      .select(MisraGries(MgCapacity).toColumn, count(lit(1)).as[Long])
+      .toDF("sketch", "n_total")
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(25)
+    exact.crossJoin(broadcast(sketch))
+      .select(col("token"), col("n"),
+        element_at(col("sketch"), col("token")).isNotNull.as("in_sketch"),
+        (coalesce(element_at(col("sketch"), col("token")), lit(0L))
+          .between(col("n") - floor(col("n_total") / MgCapacity).cast("long"), col("n")))
+          .as("est_ok"))
+      .orderBy(col("n").desc, col("token").asc)
   }
 }

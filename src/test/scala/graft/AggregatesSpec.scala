@@ -127,4 +127,36 @@ class AggregatesSpec extends SparkSpec {
       assert(r.getAs[Boolean]("est_ok"), s"${r.getAs[String]("status")}: sketch drifted >10%")
     }
   }
+
+  test("misra-gries: error bound holds under eviction at tiny capacity") {
+    import spark.implicits._
+    // 60×"a", 30×"b", 6 singletons; C=3 forces decrements. N=96, N/C=32:
+    // every item with true count > 32 (i.e. "a") MUST survive with
+    // estimate in [count−32, count].
+    val items = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++
+      Seq("c", "d", "e", "f", "g", "h")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size
+    // 4 partitions exercises partial buffers + merged-summary combine
+    val sketch: Map[String, Long] = items.toDS.repartition(4)
+      .select(Aggregates.MisraGries(3).toColumn.name("m"))
+      .collect()(0)
+    assert(sketch.size <= 3)
+    assert(sketch.contains("a"), s"heavy hitter evicted: $sketch")
+    sketch.foreach { case (k, est) =>
+      val t = truth(k)
+      assert(est <= t && est >= t - n / 3, s"$k: est $est vs true $t")
+    }
+  }
+
+  test("topk sketch: exact top-25 with both guarantee booleans green") {
+    val rows = Aggregates.topkSketch(spark, sfDir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_sketch"), r.toString)
+      assert(r.getAs[Boolean]("est_ok"), r.toString)
+    }
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
 }
