@@ -186,6 +186,7 @@ object SparkEntry {
     "ev_ltv_cohort"     -> (EventTime.ltvCohort(_, _)),
     "pipeline_split"    -> (Dedup.leakSafeSplit(_, _)),
     "agg_topk_sketch"   -> (Aggregates.topkSketch(_, _)),
+    "pipeline_compaction_plan" -> (Text.compactionPlan(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1982,6 +1983,28 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM sh GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    "pipeline_compaction_plan" ->
+      s"""WITH sh AS (SELECT doc_id, n_chars,
+         |    (((x & 255) << 24) | (((x >> 8) & 255) << 16) |
+         |     (((x >> 16) & 255) << 8) | ((x >> 24) & 255)) % 64 AS shard_id
+         |  FROM (SELECT doc_id, n_chars,
+         |          CAST(md5_number_upper(text) & 4294967295 AS BIGINT) AS x
+         |        FROM documents)),
+         |m AS (SELECT shard_id, count(*) AS n_docs,
+         |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |      FROM sh GROUP BY 1),
+         |placed AS (SELECT *,
+         |    CAST(floor(coalesce(sum(total_chars) OVER (ORDER BY shard_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / ${graft.ops.Text.CompactionTargetChars}) AS BIGINT) AS file_id
+         |  FROM m)
+         |SELECT file_id, count(*) AS n_shards,
+         |       min(shard_id) AS first_shard, max(shard_id) AS last_shard,
+         |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(total_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(total_chars) AS DOUBLE) / ${graft.ops.Text.CompactionTargetChars}.0 AS fill_ratio
+         |FROM placed GROUP BY 1 ORDER BY file_id""".stripMargin,
 
     // CASTs pin DuckDB's HUGEINT sums; share = cell tokens / corpus tokens
     "pipeline_mixture" ->

@@ -249,6 +249,37 @@ object Text {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy("shard_id")
 
+  /** Compaction planner over the [[shardManifest]] — the write stage's
+    * small-file remedy: consecutive shards are packed into output files
+    * of ~[[CompactionTargetChars]] chars by running-total bucketing
+    * (`file_id = floor(chars_before / target)`), so each file holds a
+    * contiguous, deterministic shard range and overshoots the target by
+    * at most one shard. The plan is the manifest's bounded aggregate plus
+    * ONE single-partition window over ≤64 rows (pre-bounded input — the
+    * same plan class as the pinned top-k windows) and a ≤64-row rollup:
+    * corpus size never touches the window. Fill ratios are exact-int/int
+    * double quotients (cross-engine bit-identical, the repo's ratio
+    * discipline). */
+  val CompactionTargetChars = 16384L
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardManifest(spark, dir)
+      .withColumn("chars_before", coalesce(sum(col("total_chars")).over(before), lit(0L)))
+      .withColumn("file_id", floor(col("chars_before") / CompactionTargetChars))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        min(col("shard_id")).as("first_shard"),
+        max(col("shard_id")).as("last_shard"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("n_chars"))
+      .withColumn("fill_ratio",
+        col("n_chars").cast("double") / CompactionTargetChars.toDouble)
+      .orderBy("file_id")
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composition a pre-training
     * data pipeline actually runs, expressed as ONE declarative plan so
     * Catalyst fuses the stages: length filter → exact dedup (keep the

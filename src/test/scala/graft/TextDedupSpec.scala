@@ -338,6 +338,29 @@ class TextDedupSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("compaction plan: contiguous shard ranges, totals conserve, bounded overshoot") {
+    val shards = Text.shardManifest(spark, sfDir).collect()
+    val files = Text.compactionPlan(spark, sfDir).collect()
+    assert(files.nonEmpty)
+    assert(files.map(_.getAs[Long]("n_shards")).sum == shards.length)
+    assert(files.map(_.getAs[Long]("n_chars")).sum ==
+      shards.map(_.getAs[Long]("total_chars")).sum)
+    // files cover disjoint contiguous shard ranges in order
+    val ordered = files.sortBy(_.getAs[Long]("file_id"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_shard") < b.getAs[Long]("first_shard"))
+      case _ =>
+    }
+    // each non-final file runs up to (or past) its bucket boundary: its
+    // cumulative end is what pushed the next shard into a later file
+    val cums = ordered.scanLeft(0L)((acc, r) => acc + r.getAs[Long]("n_chars")).tail
+    ordered.init.zip(cums.init).foreach { case (r, cumEnd) =>
+      assert(cumEnd >= (r.getAs[Long]("file_id") + 1) * Text.CompactionTargetChars,
+        r.toString)
+    }
+  }
+
   test("chunk dedup: a document overflowing the 2^20 idx packing fails loudly") {
     import spark.implicits._
     // n_chars drives the tile count; 300M chars => 1.5M tiles > 2^20
