@@ -187,6 +187,8 @@ object SparkEntry {
     "pipeline_split"    -> (Dedup.leakSafeSplit(_, _)),
     "agg_topk_sketch"   -> (Aggregates.topkSketch(_, _)),
     "pipeline_compaction_plan" -> (Text.compactionPlan(_, _)),
+    "ev_forecast_baseline" -> (EventTime.forecastBaseline(_, _)),
+    "dq_freshness"      -> (Quality.freshness(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1737,6 +1739,23 @@ object SparkEntry {
     "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
 
     "pipeline_split" -> graft.ops.Dedup.splitOracle,
+
+    "ev_forecast_baseline" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1)
+        |SELECT a.day AS day, a.n AS n_actual, b.n AS n_forecast,
+        |       abs(a.n - b.n) AS abs_err
+        |FROM daily a JOIN daily b ON a.day = b.day + 7
+        |ORDER BY day""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH agg AS (SELECT event_type, count(*) AS n,
+        |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen_es
+        |     FROM events GROUP BY 1)
+        |SELECT event_type, n, last_seen_es,
+        |       max(last_seen_es) OVER () - last_seen_es AS lag_s,
+        |       (max(last_seen_es) OVER () - last_seen_es) <= 86400 AS fresh_24h
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     // exact top-25 companion; the sketch contributes only the in-plan
     // guarantee booleans (MG estimates are merge-order-dependent, the

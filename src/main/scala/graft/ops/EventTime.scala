@@ -121,6 +121,26 @@ object EventTime {
       .orderBy("cohort_day", "age_days")
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting pipeline must beat: predict each day's event count with
+    * the count from 7 days earlier, and score the prediction. Shape: one
+    * date-grain aggregate (≤ |days| rows at any event volume), then a
+    * tiny self-join on the shifted date — both sides are the same bounded
+    * frame, so the join broadcasts. All-integer counts and errors →
+    * bit-exact oracle. */
+  def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.as("a")
+      .join(daily.as("b"), col("a.day") === date_add(col("b.day"), 7))
+      .select(col("a.day").as("day"),
+        col("a.n").as("n_actual"),
+        col("b.n").as("n_forecast"),
+        abs(col("a.n") - col("b.n")).as("abs_err"))
+      .orderBy("day")
+  }
+
   /** Ordered funnel: users who did view → click → purchase IN ORDER
     * (each stage's first occurrence at-or-after the previous stage's).
     * Three aggregations all keyed on user_id — the shuffles co-partition,

@@ -120,4 +120,26 @@ object Quality {
         max(col("okey")).as("max_key"))
       .orderBy("change")
   }
+
+  /** Per-stream freshness audit — the "is this source still feeding us"
+    * check every ingestion dashboard runs: each event type's last-seen
+    * timestamp against the corpus watermark, with an SLA flag. One
+    * bounded aggregate (≤ |event types| rows out at any volume); the
+    * corpus watermark attaches via an unpartitioned window over that
+    * already-bounded frame — no second scan, no crossJoin. All-integer
+    * epoch arithmetic → bit-exact oracle. */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(unix_timestamp(col("ts"))).as("last_seen_es"))
+      .withColumn("watermark_es",
+        max(col("last_seen_es")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("n"), col("last_seen_es"),
+        (col("watermark_es") - col("last_seen_es")).as("lag_s"),
+        (col("watermark_es") - col("last_seen_es") <= 86400L).as("fresh_24h"))
+      .orderBy("event_type")
+  }
 }

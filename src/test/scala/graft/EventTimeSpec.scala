@@ -137,6 +137,33 @@ class EventTimeSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sfDir).count())
   }
 
+  test("forecast baseline: only days with a 7-day-ago peer, errors consistent") {
+    val rows = EventTime.forecastBaseline(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toLocalDate ->
+        r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      assert(daily.contains(d.minusDays(7)), s"$d has no 7-day-ago peer")
+      assert(r.getAs[Long]("n_actual") == daily(d))
+      assert(r.getAs[Long]("n_forecast") == daily(d.minusDays(7)))
+      assert(r.getAs[Long]("abs_err") ==
+        math.abs(daily(d) - daily(d.minusDays(7))))
+    }
+  }
+
+  test("freshness: watermark is the max last-seen, lags non-negative, one row fresh") {
+    val rows = Quality.freshness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("lag_s") == 0L)) // the watermark stream itself
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lag_s") >= 0L)
+      assert(r.getAs[Boolean]("fresh_24h") == (r.getAs[Long]("lag_s") <= 86400L))
+    }
+  }
+
   test("scd2: repeated same-date priority still yields a deterministic total order") {
     import spark.implicits._
     val d0 = java.sql.Date.valueOf("2026-01-05")
