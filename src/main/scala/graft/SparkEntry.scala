@@ -189,6 +189,7 @@ object SparkEntry {
     "pipeline_compaction_plan" -> (Text.compactionPlan(_, _)),
     "ev_forecast_baseline" -> (EventTime.forecastBaseline(_, _)),
     "dq_freshness"      -> (Quality.freshness(_, _)),
+    "ev_user_paths"     -> (EventTime.userPaths(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1739,6 +1740,22 @@ object SparkEntry {
     "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
 
     "pipeline_split" -> graft.ops.Dedup.splitOracle,
+
+    "ev_user_paths" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |pivoted AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |         max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |         max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM ranked WHERE rn <= 3 GROUP BY 1)
+        |SELECT concat_ws(' > ', e1, e2, e3) AS path, count(*) AS n_users
+        |FROM pivoted GROUP BY 1
+        |ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
 
     "ev_forecast_baseline" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n

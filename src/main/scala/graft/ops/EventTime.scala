@@ -121,6 +121,34 @@ object EventTime {
       .orderBy("cohort_day", "age_days")
   }
 
+  /** Top user journeys — the "what do users do first" path report: each
+    * user's first three event types (deterministic (ts, event_id) order)
+    * concatenated into a path string, counted across users, top-20 paths.
+    * Shape: ONE shuffle on user_id for the rank window (WindowGroupLimit
+    * keeps only 3 events per user map-side), a conditional-aggregate
+    * pivot to (e1, e2, e3) — no collect_list, whose order is
+    * partition-dependent — and a bounded path count (≤ |types|³ groups).
+    * Users with fewer than 3 events keep a truncated path (concat_ws
+    * skips NULLs), matching the oracle's coalesce-free concat. */
+  def userPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .groupBy(concat_ws(" > ", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(20)
+      .orderBy(col("n_users").desc, col("path").asc)
+  }
+
   /** Seasonal-naive forecast backtest — the baseline every real
     * forecasting pipeline must beat: predict each day's event count with
     * the count from 7 days earlier, and score the prediction. Shape: one

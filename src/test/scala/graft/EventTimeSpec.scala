@@ -137,6 +137,22 @@ class EventTimeSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sfDir).count())
   }
 
+  test("user paths: valid stage alphabet, user totals conserved across full path set") {
+    val types = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    val rows = EventTime.userPaths(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val stages = r.getAs[String]("path").split(" > ")
+      assert(stages.nonEmpty && stages.length <= 3)
+      stages.foreach(s => assert(types.contains(s), s"unknown stage $s"))
+      assert(r.getAs[Long]("n_users") >= 1L)
+    }
+    // counts are descending (the report contract)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("forecast baseline: only days with a 7-day-ago peer, errors consistent") {
     val rows = EventTime.forecastBaseline(spark, sfDir).collect()
     assert(rows.nonEmpty)
