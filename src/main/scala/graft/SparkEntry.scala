@@ -190,6 +190,7 @@ object SparkEntry {
     "ev_forecast_baseline" -> (EventTime.forecastBaseline(_, _)),
     "dq_freshness"      -> (Quality.freshness(_, _)),
     "ev_user_paths"     -> (EventTime.userPaths(_, _)),
+    "graph_degree_dist" -> (Graph.degreeDistribution(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1740,6 +1741,20 @@ object SparkEntry {
     "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
 
     "pipeline_split" -> graft.ops.Dedup.splitOracle,
+
+    // exact-integer log2 buckets via binary-string length (see the
+    // Scaladoc on Graph.degreeDistribution for why not FP log2)
+    "graph_degree_dist" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+        |  WHERE l1.l_quantity >= 25 AND l2.l_quantity >= 25),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+        |SELECT length(format('{:b}', deg)) - 1 AS bucket,
+        |       count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg,
+        |       CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "ev_user_paths" ->
       """WITH ranked AS (

@@ -176,6 +176,26 @@ object Graph {
   /** Driver query: top 25 parts by co-purchase PageRank. Ordered by the
     * ROUNDED rank (ties broken by part id) so the top-k cut line never
     * depends on a last-ulp summation difference between engines. */
+  /** Degree distribution of the co-purchase graph in log2 buckets — the
+    * first thing anyone profiles before picking caps (the 256-degree
+    * wedge cap of [[neighborJaccard]] was sized from exactly this view).
+    * Consumes the SHARED memoized adjacency (degree = its set size — no
+    * edge re-scan), so the marginal cost is one ≤|V|-row aggregate.
+    * Buckets come from the binary-string length of the degree —
+    * floor(log2(d)) computed in EXACT integer space, because FP log2 of
+    * a power of two can land an ulp below the integer and flip the
+    * bucket differently per engine. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame =
+    adjacency(spark, dir)
+      .select(size(col("ids")).cast("long").as("deg"))
+      .withColumn("bucket", (length(conv(col("deg"), 10, 2)) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("sum_deg"))
+      .orderBy("bucket")
+
   def pagerankTop(spark: SparkSession, dir: String): DataFrame =
     pageRankAdj(adjacency(spark, dir))
       .select(col("node").as("part_id"), round(col("rank"), 4).as("rank"))

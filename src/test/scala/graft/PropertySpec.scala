@@ -32,6 +32,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: misra-gries bound holds on random zipf-ish streams") {
+    import spark.implicits._
+    for (seed <- 1 to 3; cap <- Seq(3, 8)) {
+      val rng = new scala.util.Random(seed)
+      // zipf-ish: item k with weight ~ 1/k over 30 items, 600 draws
+      val items = (1 to 600).map { _ =>
+        val u = rng.nextDouble()
+        var k = 1; var acc = 0.0
+        val h = (1 to 30).map(1.0 / _).sum
+        while (acc + 1.0 / k / h < u && k < 30) { acc += 1.0 / k / h; k += 1 }
+        s"item$k"
+      }
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size
+      val sketch: Map[String, Long] = items.toDS.repartition(5)
+        .select(graft.ops.Aggregates.MisraGries(cap).toColumn.name("m"))
+        .collect()(0)
+      assert(sketch.size <= cap, s"seed=$seed cap=$cap size ${sketch.size}")
+      sketch.foreach { case (k, est) =>
+        val t = truth(k)
+        assert(est <= t && est >= t - n / cap, s"seed=$seed cap=$cap $k: $est vs $t")
+      }
+      // guarantee: every item with true count > N/C is present
+      truth.filter(_._2 > n / cap).keys.foreach(k =>
+        assert(sketch.contains(k), s"seed=$seed cap=$cap heavy $k evicted"))
+    }
+  }
+
   test("property: salted join equals plain join on random skewed data") {
     import spark.implicits._
     for (seed <- 1 to 3) {
