@@ -170,4 +170,38 @@ class EdgeCaseSpec extends SparkSpec {
       r.getAs[String]("name_b") == "small bolts" && r.getAs[Int]("dist") == 1)
     assert(Text.fuzzyNameJoinDf(Seq.empty[String].toDF("name")).count() == 0)
   }
+
+  test("bloom dedup: empty batch (all-even ids) and empty snapshot both degrade safely") {
+    import spark.implicits._
+    // all-even: nothing to probe — 0 rows, no crash
+    val allSnapshot = Seq((2L, "aa"), (4L, "bb")).toDF("doc_id", "text")
+    assert(Dedup.bloomDedupFromDocs(allSnapshot).count() == 0)
+    // all-odd: empty filter — nothing may be maybe_seen, everything bloom_ok
+    val allBatch = Seq((1L, "aa"), (3L, "bb")).toDF("doc_id", "text")
+    val rows = Dedup.bloomDedupFromDocs(allBatch).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("maybe_seen") && !r.getAs[Boolean]("is_dup"))
+      assert(r.getAs[Boolean]("bloom_ok"))
+    }
+  }
+
+  test("leak-safe split: single-doc corpus yields one full split row, audit 1") {
+    import spark.implicits._
+    val one = Seq((1L, "only doc", 8L)).toDF("doc_id", "text", "n_chars")
+    val rows = Dedup.leakSafeSplitFromDocs(one).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_docs") == 1L)
+    assert(rows.head.getAs[Long]("max_splits_per_fp") == 1L)
+  }
+
+  test("misra-gries: empty input yields the zero sketch; single item exact") {
+    import spark.implicits._
+    val empty: Map[String, Long] = Seq.empty[String].toDS
+      .select(graft.ops.Aggregates.MisraGries(4).toColumn.name("m")).collect()(0)
+    assert(empty.isEmpty)
+    val single: Map[String, Long] = Seq("a", "a", "a").toDS.repartition(2)
+      .select(graft.ops.Aggregates.MisraGries(4).toColumn.name("m")).collect()(0)
+    assert(single == Map("a" -> 3L))
+  }
 }
