@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.functions.TextKernels
+import graft.ops.Dedup.{Bands, NumPerms, Rows}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** Streaming MinHash-LSH near-duplicate detection — the continuous-
+  * ingestion counterpart of the batch LSH family (`Dedup.minhashPairs`):
+  * a corpus feed is checked for NEAR-duplicates (not just exact content
+  * matches, which [[EventStream.streamingContentDedup]] already handles)
+  * against everything previously ingested, on arrival, without ever
+  * re-running a full-corpus batch dedup.
+  *
+  * Same sketch as batch: md5-based 32-permutation MinHash signatures
+  * (map-side codegen kernels), 16 × 2 banding. The state layer replaces
+  * the batch band-bucket self-join: each (band, k0, k1) bucket is a
+  * `transformWithState` key whose [[ListState]] holds the signatures
+  * registered in that bucket, capped at [[BucketCap]] entries — the same
+  * skew guard as the batch 2..1000 bucket filter, bounding both state
+  * size and per-arrival compare work no matter how degenerate a bucket
+  * gets (boilerplate-heavy feeds). An arriving document compares its
+  * signature against its bucket's registry (≤ BucketCap × 16 signature
+  * compares per doc) and emits a candidate for every estimate ≥
+  * [[EstThreshold]] — a SUPERSET of the batch pipeline's verified pairs
+  * (streaming emits sketch candidates; exact-Jaccard confirmation joins
+  * the stored corpus downstream, exactly as batch verification does).
+  *
+  * Scale shape: one shuffle (groupByKey on the bucket key), state
+  * entries are (8-byte id + 32-long signature) ≈ 270 B — never text —
+  * and RocksDB owns the registry. At 100 TB-feed scale the watermark/TTL
+  * knob (TTLConfig on the list state) bounds the horizon like
+  * dropDuplicatesWithinWatermark does for exact dedup; the spec runs
+  * unbounded (TTLConfig.NONE) to compare against batch truth. */
+object DedupStream {
+
+  /** One bucket-registry entry: a previously ingested doc's signature. */
+  case class BucketEntry(docId: Long, sig: Array[Long])
+
+  /** A near-dup candidate discovered on arrival (docA < docB). */
+  case class StreamCandidate(docA: Long, docB: Long, band: Int, estSim: Double)
+
+  /** Per-bucket registry cap — the streaming analog of the batch
+    * pipeline's 1000-member bucket filter (skew guard). */
+  val BucketCap = 64
+  /** Minimum signature-agreement estimate to emit a candidate — shared
+    * with the batch pipeline's estimate gate. */
+  val EstThreshold = 0.25
+
+  /** Stateful core: key = "band:k0:k1" bucket, value rows =
+    * (bucket, band, doc_id, sig). Arrivals within a micro-batch are
+    * processed in doc_id order so output is deterministic regardless of
+    * shuffle iterator order; same-batch pairs are found because each
+    * arrival registers before the next is compared. */
+  class LshBucketProcessor
+      extends StatefulProcessor[String, (String, Int, Long, Array[Long]), StreamCandidate] {
+
+    @transient private var entries: ListState[BucketEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      entries = getHandle.getListState[BucketEntry](
+        "entries", Encoders.product[BucketEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Int, Long, Array[Long])],
+                                 timers: TimerValues): Iterator[StreamCandidate] = {
+      val arrivals = rows.toSeq.sortBy(_._3)
+      val registry = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
+      entries.get().foreach(registry += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[StreamCandidate]
+      var appended = false
+      arrivals.foreach { case (_, band, docId, sig) =>
+        if (!registry.exists(_.docId == docId)) {
+          registry.foreach { e =>
+            var m = 0
+            var i = 0
+            while (i < NumPerms) { if (e.sig(i) == sig(i)) m += 1; i += 1 }
+            val est = m.toDouble / NumPerms
+            if (est >= EstThreshold)
+              out += StreamCandidate(math.min(e.docId, docId),
+                math.max(e.docId, docId), band, est)
+          }
+          if (registry.size < BucketCap) {
+            registry += BucketEntry(docId, sig)
+            appended = true
+          }
+        }
+      }
+      // one state write per (bucket, micro-batch), not per arrival
+      if (appended) entries.put(registry.toArray)
+      out.iterator
+    }
+  }
+
+  /** The streaming query: docs (doc_id, text) → banded signatures →
+    * per-bucket stateful compare. Candidates may repeat across bands —
+    * downstream consumers (or the verification join) dedupe on
+    * (docA, docB), as the batch pipeline's `distinct()` does. */
+  def streamingNearDup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"),
+      TextKernels.minhashSigKernel(
+        TextKernels.shinglesKernel(col("text"), 3), NumPerms).as("sig"))
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
+          col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+      .select(
+        concat_ws(":", col("bk.band"), col("bk.k0"), col("bk.k1")).as("bucket"),
+        col("bk.band").as("band"), col("doc_id"), col("sig"))
+      .as[(String, Int, Long, Array[Long])]
+    banded
+      .groupByKey(_._1)
+      .transformWithState(new LshBucketProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+}

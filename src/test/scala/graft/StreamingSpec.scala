@@ -293,4 +293,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming LSH near-dup catches every batch-verified pair across micro-batches") {
+    import graft.streaming.DedupStream
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark2.implicits._
+    // planted corpus: 20 bases of 80 tokens; docs 100+i near-dup base i
+    // (2 of 80 tokens replaced => high shingle Jaccard), first 3 identical
+    val rng = new scala.util.Random(7)
+    val vocab = Array.tabulate(1000)(i => s"w$i")
+    val bases = Array.tabulate(20)(_ => Array.fill(80)(vocab(rng.nextInt(vocab.length))))
+    val rows = bases.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) } ++
+      (0 until 3).map(i => ((100 + i).toLong, bases(i).mkString(" "))) ++
+      (3 until 10).map { i =>
+        val t = bases(i).clone()
+        (0 until 2).foreach(_ => t(rng.nextInt(t.length)) = vocab(rng.nextInt(vocab.length)))
+        ((100 + i).toLong, t.mkString(" "))
+      }
+    val docs = rows.toSeq.toDF("doc_id", "text")
+    // bases arrive in earlier micro-batches than their near-dups: the
+    // cross-batch path (state registry) is what finds the pairs
+    val watch = java.nio.file.Files.createTempDirectory("graftlshstream")
+    docs.filter(col("doc_id") < 100).coalesce(1)
+      .write.mode("append").parquet(watch.toString)
+    docs.filter(col("doc_id") >= 100).coalesce(1)
+      .write.mode("append").parquet(watch.toString)
+    val stream = spark2.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    EventStream.runToCompletion(
+      DedupStream.streamingNearDup(spark2, stream), "lsh_stream_test",
+      OutputMode.Append())
+    val streamed = spark2.table("lsh_stream_test").collect()
+      .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+    // batch truth: the full verified near-dup pipeline on the same corpus
+    val batchPairs = graft.ops.Dedup.minhashPairsDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(batchPairs.size >= 8, s"planted corpus too weak: $batchPairs")
+    // streaming candidates are a superset of batch-verified pairs
+    // (streaming emits sketch candidates; batch additionally jaccard-verifies)
+    val missed = batchPairs -- streamed
+    assert(missed.isEmpty, s"streaming missed batch-verified pairs: $missed")
+    // and every planted identical pair was caught on arrival
+    (0 until 3).foreach(i => assert(streamed.contains((i.toLong, (100 + i).toLong))))
+  }
 }
