@@ -126,6 +126,28 @@ object Bench {
         graft.streaming.EventStream.streamingDedup(ev), "bench_stream_dedup",
         org.apache.spark.sql.streaming.OutputMode.Append())
     }
+    // (3) streaming MinHash-LSH near-dup over the document corpus — the
+    // transformWithState bucket-registry path (RocksDB state store)
+    val streamDocRows =
+      if (only.isDefined) 0L
+      else try spark.read.parquet(s"$sfDir/documents.parquet").count()
+      catch { case e: Throwable => System.err.println(s"[bench] doc rows: $e"); 0L }
+    val streamNearDup = timeStream("stream_neardup") {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // driver testdata ships documents.parquet as a single FILE (stream
+      // the parent dir with a glob); ScaleGen writes a directory
+      val docPath = new java.io.File(s"$sfDir/documents.parquet")
+      val reader = s2.readStream.schema("doc_id LONG, text STRING")
+      val docs =
+        if (docPath.isDirectory) reader.parquet(docPath.toString)
+        else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      graft.streaming.EventStream.runToCompletion(
+        graft.streaming.DedupStream.streamingNearDup(s2, docs),
+        "bench_stream_neardup",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
 
     val total = results.map(_._2).sum
     // Full per-query detail goes to a file: the driver captures only the
@@ -136,15 +158,16 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val detailJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_rows":$streamRows,"queries":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_neardup":$streamNearDup%.3f,"stream_rows":$streamRows,"stream_doc_rows":$streamDocRows,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailJson) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
-    for ((metric, q, t) <- Seq(
-      ("stream_total", "sliding_counts", streamTotal),
-      ("stream_dedup", "dropDuplicatesWithinWatermark", streamDedup)))
-      println(streamLine(metric, q, t, streamRows, sfDir))
+    for ((metric, q, t, rows) <- Seq(
+      ("stream_total", "sliding_counts", streamTotal, streamRows),
+      ("stream_dedup", "dropDuplicatesWithinWatermark", streamDedup, streamRows),
+      ("stream_neardup", "minhash_lsh_transformWithState", streamNearDup, streamDocRows)))
+      println(streamLine(metric, q, t, rows, sfDir))
     println(compactLine(results, sfDir, streamTotal))
     spark.stop()
   }
