@@ -187,9 +187,9 @@ object Bench {
   def compactLine(results: Seq[(String, Double)], sfDir: String,
                   streamTotal: Double = 0.0): String = {
     val total = results.map(_._2).sum
-    // whole line + the TWO preceding stream_* lines (~150 chars each) must
-    // fit the 2000-char tail together
-    val budget = 1250
+    // whole line + the THREE preceding stream_* lines (~160 chars each)
+    // must fit the 2000-char tail together
+    val budget = 1080
     val byCost = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
