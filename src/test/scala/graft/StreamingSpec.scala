@@ -339,4 +339,51 @@ class StreamingSpec extends SparkSpec {
     // and every planted identical pair was caught on arrival
     (0 until 3).foreach(i => assert(streamed.contains((i.toLong, (100 + i).toLong))))
   }
+
+  test("LSH near-dup state survives a checkpointed restart (dups found across deploys)") {
+    import graft.streaming.DedupStream
+    import java.nio.file.{Files => JFiles}
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark2.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = Array.tabulate(500)(i => s"t$i")
+    val bases = Array.tabulate(5)(_ => Array.fill(60)(vocab(rng.nextInt(vocab.length))))
+    val watch = JFiles.createTempDirectory("graftlshrestart")
+    val ckpt = JFiles.createTempDirectory("graftlshrestartckpt").toString
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = JFiles.createTempDirectory(name).resolve("out").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      JFiles.copy(part.toPath, watch.resolve(name + ".parquet"))
+    }
+    // memory sink cannot recover from a checkpoint — use the file sink,
+    // whose manifest is also what gives exactly-once output on restart
+    val outDir = JFiles.createTempDirectory("graftlshrestartout").toString
+    def runOnce(): Unit = {
+      val stream = spark2.readStream.schema("doc_id LONG, text STRING")
+        .parquet(watch.toString)
+      val q = DedupStream.streamingNearDup(spark2, stream).writeStream
+        .format("parquet").option("path", outDir)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // deploy 1: the base corpus registers in the bucket state
+    writeBatch("a", bases.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
+    runOnce()
+    // deploy 2 (fresh memory sink, SAME checkpoint): near-dups arrive
+    writeBatch("b", (0 until 5).map(i => ((100 + i).toLong, bases(i).mkString(" "))))
+    runOnce()
+    val pairs = spark2.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+    // each pair requires the RESTORED registry: base i arrived before the
+    // restart, so a lost state store could never produce (i, 100+i)
+    (0 until 5).foreach(i =>
+      assert(pairs.contains((i.toLong, (100 + i).toLong)),
+        s"pair ($i, ${100 + i}) missing — state not restored: $pairs"))
+  }
 }
