@@ -191,6 +191,7 @@ object SparkEntry {
     "dq_freshness"      -> (Quality.freshness(_, _)),
     "ev_user_paths"     -> (EventTime.userPaths(_, _)),
     "graph_degree_dist" -> (Graph.degreeDistribution(_, _)),
+    "sql_lateral"       -> (graft.api.GraftSql.lateralTopOrders(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1741,6 +1742,15 @@ object SparkEntry {
     "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
 
     "pipeline_split" -> graft.ops.Dedup.splitOracle,
+
+    "sql_lateral" ->
+      """SELECT c_custkey AS custkey, o.orderkey, o.totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        |         FROM orders WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |WHERE c_acctbal > 9000
+        |ORDER BY custkey, totalprice DESC, orderkey""".stripMargin,
 
     // exact-integer log2 buckets via binary-string length (see the
     // Scaladoc on Graph.degreeDistribution for why not FP log2)

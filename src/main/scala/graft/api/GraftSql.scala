@@ -58,6 +58,24 @@ object GraftSql {
         |  AND l_quantity < 24
         |""".stripMargin)
 
+  /** LATERAL correlated subquery — top-2 orders per customer as SQL
+    * text: each customer row drives a correlated, ordered, LIMITed
+    * subquery. Catalyst decorrelates the lateral into a ranked join
+    * (DecorrelateInnerQuery + WindowGroupLimit-style per-group top-k),
+    * so the executed plan is one shuffle-and-rank, NOT a per-customer
+    * nested loop — the difference between O(|cust|) subquery executions
+    * and one distributed pass at 100 TB. Rich customers only (bounded
+    * driver output); inner lateral drops order-less customers. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT c_custkey AS custkey, o.orderkey, o.totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        |         FROM orders WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |WHERE c_acctbal > 9000
+        |ORDER BY custkey, totalprice DESC, orderkey""".stripMargin)
+
   /** Explicit GROUPING SETS (the general form of rollup/cube) in SQL. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
