@@ -192,6 +192,7 @@ object SparkEntry {
     "ev_user_paths"     -> (EventTime.userPaths(_, _)),
     "graph_degree_dist" -> (Graph.degreeDistribution(_, _)),
     "sql_lateral"       -> (graft.api.GraftSql.lateralTopOrders(_, _)),
+    "pipeline_zorder_plan" -> (Layout.zorderPlan(_, _)),
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.pagerankTop]]: the 6-round power
@@ -1742,6 +1743,8 @@ object SparkEntry {
     "dedup_bloom" -> graft.ops.Dedup.bloomOracle,
 
     "pipeline_split" -> graft.ops.Dedup.splitOracle,
+
+    "pipeline_zorder_plan" -> graft.ops.Layout.zorderOracle,
 
     "sql_lateral" ->
       """SELECT c_custkey AS custkey, o.orderkey, o.totalprice
