@@ -1342,14 +1342,16 @@ object SparkEntry {
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
 
-    // two-proportion z-test, INTEGER-EXACT rendering: z² is the exact
+    // two-proportion z-test, ALL-INTEGER output: z² is the exact
     // rational P/Q of the four counts (P = (ca·nb−cb·na)²·N,
     // Q = na·nb·c·(N−c)), so m = round(|z|·1e4) half-up is the unique
     // integer with (2m−1)²·Q ≤ 4e8·P < (2m+1)²·Q. The double z only
     // seeds a candidate m0; exact HUGEINT comparisons correct it ±1, so
-    // both engines land on the same integer and m/10000.0 is the same
-    // IEEE division of the same integer — bit-identical. significant is
-    // m ≥ 19600 (the displayed |z| ≥ 1.96 cut on the same exact integer).
+    // both engines land on the same integer. The hashed output carries
+    // that integer directly (z_e4 = sign·m BIGINT) plus exact integer
+    // basis points (conv_bp = n_converted·1e4 div n_users) — NO doubles,
+    // so no IEEE rendering surface remains between the engines.
+    // significant is m ≥ 19600 (the |z| ≥ 1.96 cut on the same integer).
     "ev_ab_test" ->
       """WITH users AS (
         |  SELECT user_id,
@@ -1389,10 +1391,10 @@ object SparkEntry {
         |         > CAST(400000000 AS HUGEINT) * p THEN m0 - 1
         |    ELSE m0 END AS m FROM cand)
         |SELECT variant, n_users, n_converted,
-        |       n_converted / CAST(n_users AS DOUBLE) AS conv_rate,
-        |       CASE WHEN m = 0 THEN 0.0
-        |            WHEN num < 0 THEN -(m / 10000.0)
-        |            ELSE m / 10000.0 END AS z_score,
+        |       CAST(n_converted * 10000 // n_users AS BIGINT) AS conv_bp,
+        |       CAST(CASE WHEN m = 0 THEN 0
+        |                 WHEN num < 0 THEN -m
+        |                 ELSE m END AS BIGINT) AS z_e4,
         |       m >= 19600 AS significant
         |FROM v CROSS JOIN mc ORDER BY variant""".stripMargin,
 

@@ -707,10 +707,12 @@ object Aggregates {
       .toDF("sketch", "n_total")
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(25)
+    // try_element_at, not element_at: under ANSI mode a missing map key
+    // throws — a drifting sketch must degrade to FALSE rows, not crash
     exact.crossJoin(broadcast(sketch))
       .select(col("token"), col("n"),
-        element_at(col("sketch"), col("token")).isNotNull.as("in_sketch"),
-        (coalesce(element_at(col("sketch"), col("token")), lit(0L))
+        try_element_at(col("sketch"), col("token")).isNotNull.as("in_sketch"),
+        (coalesce(try_element_at(col("sketch"), col("token")), lit(0L))
           .between(col("n") - floor(col("n_total") / MgCapacity).cast("long"), col("n")))
           .as("est_ok"))
       .orderBy(col("n").desc, col("token").asc)

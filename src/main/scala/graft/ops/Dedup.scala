@@ -963,8 +963,14 @@ object Dedup {
   private def bucketCol: Column =
     pmod(conv(substring(col("fp"), 1, 8), 16, 10).cast("long"), lit(100L))
 
-  /** DuckDB oracle for [[leakSafeSplit]] — same md5-word bucketing via
-    * the byte-swap idiom, same computed audit. */
+  /** DuckDB oracle for [[leakSafeSplit]] — bucket derived from the SAME
+    * md5 hex string the Spark side buckets on (and that the green
+    * `text_fingerprint` oracle proves byte-equal cross-engine), parsed
+    * as a hex literal: `CAST('0x' || substr(fp,1,8) AS UBIGINT) % 100`.
+    * Round 8 re-derived the word from `md5_number_upper(nt)` via a
+    * byte-swap instead and hash-FAILed on the driver; anchoring both
+    * engines to the one shared hex string removes that derivation
+    * surface entirely. Same computed audit. */
   def splitOracle: String =
     """WITH norm AS (
       |  SELECT doc_id, n_chars,
@@ -973,10 +979,8 @@ object Dedup {
       |assigned AS (SELECT doc_id, n_chars, fp,
       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
       |  FROM (SELECT doc_id, n_chars, fp,
-      |          (((x & 255) << 24) | (((x >> 8) & 255) << 16) | (((x >> 16) & 255) << 8) | ((x >> 24) & 255)) % 100 AS b
-      |        FROM (SELECT doc_id, n_chars, md5(nt) AS fp,
-      |                CAST(md5_number_upper(nt) & 4294967295 AS BIGINT) AS x
-      |              FROM norm))),
+      |          CAST(CAST('0x' || substr(fp, 1, 8) AS UBIGINT) % 100 AS BIGINT) AS b
+      |        FROM (SELECT doc_id, n_chars, md5(nt) AS fp FROM norm))),
       |audit AS (SELECT max(ns) AS max_splits_per_fp FROM (
       |    SELECT fp, count(DISTINCT split) AS ns FROM assigned GROUP BY 1))
       |SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_fps,

@@ -278,19 +278,21 @@ object EventTime {
     * row per variant (users, conversions, rate) plus the pooled z-score
     * and the significance call.
     *
-    * Rendering is INTEGER-EXACT: a rounded z is only engine-stable if the
-    * rounded value itself is derived exactly. z² is an exact rational of
-    * the four counts — z² = (ca·nb − cb·na)²·N / (na·nb·c·(N−c)) with
-    * c = ca+cb, N = na+nb — so the rendered m = round(|z|·10⁴) (half-up)
-    * is the unique integer with (2m−1)²·Q ≤ 4·10⁸·P < (2m+1)²·Q where
-    * P = (ca·nb−cb·na)²·N and Q = na·nb·c·(N−c). We take the double z's
-    * candidate m₀ and correct it ±1 against those DECIMAL(38) integer
+    * Output is ALL-INTEGER (no doubles reach the oracle hash): z² is an
+    * exact rational of the four counts — z² = (ca·nb − cb·na)²·N /
+    * (na·nb·c·(N−c)) with c = ca+cb, N = na+nb — so m = round(|z|·10⁴)
+    * (half-up) is the unique integer with (2m−1)²·Q ≤ 4·10⁸·P < (2m+1)²·Q
+    * where P = (ca·nb−cb·na)²·N and Q = na·nb·c·(N−c). We take the double
+    * z's candidate m₀ and correct it ±1 against those DECIMAL(38) integer
     * comparisons, so a last-ulp double divergence that straddles a 1e-4
     * half-up boundary can no longer split the engines: both converge to
-    * the same exact integer, and m/10000.0 (one correctly-rounded IEEE
-    * division of the same integer) is then bit-identical. `significant`
-    * is m ≥ 19600 — the same exact integer, so it is the |z_rendered| ≥
-    * 1.96 cut the row displays. DECIMAL(38) holds the products exactly up
+    * the same exact integer. The query emits that integer DIRECTLY as
+    * `z_e4` = sign·m (BIGINT, z in units of 1e-4) rather than rendering
+    * m/10000.0 — rounds 6–8 proved that any hashed double is a driver-
+    * environment divergence surface, so none remain. The conversion rate
+    * is likewise exact integer basis points `conv_bp` = (n_converted ·
+    * 10⁴) div n_users. `significant` is m ≥ 19600 — the |z| ≥ 1.96 cut on
+    * the same exact integer. DECIMAL(38) holds the products exactly up
     * to [[AbExactBound]] users per variant; beyond it both engines fall
     * back to the double candidate identically (see the bound's doc —
     * graceful degradation instead of an ANSI overflow at production arm
@@ -361,15 +363,17 @@ object EventTime {
       .otherwise(m0)
     val pooledZ = pooled.select(col("ca"), col("na"), col("cb"), col("nb"),
       num.as("zsign"), m.as("zm"))
-    // m = 0 renders 0.0 (not −0.0) on both engines; otherwise one exact
-    // integer divided by 10000.0 — correctly-rounded IEEE, bit-identical
-    val zRendered = when(col("zm") === 0, lit(0.0))
-      .when(col("zsign") < 0, -(col("zm").cast("double") / 10000d))
-      .otherwise(col("zm").cast("double") / 10000d)
+    // z_e4 = sign·m: the exact integer itself (m = 0 stays 0 regardless
+    // of sign) — no IEEE value ever reaches the hashed output
+    val zE4 = when(col("zm") === 0, lit(0L))
+      .when(col("zsign") < 0, -col("zm"))
+      .otherwise(col("zm"))
     v.crossJoin(broadcast(pooledZ))
       .select(col("variant"), col("n_users"), col("n_converted"),
-        (col("n_converted").cast("double") / col("n_users").cast("double")).as("conv_rate"),
-        zRendered.as("z_score"),
+        // exact integer basis points: integral long division, both
+        // operands non-negative so floor ≡ trunc in both engines
+        expr("n_converted * 10000L DIV n_users").as("conv_bp"),
+        zE4.as("z_e4"),
         (col("zm") >= 19600).as("significant"))
       .orderBy("variant")
   }

@@ -173,9 +173,6 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
-  /** Driver query: top 25 parts by co-purchase PageRank. Ordered by the
-    * ROUNDED rank (ties broken by part id) so the top-k cut line never
-    * depends on a last-ulp summation difference between engines. */
   /** Degree distribution of the co-purchase graph in log2 buckets — the
     * first thing anyone profiles before picking caps (the 256-degree
     * wedge cap of [[neighborJaccard]] was sized from exactly this view).
@@ -196,6 +193,9 @@ object Graph {
         sum(col("deg")).as("sum_deg"))
       .orderBy("bucket")
 
+  /** Driver query: top 25 parts by co-purchase PageRank. Ordered by the
+    * ROUNDED rank (ties broken by part id) so the top-k cut line never
+    * depends on a last-ulp summation difference between engines. */
   def pagerankTop(spark: SparkSession, dir: String): DataFrame =
     pageRankAdj(adjacency(spark, dir))
       .select(col("node").as("part_id"), round(col("rank"), 4).as("rank"))

@@ -23,16 +23,27 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * gets (boilerplate-heavy feeds). An arriving document compares its
   * signature against its bucket's registry (≤ BucketCap × 16 signature
   * compares per doc) and emits a candidate for every estimate ≥
-  * [[EstThreshold]] — a SUPERSET of the batch pipeline's verified pairs
-  * (streaming emits sketch candidates; exact-Jaccard confirmation joins
-  * the stored corpus downstream, exactly as batch verification does).
+  * [[EstThreshold]] — a superset of the batch pipeline's verified pairs
+  * FOR CORPORA WHOSE BUCKETS STAY WITHIN [[BucketCap]] (streaming emits
+  * sketch candidates; exact-Jaccard confirmation joins the stored corpus
+  * downstream, exactly as batch verification does). The caps diverge on
+  * 65..1000-member buckets: batch emits all pairs up to its 1000-member
+  * gate, while the stream stops REGISTERING after BucketCap arrivals, so
+  * a pair of two post-cap arrivals in the same hot bucket is found only
+  * if another band buckets them below cap — the deliberate price of
+  * bounding per-arrival work on a skewed endless feed (a batch job can
+  * afford one 1000² bucket; an ingest path compounding that every
+  * micro-batch cannot). StreamingSpec's superset check runs on a corpus
+  * whose buckets sit far below the cap, where the contract is exact.
   *
   * Scale shape: one shuffle (groupByKey on the bucket key), state
   * entries are (8-byte id + 32-long signature) ≈ 270 B — never text —
-  * and RocksDB owns the registry. At 100 TB-feed scale the watermark/TTL
-  * knob (TTLConfig on the list state) bounds the horizon like
-  * dropDuplicatesWithinWatermark does for exact dedup; the spec runs
-  * unbounded (TTLConfig.NONE) to compare against batch truth. */
+  * and RocksDB owns the registry. At 100 TB-feed scale the TTL knob
+  * (`ttl` arg → TTLConfig on the list state, processing-time mode)
+  * bounds the horizon like dropDuplicatesWithinWatermark does for exact
+  * dedup — registry entries expire after the configured age, so state is
+  * O(active horizon) not O(corpus); exercised by StreamingSpec's TTL
+  * variant. The batch-parity spec runs unbounded (TTLConfig.NONE). */
 object DedupStream {
 
   /** One bucket-registry entry: a previously ingested doc's signature. */
@@ -53,14 +64,14 @@ object DedupStream {
     * processed in doc_id order so output is deterministic regardless of
     * shuffle iterator order; same-batch pairs are found because each
     * arrival registers before the next is compared. */
-  class LshBucketProcessor
+  class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, (String, Int, Long, Array[Long]), StreamCandidate] {
 
     @transient private var entries: ListState[BucketEntry] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       entries = getHandle.getListState[BucketEntry](
-        "entries", Encoders.product[BucketEntry], TTLConfig.NONE)
+        "entries", Encoders.product[BucketEntry], ttl)
 
     override def handleInputRows(key: String,
                                  rows: Iterator[(String, Int, Long, Array[Long])],
@@ -96,8 +107,14 @@ object DedupStream {
   /** The streaming query: docs (doc_id, text) → banded signatures →
     * per-bucket stateful compare. Candidates may repeat across bands —
     * downstream consumers (or the verification join) dedupe on
-    * (docA, docB), as the batch pipeline's `distinct()` does. */
-  def streamingNearDup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * (docA, docB), as the batch pipeline's `distinct()` does.
+    *
+    * `ttl` bounds the dedup horizon: registry entries older than the
+    * duration expire from state (RocksDB TTL, processing-time mode), so
+    * an endless feed holds O(horizon) state instead of O(corpus). None
+    * (default) keeps the registry forever — full batch parity. */
+  def streamingNearDup(spark: SparkSession, docs: DataFrame,
+                       ttl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
     val sigs = docs.select(col("doc_id"),
       TextKernels.minhashSigKernel(
@@ -110,9 +127,15 @@ object DedupStream {
         concat_ws(":", col("bk.band"), col("bk.k0"), col("bk.k1")).as("bucket"),
         col("bk.band").as("band"), col("doc_id"), col("sig"))
       .as[(String, Int, Long, Array[Long])]
+    // TTL states require processing-time mode; without TTL stay in
+    // TimeMode.None so the unbounded path carries no clock machinery
+    val (proc, timeMode) = ttl match {
+      case Some(d) => (new LshBucketProcessor(TTLConfig(d)), TimeMode.ProcessingTime())
+      case None    => (new LshBucketProcessor(), TimeMode.None())
+    }
     banded
       .groupByKey(_._1)
-      .transformWithState(new LshBucketProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(proc, timeMode, OutputMode.Append())
       .toDF()
   }
 }

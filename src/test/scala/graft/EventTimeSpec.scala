@@ -99,11 +99,13 @@ class EventTimeSpec extends SparkSpec {
       .select(countDistinct(col("user_id"))).collect().head.getLong(0)
     assert(total == distinctUsers)
     rows.foreach { r =>
-      val rate = r.getAs[Double]("conv_rate")
-      assert(rate >= 0.0 && rate <= 1.0)
+      val bp = r.getAs[Long]("conv_bp")
+      assert(bp >= 0L && bp <= 10000L)
       assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+      // conv_bp is exactly the truncating basis-point division of the counts
+      assert(bp == r.getAs[Long]("n_converted") * 10000L / r.getAs[Long]("n_users"))
     }
-    // recompute the pooled z from the emitted counts — must match to 4dp
+    // recompute the pooled z from the emitted counts — must match to 1 unit
     val Array(a, b) = rows
     val (ca, na) = (a.getAs[Long]("n_converted").toDouble, a.getAs[Long]("n_users").toDouble)
     val (cb, nb) = (b.getAs[Long]("n_converted").toDouble, b.getAs[Long]("n_users").toDouble)
@@ -112,7 +114,7 @@ class EventTimeSpec extends SparkSpec {
       if (pool > 0 && pool < 1)
         (ca / na - cb / nb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
       else 0.0 // degenerate pool -> operator emits 0 by contract
-    rows.foreach(r => assert(math.abs(r.getAs[Double]("z_score") - z) < 5e-4))
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("z_e4") - z * 10000.0) < 1.5))
   }
 
   test("ltv cohort: triangle well-formed, day-0 present, totals conserve in cents") {
@@ -258,8 +260,8 @@ class EventTimeSpec extends SparkSpec {
           (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
         else 0.0
       val m0 = math.floor(math.abs(zd) * 10000 + 0.5).toLong
-      val zExp = if (m0 == 0L) 0.0 else math.signum(zd) * (m0.toDouble / 10000.0)
-      out.foreach(r => assert(r.getAs[Double]("z_score") == zExp,
+      val zExp = if (m0 == 0L) 0L else math.signum(zd).toLong * m0
+      out.foreach(r => assert(r.getAs[Long]("z_e4") == zExp,
         s"over-bound case ($ca,$na,$cb,$nb)"))
     }
   }
@@ -268,14 +270,11 @@ class EventTimeSpec extends SparkSpec {
                         ca: Long, na: Long, cb: Long, nb: Long): Unit = {
     val m = refMExact(ca, na, cb, nb)
     val sign = BigInt(ca) * nb - BigInt(cb) * na
-    val zExp =
-      if (m == 0L) 0.0
-      else if (sign < 0) -(m.toDouble / 10000.0)
-      else m.toDouble / 10000.0
+    val zExp = if (m == 0L) 0L else if (sign < 0) -m else m
     assert(out.nonEmpty)
     out.foreach { r =>
-      // exact double equality: both sides are the same integer / 10000.0
-      assert(r.getAs[Double]("z_score") == zExp, s"z case ($ca,$na,$cb,$nb)")
+      // exact integer equality: both sides emit the same sign·m BIGINT
+      assert(r.getAs[Long]("z_e4") == zExp, s"z case ($ca,$na,$cb,$nb)")
       assert(r.getAs[Boolean]("significant") == (m >= 19600L), s"sig case ($ca,$na,$cb,$nb)")
     }
   }
