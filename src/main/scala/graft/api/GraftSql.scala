@@ -60,12 +60,16 @@ object GraftSql {
 
   /** LATERAL correlated subquery — top-2 orders per customer as SQL
     * text: each customer row drives a correlated, ordered, LIMITed
-    * subquery. Catalyst decorrelates the lateral into a ranked join
-    * (DecorrelateInnerQuery + WindowGroupLimit-style per-group top-k),
-    * so the executed plan is one shuffle-and-rank, NOT a per-customer
-    * nested loop — the difference between O(|cust|) subquery executions
-    * and one distributed pass at 100 TB. Rich customers only (bounded
-    * driver output); inner lateral drops order-less customers. */
+    * subquery. Catalyst decorrelates the lateral (DecorrelateInnerQuery)
+    * into ONE row_number window over o_custkey with a rank filter,
+    * equi-joined back to customer, so the executed plan is one
+    * shuffle-and-rank, NOT a per-customer nested loop — the difference
+    * between O(|cust|) subquery executions and one distributed pass at
+    * 100 TB. (The subquery's ORDER BY renders as a sort feeding an
+    * order-less row_number spec, so the WindowGroupLimit pushdown does
+    * not apply to this decorrelated form; PlanShapeSpec pins the exact
+    * shape.) Rich customers only (bounded driver output); inner lateral
+    * drops order-less customers. */
   def lateralTopOrders(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
       """SELECT c_custkey AS custkey, o.orderkey, o.totalprice

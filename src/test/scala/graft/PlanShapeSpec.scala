@@ -150,6 +150,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("sql_lateral: decorrelated to one rank window + hash join, no per-row subquery") {
+    val df = graft.api.GraftSql.lateralTopOrders(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the correlated ORDER BY ... LIMIT 2 subquery must decorrelate into
+    // ONE row_number window over o_custkey with a rank filter, equi-joined
+    // back to customer — never a per-customer nested-loop subquery
+    // execution (the no-NLJ sweep covers the negative; this pins the
+    // positive shape so a Spark upgrade that regresses decorrelation
+    // fails loudly). Catalyst renders the subquery's ORDER BY as a sort
+    // feeding an order-less row_number spec, so no WindowGroupLimit
+    // pushdown applies here — exactly one Window, one equi join.
+    assert("Window \\[row_number".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(plan.contains("rn#") && plan.contains("<= 2"), plan.take(3000))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size == 1,
+      plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("text pipeline shuffle budgets: perplexity/entropy/fuzzy-join stay flat") {
     // stages each own at most one exchange (tf agg, per-key agg, sort,
     // spread repartitions on the documents scans); these caps stop future

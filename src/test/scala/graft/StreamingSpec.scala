@@ -386,4 +386,69 @@ class StreamingSpec extends SparkSpec {
       assert(pairs.contains((i.toLong, (100 + i).toLong)),
         s"pair ($i, ${100 + i}) missing — state not restored: $pairs"))
   }
+
+  test("LSH near-dup TTL bounds the horizon: expired registry entries stop matching") {
+    import graft.streaming.DedupStream
+    import java.nio.file.{Files => JFiles}
+    // the 100 TB knob: with a TTL on the bucket registries, a base doc
+    // that aged past the horizon must NOT pair with a later near-dup,
+    // while a within-horizon run on the same corpus still finds it.
+    // Two single-query runs per ttl (same checkpoint) so the second
+    // micro-batch carries a LATER processing time than the first.
+    def run(ttl: java.time.Duration, gapMs: Long): Set[(Long, Long)] = {
+      val spark2 = spark.newSession()
+      spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // 4 state partitions, not 32: the corpus is 8 docs and each RocksDB
+      // instance costs more than the data; keeps the 4 bounded runs quick
+      spark2.conf.set("spark.sql.shuffle.partitions", "4")
+      import spark2.implicits._
+      val rng = new scala.util.Random(13)
+      val vocab = Array.tabulate(400)(i => s"u$i")
+      val bases = Array.tabulate(4)(_ => Array.fill(60)(vocab(rng.nextInt(vocab.length))))
+      val watch = JFiles.createTempDirectory("graftlshttl")
+      val ckpt = JFiles.createTempDirectory("graftlshttlckpt").toString
+      val outDir = JFiles.createTempDirectory("graftlshttlout").toString
+      def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        val stage = JFiles.createTempDirectory(name).resolve("out").toString
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        JFiles.copy(part.toPath, watch.resolve(name + ".parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = spark2.readStream.schema("doc_id LONG, text STRING")
+          .parquet(watch.toString)
+        // AvailableNow, not processAllAvailable: processing-time mode
+        // schedules recurring TTL-cleanup micro-batches, so a continuous
+        // trigger never drains. Even under AvailableNow those cleanup
+        // batches can trail the data batch, so bound the wait — the
+        // pending file lands in the first micro-batch, well inside it.
+        val q = DedupStream.streamingNearDup(spark2, stream, Some(ttl)).writeStream
+          .format("parquet").option("path", outDir)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(15000); q.stop()
+      }
+      writeBatch("a", bases.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
+      runOnce()
+      Thread.sleep(gapMs) // age the registry entries relative to the TTL
+      writeBatch("b", (0 until 4).map(i => ((100 + i).toLong, bases(i).mkString(" "))))
+      runOnce()
+      spark2.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+    }
+    // generous horizon: identical docs arriving 0.1 s after registration pair up
+    val within = run(java.time.Duration.ofMinutes(10), gapMs = 100)
+    (0 until 4).foreach(i =>
+      assert(within.contains((i.toLong, (100 + i).toLong)),
+        s"within-horizon pair ($i, ${100 + i}) missing: $within"))
+    // 1 s horizon, 3 s gap: every registry entry expired before batch b
+    val expired = run(java.time.Duration.ofSeconds(1), gapMs = 3000)
+    (0 until 4).foreach(i =>
+      assert(!expired.contains((i.toLong, (100 + i).toLong)),
+        s"pair ($i, ${100 + i}) found across an expired horizon: $expired"))
+  }
 }
