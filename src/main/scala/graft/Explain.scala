@@ -23,6 +23,15 @@ object Explain {
         println(s"\n========== $name ==========")
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => println(s"explain failed: $e") }
+        // the nbr_jaccard wedge count crosses into RDD space (run-length
+        // pass over a sorted shuffle), so the outer plan shows only an
+        // ExistingRDD leaf — dump the inner subplan too for audit
+        if (name == "graph_nbr_jaccard") {
+          println(s"\n---------- $name (inner tagged+sorted wedge∪edge subplan) ----------")
+          try graft.ops.Graph.nbrTaggedSorted(
+            graft.ops.Graph.adjacency(spark, sfDir)).explain("formatted")
+          catch { case e: Throwable => println(s"explain failed: $e") }
+        }
     }
     spark.stop()
   }

@@ -218,8 +218,9 @@ object Graph {
     * explosion is the scale killer; excluding it mirrors MaxDf — the
     * score is exact over the retained feature space, and restricted
     * degrees use the same retained space so the ratio stays consistent).
-    * Existing edges drop via an anti-join; the cut is by ROUNDED score
-    * with id tie-breaks (cross-engine-stable line). */
+    * Existing edges are excluded inside the wedge count's run-length pass
+    * (see [[neighborJaccardPlan]]); the cut is by ROUNDED score with id
+    * tie-breaks (cross-engine-stable line). */
   def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame =
     neighborJaccardAdj(adjacency(spark, dir), maxDeg)
 
@@ -256,30 +257,36 @@ object Graph {
     //   against a flat scan (PlanShapeSpec pins the pre-truncate shape)
 
   /** The un-truncated [[neighborJaccardAdj]] plan — for plan-shape
-    * assertions; operator callers get the eager form above. */
+    * assertions; operator callers get the eager form above.
+    *
+    * Physical shape of the wedge count (the operator's cost center): at
+    * sf1 the capped pair expansion emits ~1.1×10⁸ packed wedges of which
+    * ~1.05×10⁸ are DISTINCT pairs — a reduction factor of ~1.07, so a
+    * hash aggregate is almost pure overhead: its map-side partial phase
+    * builds multi-million-entry maps that reduce nothing, and the final
+    * phase needs O(groups) memory (spill-prone; measured 12-28 s at sf1
+    * with cold-heap GC churn dominating). Replaced by the sort-based
+    * aggregation Spark's planner lacks for this case: ONE shuffle of
+    * fixed 12-byte rows hash-partitioned on the packed key, an
+    * in-partition RADIX sort (single int64 sort column), and a streaming
+    * run-length count — O(1) state regardless of group count, the shape
+    * that still stands when the pair space hits 10¹⁰ at cluster scale.
+    * The existing-edge exclusion rides the SAME shuffle: edge rows enter
+    * the union tagged 0, wedge rows tagged 1, and the run-length pass
+    * suppresses any run that contains an edge row — the former 10⁸-row
+    * anti-join stage disappears entirely (measured: 27.9 s → ~8 s at
+    * sf1). The mapPartitions hop is deliberate: it IS the aggregation,
+    * on a primitive key the planner would otherwise hash; rows leave
+    * Tungsten once, as (Long, Int), and re-enter as (Long, Long). */
   private[graft] def neighborJaccardPlan(adj: DataFrame, maxDeg: Int = 256,
                                          dictAttach: Boolean = true): DataFrame = {
-    import graft.functions.GraftFunctions.{sortedLongPairsPackedKernel, sortedLongLookupKernel}
+    import graft.functions.GraftFunctions.sortedLongLookupKernel
     // ONE adjacency feeds everything — the capped pair expansion, the
-    // restricted degrees, and the adjacency check for the final anti-join
+    // restricted degrees, and the edge rows that gate the run-length pass
     val kept = adj.filter(size(col("ids")) <= maxDeg)
     val sizes = kept.select(explode(col("ids")).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("sz"))
-    // per-intermediate pair explosion via the PACKED JVM pair kernel: one
-    // static call per adjacency row emits its C(d,2) pairs as single
-    // int64s (u << 32 | v) — no per-pair struct allocation, and the
-    // ~10⁷-row wedge aggregate and the adjacency anti-join both run on an
-    // 8-byte key instead of a 16-byte pair (measured ~1.5 s off this
-    // query at sf0.1). Requires ids < 2³² — holds for part keys at any
-    // TPC-H scale; 64-bit id spaces would swap in sortedLongPairsKernel
-    // and a two-column key (the kernel throws rather than corrupt).
-    val wedges = kept
-      .select(explode(sortedLongPairsPackedKernel(col("ids"))).as("uv"))
-    val und = adj.select(col("src"), explode(col("ids")).as("v"))
-      .select(shiftleft(col("src"), 32).bitwiseOR(col("v")).as("uv"))
-    val commons = wedges
-      .groupBy(col("uv")).agg(count(lit(1)).as("common"))
-      .join(und, Seq("uv"), "left_anti")
+    val commons = rleWedgeCount(nbrTaggedSorted(adj, maxDeg))
       .select(shiftrightunsigned(col("uv"), 32).as("u"),
         col("uv").bitwiseAND(lit(4294967295L)).as("v"), col("common"))
     val scored =
@@ -305,6 +312,96 @@ object Graph {
           (col("sz_u") + col("sz_v") - col("common")), 4).as("nbr_jaccard"))
       .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
       .limit(50) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
+  }
+
+  /** The tagged, shuffled, sorted wedge∪edge stream that feeds
+    * [[rleWedgeCount]] — exposed separately because the run-length hop
+    * crosses into RDD space, so this subplan runs as its own query
+    * execution and the OUTER query's plan shows only its `ExistingRDD`
+    * leaf. Plan-shape pins (and PLANS.md) read this DataFrame to audit
+    * the interesting half: kernel explosion, union, one hash exchange on
+    * the packed key, in-partition radix sort. */
+  private[graft] def nbrTaggedSorted(adj: DataFrame, maxDeg: Int = 256): DataFrame = {
+    import graft.functions.GraftFunctions.sortedLongPairsPackedKernel
+    val kept = adj.filter(size(col("ids")) <= maxDeg)
+    // per-intermediate pair explosion via the PACKED JVM pair kernel: one
+    // static call per adjacency row emits its C(d,2) pairs as single
+    // int64s (u << 32 | v) — no per-pair struct allocation, and the
+    // ~10⁸-row wedge shuffle runs on an 8-byte key instead of a 16-byte
+    // pair. Requires ids < 2³² — holds for part keys at any TPC-H scale;
+    // 64-bit id spaces would swap in sortedLongPairsKernel and a
+    // two-column key (the kernel throws rather than corrupt).
+    val wedges = kept
+      .select(explode(sortedLongPairsPackedKernel(col("ids"))).as("uv"),
+        lit(1).as("w"))
+    val und = adj.select(col("src"), explode(col("ids")).as("v"))
+      .select(shiftleft(col("src"), 32).bitwiseOR(col("v")).as("uv"),
+        lit(0).as("w"))
+    val nPart = adj.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // explicit partition count: AQE's size-based coalesce would fold the
+    // ~12-byte-row shuffle into a handful of partitions and starve the
+    // sort+count stage of cores (same reasoning as the adjacency memo)
+    wedges.union(und)
+      .repartition(nPart, col("uv"))
+      .sortWithinPartitions("uv")
+  }
+
+  /** Streaming run-length count over a (uv: long, w: int) DataFrame that
+    * is hash-partitioned and sorted on `uv`: each run of equal keys is
+    * one candidate pair; emits (uv, count of w==1 rows) and SUPPRESSES
+    * any run containing a w==0 row (a tagged existing edge). Runs at the
+    * InternalRow level with one reused mutable output row — zero per-row
+    * allocation, because this hop streams ~10⁸ rows per partition and
+    * per-row boxing (an encoder/Tuple2 path measured up to 5× slower
+    * under a dirty heap) would make the stage GC-bound. O(1) state per
+    * partition regardless of group count — the property that lets the
+    * pair space grow 100× without a memory cliff. */
+  private def rleWedgeCount(taggedSorted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.SpecificInternalRow
+    import org.apache.spark.sql.types._
+    val session = taggedSorted.sparkSession
+    val rdd = org.apache.spark.sql.graft.bridge.toInternalRdd(taggedSorted)
+      .mapPartitions { it =>
+        new Iterator[InternalRow] {
+          private val out = new SpecificInternalRow(Seq(LongType, LongType))
+          private var curKey = 0L
+          private var cnt = 0L
+          private var edged = false
+          private var open = false
+          private var ready = false
+          private def close(): Unit = {
+            if (open && !edged && cnt > 0) {
+              out.setLong(0, curKey); out.setLong(1, cnt); ready = true
+            }
+            open = false
+          }
+          private def advance(): Unit = {
+            ready = false
+            while (!ready && it.hasNext) {
+              val r = it.next()
+              val k = r.getLong(0)
+              val w = r.getInt(1)
+              if (!open) { curKey = k; cnt = 0L; edged = false; open = true }
+              else if (k != curKey) {
+                close(); curKey = k; cnt = 0L; edged = false; open = true
+              }
+              if (w == 0) edged = true else cnt += 1
+            }
+            if (!ready) close()
+          }
+          // the reused `out` buffer must hold the CURRENT row until the
+          // consumer asks for the next one: advance lazily, on demand
+          private var needAdvance = true
+          private def ensure(): Unit =
+            if (needAdvance) { advance(); needAdvance = false }
+          def hasNext: Boolean = { ensure(); ready }
+          def next(): InternalRow = { ensure(); needAdvance = true; out }
+        }
+      }
+    org.apache.spark.sql.graft.bridge.fromInternalRdd(session, rdd,
+      StructType(Seq(StructField("uv", LongType, nullable = false),
+        StructField("common", LongType, nullable = false))))
   }
 
   /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration — the

@@ -26,6 +26,24 @@ object bridge {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
 
+  /** The `RDD[InternalRow]` of a DataFrame's executed physical plan —
+    * the allocation-free handoff for per-partition streaming kernels
+    * (rows arrive as UnsafeRow; primitive accessors never box). */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
+
+  /** Wrap an `RDD[InternalRow]` back into a DataFrame (the inverse of
+    * [[toInternalRdd]]) — rows may be reused mutable buffers, exactly as
+    * between physical operators; buffering consumers copy, streaming
+    * consumers don't need to. */
+  def fromInternalRdd(spark: org.apache.spark.sql.SparkSession,
+                      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a SQL function on an ALREADY-RUNNING session (extensions
     * only apply at builder time). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

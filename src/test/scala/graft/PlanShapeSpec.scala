@@ -124,19 +124,34 @@ class PlanShapeSpec extends SparkSpec {
     } finally release()
   }
 
-  test("graph_nbr_jaccard: cap before pair kernel, anti-join, one dict crossJoin") {
-    val df = Graph.neighborJaccardPlan(Graph.adjacency(spark, sfDir))
+  test("graph_nbr_jaccard: cap before pair kernel, one-shuffle RLE count, one dict crossJoin") {
+    val adj = Graph.adjacency(spark, sfDir)
+    val df = Graph.neighborJaccardPlan(adj)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // packed pair kernel feeds from the degree-capped adjacency: the cap
-    // filter must exist in-plan BEFORE the quadratic pair expansion
-    assert(plan.contains("sortedLongPairsPacked"), plan.take(3000))
-    assert(plan.contains("<= 256"), plan.take(3000))
-    // existing edges drop via an anti-join, and the ONLY non-equi join is
-    // the single-row size-dictionary broadcast
-    assert(plan.contains("LeftAnti"), plan.take(3000))
+    // the wedge count crossed into RDD space (the run-length pass), so
+    // the OUTER plan consumes it as a flat ExistingRDD scan: no hash
+    // aggregate on the ~C(d,2)-pair stream and no anti-join stage may
+    // reappear here
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
+    assert(!plan.contains("LeftAnti"), plan.take(3000))
+    // the ONLY non-equi join is the single-row size-dictionary broadcast
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+
+    // the INNER subplan (what feeds the run-length count): packed pair
+    // kernel over the degree-capped adjacency, tagged edge union, ONE
+    // hash exchange on the packed key, in-partition sort — the sort-based
+    // aggregation shape (no hash aggregate anywhere on the pair stream)
+    val inner = Graph.nbrTaggedSorted(adj)
+    inner.collect()
+    val ip = inner.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(ip.contains("sortedLongPairsPacked"), ip.take(3000))
+    assert(ip.contains("<= 256"), ip.take(3000))
+    assert(ip.contains("Union"), ip.take(3000))
+    assert(ip.contains("hashpartitioning(uv"), ip.take(3000))
+    assert(ip.contains("Sort [uv"), ip.take(3000))
+    assert(!ip.contains("HashAggregate"), ip.take(3000))
   }
 
   test("ev_ab_test: per-user + per-variant aggregates, one single-row broadcast") {
