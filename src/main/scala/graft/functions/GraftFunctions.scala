@@ -158,4 +158,83 @@ object GraftFunctions {
       Seq(bridge.expression(keys), bridge.expression(vals), bridge.expression(key)),
       inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), LongType),
       returnNullable = false))
+
+  /** Top-`keep` centroid ids of `vec` by cosine similarity (ties → the
+    * smaller cent_id), over a broadcast `cents` array of
+    * (cent_id: long, cent_vec: array) structs — ONE compiled call per
+    * row. A `transform(cents, c => cosine(...))` lambda evaluates every
+    * 64-dim dot product in interpreted mode (HOFs are CodegenFallback;
+    * measured ~160 µs/row), and unrolling nlist cosine EXPRESSIONS blows
+    * the generated method past the JIT's huge-method limit, de-optimizing
+    * the whole projection — so the scoring loop lives here as plain JVM
+    * code instead. The per-centroid cosine mirrors
+    * [[graft.functions.CosineSimilarity]]'s accumulation order exactly
+    * (pairwise null-checked, left-to-right dot/na/nb in one loop,
+    * `0.0` on zero norms) so results are bit-identical to the expression
+    * form and the DuckDB oracle replay. `vecFloat`/`centsFloat` pick the
+    * element reader (float embeddings vs double k-means centroids) —
+    * ArrayData carries no element type at runtime. NaN cosines are never
+    * selected. Returns at most `keep` ids, fewer when cents is smaller. */
+  def centroidTopIds(vec: ArrayData, cents: ArrayData, keep: Int,
+                     vecFloat: Boolean, centsFloat: Boolean): ArrayData = {
+    val n = cents.numElements()
+    val cos = new Array[Double](n)
+    val ids = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      val ent = cents.getStruct(c, 2)
+      ids(c) = ent.getLong(0)
+      val cv = ent.getArray(1)
+      val m = math.min(vec.numElements(), cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        if (!vec.isNullAt(i) && !cv.isNullAt(i)) {
+          val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          val y = if (centsFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+          dot += x * y; na += x * x; nb += y * y
+        }
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      cos(c) = if (d == 0.0) 0.0 else dot / d
+      c += 1
+    }
+    val k = math.min(keep, n)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](n)
+    var filled = 0
+    while (filled < k) {
+      var best = -1
+      var bc = 0
+      while (bc < n) {
+        if (!taken(bc) &&
+          (best < 0 || cos(bc) > cos(best) ||
+            (cos(bc) == cos(best) && ids(bc) < ids(best)))) {
+          // NaN never wins a > / == comparison, so a NaN slot can only
+          // land in `best` via the best<0 seed — reject it at selection
+          if (!cos(bc).isNaN) best = bc
+        }
+        bc += 1
+      }
+      if (best < 0) {
+        // fewer than `keep` selectable centroids (NaN cosines): truncate
+        return new GenericArrayData(java.util.Arrays.copyOf(out, filled))
+      }
+      taken(best) = true
+      out(filled) = ids(best)
+      filled += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def centroidTopIdsKernel(vec: Column, cents: Column, keep: Column,
+                           vecFloat: Column, centsFloat: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      ArrayType(LongType, containsNull = false),
+      "centroidTopIds",
+      Seq(bridge.expression(vec), bridge.expression(cents),
+        bridge.expression(keep), bridge.expression(vecFloat),
+        bridge.expression(centsFloat)),
+      returnNullable = false))
 }

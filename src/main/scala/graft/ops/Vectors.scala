@@ -3,8 +3,12 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, 64-dim) — beyond-reference (BASELINE.json north star).
@@ -20,8 +24,13 @@ import org.apache.spark.sql.functions._
   *     (table, code). At 100 TB this replaces the O(N·Q) scan with per-
   *     bucket work, and L/b tune recall vs fan-out.
   *
-  * All vector math is higher-order functions (`zip_with`/`aggregate`) —
-  * codegen'd, no UDF serialization, no driver-side loops.
+  * All vector math runs compiled — either the native codegen'd
+  * expressions ([[dotCol]]/[[cosineCol]]) or, where a whole scoring loop
+  * over a broadcast centroid array is needed per row, a StaticInvoke JVM
+  * kernel ([[graft.functions.GraftFunctions.centroidTopIds]]). Never
+  * inside higher-order-function lambdas, which Spark evaluates in
+  * interpreted mode (CodegenFallback). No UDF serialization, no
+  * driver-side loops.
   */
 object Vectors {
 
@@ -249,22 +258,23 @@ object Vectors {
     * (one output row per kept centroid). `df` must carry an `embedding`
     * column; all other columns pass through. Ties break to the smaller
     * cent_id (deterministic). */
-  private def assignCentroid(df: DataFrame, centsOne: DataFrame, keep: Int): DataFrame = {
-    val scored = transform(col("cents"), c => struct(
-      cosineCol(col("embedding"), c.getField("cent_vec")).as("cos"),
-      c.getField("cent_id").as("cent_id")))
-    val byCosDescIdAsc = (l: Column, r: Column) =>
-      when(l.getField("cos") > r.getField("cos"), -1)
-        .when(l.getField("cos") < r.getField("cos"), 1)
-        .when(l.getField("cent_id") < r.getField("cent_id"), -1)
-        .when(l.getField("cent_id") > r.getField("cent_id"), 1)
-        .otherwise(0)
+  private def assignCentroid(df: DataFrame, centsOne: DataFrame, keep: Int,
+                             centsFloat: Boolean): DataFrame = {
+    // top-`keep` centroids per row in ONE compiled kernel call
+    // ([[graft.functions.GraftFunctions.centroidTopIds]]): the former
+    // transform/array_sort lambda chain evaluated every cosine in
+    // interpreted mode (HOFs are CodegenFallback — measured ~160 µs/row,
+    // 3.2 s over a 20k-row corpus at sf1), and unrolled cosine
+    // EXPRESSIONS exceed the JIT's huge-method limit. The kernel mirrors
+    // the native cosine's accumulation order bit-for-bit and keeps the
+    // (cos desc, cent_id asc) pick rule. Still the single-row broadcast
+    // crossJoin shape: assignment stays pure map-side, no corpus shuffle.
+    import graft.functions.GraftFunctions.centroidTopIdsKernel
     val passThrough = df.columns.map(col)
     df.crossJoin(broadcast(centsOne))
       .select(passThrough.toIndexedSeq :+
-        explode(slice(array_sort(scored, byCosDescIdAsc), 1, keep)).as("sc"): _*)
-      .withColumn("cent_id", col("sc.cent_id"))
-      .drop("sc")
+        explode(centroidTopIdsKernel(col("embedding"), col("cents"),
+          lit(keep), lit(true), lit(centsFloat))).as("cent_id"): _*)
   }
 
   private[graft] val PqSub = 4        // subspaces
@@ -320,6 +330,62 @@ object Vectors {
     }
   }
 
+  /** All [[PqSub]] PQ codes of a FLOAT embedding in one compiled call —
+    * the hot-path form of [[pqCodeCol]] for the ann_ivf_pq corpus side.
+    * The expression form inlines `greatest(8 dots)` into every CASE
+    * branch (~288 dot nodes per row); it never reaches WholeStageCodegen
+    * and, worse, Catalyst inlines the whole tree past the candidate join
+    * so it re-evaluates PER CANDIDATE (measured: the corpus projection
+    * alone ran ~230 µs/row interpreted at sf1). This kernel mirrors the
+    * expression arithmetic exactly — per-codebook dots accumulate
+    * left-to-right over (float→double)·(±1 double) products, `greatest`
+    * semantics for NaN (any NaN dot → NULL code, like the CASE
+    * fall-through), first-match-wins tie rule — so results stay
+    * bit-identical to [[pqCodes]] and the DuckDB oracle replay. */
+  def pqCodesOf(vec: ArrayData): ArrayData = {
+    val out = new Array[Any](PqSub)
+    var s = 0
+    while (s < PqSub) {
+      val cb = pqCodebooks(s)
+      val off = s * PqSubDim
+      val d = new Array[Double](PqCents)
+      var anyNaN = false
+      var c = 0
+      while (c < PqCents) {
+        val w = cb(c)
+        var dot = 0.0
+        var i = 0
+        while (i < PqSubDim) {
+          if (!vec.isNullAt(off + i)) dot += vec.getFloat(off + i).toDouble * w(i)
+          i += 1
+        }
+        d(c) = dot
+        if (dot.isNaN) anyNaN = true
+        c += 1
+      }
+      if (anyNaN) out(s) = null
+      else {
+        var best = d(0); c = 1
+        while (c < PqCents) { if (d(c) > best) best = d(c); c += 1 }
+        var code = 0
+        while (d(code) != best) code += 1
+        out(s) = code
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column form of [[pqCodesOf]]: array of PqSub codes (null entries on
+    * NaN dots, matching the expression form's NULL). */
+  private[graft] def pqCodesKernel(vec: Column): Column =
+    bridge.column(StaticInvoke(
+      Vectors.getClass,
+      ArrayType(IntegerType, containsNull = true),
+      "pqCodesOf",
+      Seq(bridge.expression(vec)),
+      returnNullable = false))
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     def sub(s: Int): Column = pqSub(col("embedding"), s)
@@ -353,7 +419,7 @@ object Vectors {
   private def pqSubvecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       explode(array((0 until PqSub).map(s => struct(lit(s).as("sub"),
-        transform(pqSub(col("embedding"), s), v => v.cast("double")).as("v"))): _*)).as("sv"))
+        pqSub(col("embedding"), s).cast("array<double>").as("v"))): _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
 
   /** The trained codebook table collapsed to ONE broadcastable row
@@ -366,20 +432,54 @@ object Vectors {
     * argmin ‖v−c‖² ≡ argmax (v·c − ‖c‖²/2), ties to the smaller code.
     * Expects `cbs` (from [[pqCbRow]]) in scope via a single-row
     * broadcast crossJoin — pure map-side, like [[assignCentroid]]. */
-  private def pqBest: Column = {
-    val cands = filter(col("cbs"), c => c.getField("sub") === col("sub"))
-    val scored = transform(cands, c => struct(
-      (dotCol(col("v"), c.getField("cent_vec")) -
-        lit(0.5) * c.getField("cent_norm2")).as("score"),
-      c.getField("code").as("code")))
-    val byScoreDescCodeAsc = (l: Column, r: Column) =>
-      when(l.getField("score") > r.getField("score"), -1)
-        .when(l.getField("score") < r.getField("score"), 1)
-        .when(l.getField("code") < r.getField("code"), -1)
-        .when(l.getField("code") > r.getField("code"), 1)
-        .otherwise(0)
-    element_at(array_sort(scored, byScoreDescCodeAsc), 1)
+  /** Best trained-codebook (score, code) for a (sub, v) subvector in one
+    * compiled call — same rationale as [[pqCodesOf]]: the former
+    * filter/transform/array_sort lambda chain evaluated every 16-dim dot
+    * interpreted (HOFs are CodegenFallback). Scans ALL cbs entries with a
+    * sub-match guard, so correctness is independent of the collect_list
+    * order; score = v·c − ‖c‖²/2 with the dot accumulated left-to-right
+    * (mirrors the vec_dot expression bit-for-bit); ties → smaller code;
+    * NaN scores never win. Returns null when no entry matches (unreachable
+    * for real codebooks — every sub retains ≥1 code). */
+  def pqBestOf(v: ArrayData, sub: Int, cbs: ArrayData): ArrayData = {
+    val n = cbs.numElements()
+    var bestScore = 0.0
+    var bestCode = -1
+    var e = 0
+    while (e < n) {
+      val ent = cbs.getStruct(e, 4)
+      if (ent.getInt(0) == sub) {
+        val cv = ent.getArray(2)
+        val m = math.min(v.numElements(), cv.numElements())
+        var dot = 0.0
+        var i = 0
+        while (i < m) {
+          if (!v.isNullAt(i) && !cv.isNullAt(i)) dot += v.getDouble(i) * cv.getDouble(i)
+          i += 1
+        }
+        val score = dot - 0.5 * ent.getDouble(3)
+        val code = ent.getInt(1)
+        if (!score.isNaN &&
+          (bestCode < 0 || score > bestScore ||
+            (score == bestScore && code < bestCode))) {
+          bestScore = score; bestCode = code
+        }
+      }
+      e += 1
+    }
+    if (bestCode < 0) null
+    else new GenericArrayData(Array[Any](bestScore, bestCode.toDouble))
   }
+
+  /** Column form of [[pqBestOf]]: [score, code] doubles (`getItem(0)` /
+    * `getItem(1)`). */
+  private def pqBestKernel(v: Column, sub: Column, cbs: Column): Column =
+    bridge.column(StaticInvoke(
+      Vectors.getClass,
+      ArrayType(DoubleType, containsNull = false),
+      "pqBestOf",
+      Seq(bridge.expression(v), bridge.expression(sub), bridge.expression(cbs)),
+      returnNullable = true))
 
   /** Per-subspace Lloyd's k-means PQ training — the real-quantizer
     * upgrade over the deterministic ±1 [[pqCodebooks]]. All four
@@ -400,7 +500,8 @@ object Vectors {
       .select(col("sub"), col("vec_id").cast("int").as("code"), col("v").as("cent_vec")))
     for (_ <- 1 to iters) {
       val assigned = sv.crossJoin(broadcast(pqCbRow(cb)))
-        .select((col("sub").cast("long") * PqCents + pqBest.getField("code")).as("k"),
+        .select((col("sub").cast("long") * PqCents +
+          pqBestKernel(col("v"), col("sub"), col("cbs")).getItem(1).cast("long")).as("k"),
           col("v"))
         .as[(Long, Array[Double])]
       cb = Dedup.truncate(
@@ -426,10 +527,10 @@ object Vectors {
     val emb = Tables.embeddings(spark, dir)
     val cb = pqTrainCodebooks(emb, iters = 3)
     pqSubvecs(emb).crossJoin(broadcast(pqCbRow(cb)))
-      .withColumn("best", pqBest) // evaluate the argmin ONCE per subvector
+      .withColumn("best", pqBestKernel(col("v"), col("sub"), col("cbs")))
       .select(col("vec_id"), col("sub"),
-        col("best.code").as("code"),
-        (dotCol(col("v"), col("v")) - lit(2.0) * col("best.score")).as("err"))
+        col("best").getItem(1).cast("int").as("code"),
+        (dotCol(col("v"), col("v")) - lit(2.0) * col("best").getItem(0)).as("err"))
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("sub") === 0, col("code"))).as("code0"),
@@ -505,12 +606,13 @@ object Vectors {
     import spark.implicits._
     var cents = truncate(emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"),
-        transform(col("embedding"), v => v.cast("double")).as("cent_vec")))
+        col("embedding").cast("array<double>").as("cent_vec")))
     for (_ <- 1 to iters) {
       val assigned = assignCentroid(
-          emb.select(col("vec_id"), col("embedding")), centsRow(cents), keep = 1)
+          emb.select(col("vec_id"), col("embedding")), centsRow(cents), keep = 1,
+          centsFloat = false)
         .select(col("cent_id"),
-          transform(col("embedding"), v => v.cast("double")).as("v"))
+          col("embedding").cast("array<double>").as("v"))
         .as[(Long, Array[Double])]
       cents = truncate(
         assigned.groupByKey(_._1).agg(VecMean.toColumn.name("cent_vec"))
@@ -537,11 +639,12 @@ object Vectors {
     val emb = Tables.embeddings(spark, dir)
     val cOne = truncate(centsRow(kmeansCentroids(emb, nlist, iters = 2)))
     val corpus = assignCentroid(
-      emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1)
+      emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1,
+      centsFloat = false)
       .select(col("cent_id"), col("c_id"), col("embedding").as("c_vec"))
     val queries = assignCentroid(
       emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
-      cOne, keep = nprobe)
+      cOne, keep = nprobe, centsFloat = false)
       .select(col("cent_id"), col("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     corpus.join(broadcast(queries), Seq("cent_id"))
@@ -585,14 +688,16 @@ object Vectors {
     // corpus: one list per vector + its 4 PQ codes (codebook dots fold
     // into codegen; the embedding itself is DROPPED after this projection)
     val corpus = assignCentroid(
-        emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1)
+        emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1,
+        centsFloat = true)
       .select(col("cent_id") +: col("c_id") +:
-        (0 until PqSub).map(s => pqCodeCol(col("embedding"), s).as(s"code$s")): _*)
+        { val codes = pqCodesKernel(col("embedding"))
+          (0 until PqSub).map(s => codes.getItem(s).as(s"code$s")) }: _*)
     // queries: nprobe (cent_id, q_id) rows, each carrying the per-subspace
     // ADC lookup tables (computed ONCE per query, before the join)
     val queries = assignCentroid(
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
-        cOne, keep = IvfPqProbe)
+        cOne, keep = IvfPqProbe, centsFloat = true)
       .select(col("cent_id") +: col("q_id") +:
         (0 until PqSub).map(s => array(pqDots(col("embedding"), s): _*).as(s"lut$s")): _*)
     // ADC: 4 LUT lookups per candidate, summed left-to-right (both engines)
