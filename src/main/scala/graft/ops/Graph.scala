@@ -121,21 +121,38 @@ object Graph {
     powerIterate(e, ranks0, iters, d, checkpointEvery, Seq(e))
   }
 
-  /** [[pageRank]] over the ADJACENCY-aggregate form (src, ids): the edge
-    * list explodes map-side from the cached adjacency — already hash-
-    * partitioned on src by the aggregate's own exchange, so no
-    * repartition — and the initial rank table is a pure projection
-    * (outdeg = list size), so the degree aggregation disappears too. Two
-    * full shuffles (distinct + repartition) and one aggregate cheaper
-    * than the generic edge-list path; same update, same result. */
+  /** [[pageRank]] over the ADJACENCY-aggregate form (src, ids): the
+    * initial rank table is a pure projection (outdeg = list size, no
+    * degree aggregation), and each round joins the rank table onto the
+    * |V|-row ADJACENCY — not the |E|-row edge list — so the per-round
+    * join probes 200k rows instead of 13M at sf1; contributions explode
+    * AFTER the rank attach, map-side, straight into the partial
+    * aggregate. Same update rule and the same per-node contribution
+    * multiset as the edge-list path (summation order differs — absorbed
+    * by the 4-decimal rounding of [[pagerankTop]], exactly like the
+    * engine's own partition-order variation). */
   def pageRankAdj(adj: DataFrame, iters: Int = 6, d: Double = 0.85,
                   checkpointEvery: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val adjP = adj.persist(StorageLevel.MEMORY_AND_DISK)
-    val e = adjP.select(col("src"), explode(col("ids")).as("dst"))
-    val ranks0 = adjP.select(col("src").as("node"),
+    var ranks = adjP.select(col("src").as("node"),
       size(col("ids")).cast("long").as("outdeg"), lit(1.0).as("rank"))
-    powerIterate(e, ranks0, iters, d, checkpointEvery, Seq(adjP))
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks.select(col("node").as("src"),
+        (col("rank") / col("outdeg")).as("contrib"))
+      val summed = adjP.join(contribs, Seq("src"))
+        .select(explode(col("ids")).as("node"), col("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("msum"))
+      ranks = ranks.select(col("node"), col("outdeg"))
+        .join(summed, Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(1.0 - d) + lit(d) * coalesce(col("msum"), lit(0.0))).as("rank"))
+      i += 1
+      if (i % checkpointEvery == 0 || i == iters) ranks = Dedup.truncate(ranks)
+    }
+    adjP.unpersist(blocking = false)
+    ranks.select(col("node"), col("rank"))
   }
 
   /** The shared power-iteration loop. outdeg rides INSIDE the rank table

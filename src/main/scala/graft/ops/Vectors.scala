@@ -77,6 +77,48 @@ object Vectors {
     array((0 until Tables_).map(t =>
       struct(lit(t).as("t"), lshCodeCol(vec, t).as("code"))): _*)
 
+  /** All L table codes of a FLOAT embedding in one compiled call — the
+    * hot-path form of [[lshBucketsCol]]: the expression form is L×b = 48
+    * separate 64-dim literal-array dot expressions per row, a generated
+    * method far past the JIT huge-method limit (same pathology as the
+    * PQ CASE trees — the projection de-optimizes to interpreted).
+    * Bit-for-bit identical: each dot accumulates left-to-right over
+    * (float→double)·(±1 double) products and sets bit p iff dot > 0,
+    * exactly like the expression and the oracle's `list_dot_product`
+    * replay. Element index = table id (consume with posexplode). */
+  def lshCodesOf(vec: ArrayData): ArrayData = {
+    val out = new Array[Any](Tables_)
+    var t = 0
+    while (t < Tables_) {
+      var code = 0
+      var p = 0
+      while (p < Bits) {
+        val w = planes(t)(p)
+        val m = math.min(vec.numElements(), Dim)
+        var dot = 0.0
+        var i = 0
+        while (i < m) {
+          if (!vec.isNullAt(i)) dot += vec.getFloat(i).toDouble * w(i)
+          i += 1
+        }
+        if (dot > 0) code |= 1 << p
+        p += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column form of [[lshCodesOf]]. */
+  private[graft] def lshCodesKernel(vec: Column): Column =
+    bridge.column(StaticInvoke(
+      Vectors.getClass,
+      ArrayType(IntegerType, containsNull = false),
+      "lshCodesOf",
+      Seq(bridge.expression(vec)),
+      returnNullable = false))
+
   /** The hyperplane codes rendered as DuckDB SQL — the planes are
     * deterministic ±1 literals, so the ENTIRE LSH pipeline is
     * reproducible in the oracle engine (one UNION ALL branch per table,
@@ -95,8 +137,8 @@ object Vectors {
 
   private def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
     df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
-      .select(col(idAs), col(vecAs), explode(lshBucketsCol(col(vecAs))).as("bkt"))
-      .select(col(idAs), col(vecAs), col("bkt.t").as("t"), col("bkt.code").as("code"))
+      .select(col(idAs), col(vecAs),
+        posexplode(lshCodesKernel(col(vecAs))).as(Seq("t", "code")))
 
   /** Exact brute-force cosine top-k: queries = vec_id < 10 (broadcast),
     * k = 5 neighbors each, self-match excluded, deterministic id tiebreak. */
