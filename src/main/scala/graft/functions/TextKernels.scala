@@ -305,7 +305,48 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** All character trigrams of `text` in order, one O(n) pass — the
+    * compiled form of `transform(sequence(1, char_length(t) - 2),
+    * i -> substring(t, i, 3))`, whose per-index lambda substring runs
+    * interpreted AND re-walks the string from its start per call
+    * (quadratic for non-ASCII). Slices by CODEPOINT offsets exactly like
+    * SQL `substring`, so each trigram is byte-identical to the expression
+    * form and the DuckDB replay; emission order is ascending i, so
+    * downstream left-to-right FP accumulation is unchanged. Fewer than 3
+    * chars → empty array (callers filter those out first). */
+  def charTrigrams(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // codepoint start offsets (+ end sentinel)
+    var n = 0
+    var off = 0
+    val offs = new Array[Int](text.numChars() + 1)
+    while (off < len) {
+      offs(n) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      n += 1
+    }
+    offs(n) = len
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i + 3 <= n) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + 3) - offs(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Column wrappers (StaticInvoke => direct static call in codegen) ---
+
+  def charTrigramsKernel(text: Column): Column =
+    bridge.column(StaticInvoke(
+      TextKernels.getClass,
+      ArrayType(StringType, containsNull = false),
+      "charTrigrams",
+      Seq(bridge.expression(text)),
+      inputTypes = Seq(StringType),
+      returnNullable = false))
 
   def shinglesKernel(text: Column, k: Int): Column =
     bridge.column(StaticInvoke(

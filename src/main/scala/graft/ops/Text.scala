@@ -703,8 +703,7 @@ object Text {
       .filter(char_length(col("text")) >= 3)
       .select(col("doc_id"), lower(col("text")).as("t"))
     val tris = base.select(col("doc_id"),
-      explode(expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))"))
-        .as("tri"))
+      explode(graft.functions.TextKernels.charTrigramsKernel(col("t"))).as("tri"))
     // model = bounded-vocab (≤ |charset|³) trigram counts, folded into ONE
     // row of parallel sorted arrays (keys ascending, counts aligned —
     // array_sort on the struct orders by the first field in UTF8 binary
@@ -724,7 +723,7 @@ object Text {
     // and the output sort.
     base.crossJoin(broadcast(modelRow))
       .select(col("doc_id"),
-        expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))").as("tris"),
+        graft.functions.TextKernels.charTrigramsKernel(col("t")).as("tris"),
         col("ks"), col("cs"), col("tc"))
       .select(col("doc_id"),
         round(graft.functions.TextKernels.trigramScoreKernel(
