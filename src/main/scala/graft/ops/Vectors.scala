@@ -515,7 +515,7 @@ object Vectors {
 
   /** Column form of [[pqBestOf]]: [score, code] doubles (`getItem(0)` /
     * `getItem(1)`). */
-  private def pqBestKernel(v: Column, sub: Column, cbs: Column): Column =
+  private[graft] def pqBestKernel(v: Column, sub: Column, cbs: Column): Column =
     bridge.column(StaticInvoke(
       Vectors.getClass,
       ArrayType(DoubleType, containsNull = false),

@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextKernels}
+import graft.ops.Vectors
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pins every round-9 compiled kernel against the interpreted
+  * expression/HOF form it replaced: the kernels exist purely for speed
+  * (HOF lambdas and giant CASE trees evaluate outside codegen), so any
+  * value divergence from the composable reference is a bug. References
+  * are written inline exactly as the pre-kernel code had them. */
+class KernelEquivalenceSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("charTrigrams kernel == transform(sequence, substring) on real docs + unicode") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .union(Seq(
+        (90001L, "abc"), (90002L, "ab"), (90003L, "αβγδε züß 試験テキスト"),
+        (90004L, "aaa bbb ccc"), (90005L, "x")).toDF("doc_id", "text"))
+      .filter(char_length(col("text")) >= 3)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val mismatches = docs.select(
+      TextKernels.charTrigramsKernel(col("t")).as("k"),
+      expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))").as("h"))
+      .filter(col("k") =!= col("h"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("lshCodesOf kernel == lshBucketsCol expression form on real embeddings") {
+    val ref = emb.select(col("vec_id"),
+      Vectors.lshCodesKernel(col("embedding")).as("k"),
+      transform(Vectors.lshBucketsCol(col("embedding")), x => x.getField("code")).as("h"))
+    assert(ref.filter(col("k") =!= col("h")).count() == 0)
+  }
+
+  test("pqCodesOf kernel == pqCodeCol expression form on real embeddings") {
+    val codes = Vectors.pqCodesKernel(col("embedding"))
+    val ref = emb.select(
+      (0 until Vectors.PqSub).map(s =>
+        (codes.getItem(s) <=> Vectors.pqCodeCol(col("embedding"), s)).as(s"eq$s")): _*)
+    val bad = ref.filter((0 until Vectors.PqSub).map(s => !col(s"eq$s")).reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
+  test("centroidTopIds kernel == interpreted sort-based reference (keep=1 and keep=3)") {
+    // reference: the pre-kernel transform/array_sort comparator pipeline
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cOne = cents.agg(collect_list(struct(col("cent_id"), col("cent_vec"))).as("cents"))
+    val scored = transform(col("cents"), c => struct(
+      Vectors.cosineCol(col("embedding"), c.getField("cent_vec")).as("cos"),
+      c.getField("cent_id").as("cent_id")))
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cent_id") < r.getField("cent_id"), -1)
+        .when(l.getField("cent_id") > r.getField("cent_id"), 1)
+        .otherwise(0)
+    for (keep <- Seq(1, 3)) {
+      val both = emb.crossJoin(broadcast(cOne)).select(
+        GraftFunctions.centroidTopIdsKernel(col("embedding"), col("cents"),
+          lit(keep), lit(true), lit(true)).as("k"),
+        slice(transform(array_sort(scored, cmp), x => x.getField("cent_id")),
+          1, keep).as("h"))
+      assert(both.filter(col("k") =!= col("h")).count() == 0, s"keep=$keep")
+    }
+  }
+
+  test("pqBestOf kernel == interpreted filter/transform/array_sort reference") {
+    // real trained codebooks, then compare the per-subvector argmin between
+    // the kernel and the pre-kernel lambda pipeline (score AND code)
+    val cb = Vectors.pqTrainCodebooks(emb, iters = 1)
+    val cbRow = cb.agg(collect_list(struct(col("sub"), col("code"), col("cent_vec"),
+      Vectors.dotCol(col("cent_vec"), col("cent_vec")).as("cent_norm2"))).as("cbs"))
+    val sv = emb.select(col("vec_id"),
+      explode(array((0 until Vectors.PqSub).map(s => struct(lit(s).as("sub"),
+        slice(col("embedding"), s * Vectors.PqSubDim + 1, Vectors.PqSubDim)
+          .cast("array<double>").as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    val cands = filter(col("cbs"), c => c.getField("sub") === col("sub"))
+    val scored = transform(cands, c => struct(
+      (Vectors.dotCol(col("v"), c.getField("cent_vec")) -
+        lit(0.5) * c.getField("cent_norm2")).as("score"),
+      c.getField("code").as("code")))
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("code") < r.getField("code"), -1)
+        .when(l.getField("code") > r.getField("code"), 1)
+        .otherwise(0)
+    val refBest = element_at(array_sort(scored, cmp), 1)
+    val both = sv.crossJoin(broadcast(cbRow)).select(
+      Vectors.pqBestKernel(col("v"), col("sub"), col("cbs")).as("k"),
+      refBest.as("h"))
+      .select(
+        col("k").getItem(0).as("k_score"),
+        col("k").getItem(1).cast("int").as("k_code"),
+        col("h").getField("score").as("h_score"),
+        col("h").getField("code").as("h_code"))
+    val bad = both.filter(
+      !(col("k_score") <=> col("h_score")) || !(col("k_code") <=> col("h_code"))).count()
+    assert(bad == 0)
+  }
+}
