@@ -200,8 +200,9 @@ object Dedup {
   def simhashNearPairs(spark: SparkSession, dir: String): DataFrame =
     simhashNearPairsDf(Tables.documents(spark, dir))
 
-  def simhashNearPairsDf(documents: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.sortedLongPairsKernel
+  def simhashNearPairsDf(documents: DataFrame,
+                         dictAttach: Boolean = true): DataFrame = {
+    import graft.functions.GraftFunctions.{sortedLongPairsKernel, sortedLongLookupKernel}
     val fp = documents
       .select(col("doc_id"),
         graft.functions.TextKernels.simhashKernel(col("text")).as("fp"))
@@ -216,11 +217,33 @@ object Dedup {
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    cands
-      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    // fingerprint re-attach: both endpoints of every candidate pair need
+    // their 64-bit simhash back. Default = the broadcast-dictionary idiom
+    // (one row of parallel sorted arrays, two O(log n) binary-search
+    // kernel probes per pair, map-side) — two whole shuffle-join stages
+    // disappear vs the equi-join form. 16 B/doc keeps the dictionary
+    // broadcastable to ~10⁸ docs; past that ceiling flip `dictAttach`
+    // off for the two-join fallback (same output — spec-pinned), exactly
+    // like [[Graph.neighborJaccardAdj]].
+    val scored =
+      if (dictAttach) {
+        val fpRow = fp
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("fp")))).as("kv"))
+          .select(transform(col("kv"), x => x.getField("doc_id")).as("ks"),
+            transform(col("kv"), x => x.getField("fp")).as("vs"))
+        cands.crossJoin(broadcast(fpRow))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(sortedLongLookupKernel(col("ks"), col("vs"), col("doc_a"))
+              .bitwiseXOR(sortedLongLookupKernel(col("ks"), col("vs"), col("doc_b"))))
+              .as("hamming"))
+      } else {
+        cands
+          .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      }
+    scored
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }

@@ -219,6 +219,7 @@ class PlanShapeSpec extends SparkSpec {
       "text_tfidf",        // single-row broadcast corpus-size crossJoin
       "text_collocations", // two single-row broadcast total crossJoins
       "pipeline_split",    // single-row broadcast leakage-audit crossJoin
+      "dedup_simhash_near", // single-row broadcast fp-dictionary crossJoin (kernel lookups)
       "agg_topk_sketch",   // single-row broadcast MG-sketch crossJoin
       "pipeline_zorder_plan") // single-row broadcast tile-bounds crossJoin
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -76,6 +76,15 @@ class TextDedupSpec extends SparkSpec {
     assert(hashes(1L) != hashes(3L))
   }
 
+  test("simhash near-dup: dictionary attach ≡ two-join attach on real data") {
+    // the broadcast fp-dictionary path (default) and the equi-join
+    // fallback must be row-identical — same pairs, same hamming
+    val docs = Tables.documents(spark, sfDir)
+    val dict = Dedup.simhashNearPairsDf(docs).collect().toSeq
+    val joins = Dedup.simhashNearPairsDf(docs, dictAttach = false).collect().toSeq
+    assert(dict.map(_.toSeq) == joins.map(_.toSeq))
+  }
+
   test("ngram jaccard pairs are symmetric-deduped and above threshold") {
     val rows = Dedup.ngramJaccardPairs(spark, sfDir).collect()
     rows.foreach { r =>
