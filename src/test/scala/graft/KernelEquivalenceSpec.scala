@@ -70,6 +70,48 @@ class KernelEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("rleWedgeCount path == groupBy-count + anti-join reference on random graphs") {
+    // the one-shuffle sort/RLE wedge count (with in-shuffle edge
+    // suppression) must equal the declarative reference: count wedges per
+    // pair, drop adjacent pairs. Random-ish graphs via deterministic hash
+    // mixing — three densities, including bucket-collision-heavy ones.
+    import spark.implicits._
+    for ((nNodes, nEdges, seed) <- Seq((40, 120, 1), (25, 260, 2), (60, 90, 3))) {
+      val raw = (0 until nEdges).map { i =>
+        val a = math.abs((i * 2654435761L + seed) % nNodes)
+        val b = math.abs((i * 40503L + seed * 7919L) % nNodes)
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      val und = raw.toDF("src", "dst")
+      val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      val adj = graft.ops.Dedup.truncate(
+        sym.groupBy(col("src")).agg(collect_set(col("dst")).as("ids")))
+      // production path: full neighborJaccard output
+      val got = graft.ops.Graph.neighborJaccardDf(sym).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      // reference: plain groupBy wedge count + anti-join + same scoring
+      import graft.functions.GraftFunctions.sortedLongPairsPackedKernel
+      val kept = adj.filter(size(col("ids")) <= 256)
+      val sizes = kept.select(explode(col("ids")).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("sz"))
+      val wedges = kept.select(explode(sortedLongPairsPackedKernel(col("ids"))).as("uv"))
+      val undPacked = adj.select(col("src"), explode(col("ids")).as("v"))
+        .select(shiftleft(col("src"), 32).bitwiseOR(col("v")).as("uv"))
+      val ref = wedges.groupBy(col("uv")).agg(count(lit(1)).as("common"))
+        .join(undPacked, Seq("uv"), "left_anti")
+        .select(shiftrightunsigned(col("uv"), 32).as("u"),
+          col("uv").bitwiseAND(lit(4294967295L)).as("v"), col("common"))
+        .join(sizes.select(col("node").as("u"), col("sz").as("sz_u")), Seq("u"))
+        .join(sizes.select(col("node").as("v"), col("sz").as("sz_v")), Seq("v"))
+        .select(col("u"), col("v"),
+          round(col("common").cast("double") /
+            (col("sz_u") + col("sz_v") - col("common")), 4).as("j"))
+        .orderBy(desc("j"), col("u"), col("v")).limit(50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got == ref, s"graph seed=$seed")
+    }
+  }
+
   test("pqBestOf kernel == interpreted filter/transform/array_sort reference") {
     // real trained codebooks, then compare the per-subvector argmin between
     // the kernel and the pre-kernel lambda pipeline (score AND code)
