@@ -91,16 +91,18 @@ object Dedup {
     * (driver data has none). */
   def minhashPairsDf(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsKernel
-    // Shingle sets and signatures are each consumed by 2-3 downstream joins;
-    // persist so the shingling/hash work runs once instead of per-join
-    // (at scale these are the expensive map-side passes over every document).
+    // Shingle sets and signatures are each consumed by 2-3 downstream
+    // joins; materialize each ONCE via the shared truncate helper
+    // (reliable checkpoint when configured, localCheckpoint otherwise) so
+    // the expensive per-document kernel passes never re-run per consumer.
+    // Unlike a bare .persist() the blocks are released by ContextCleaner
+    // as soon as the result DataFrame is unreferenced — no leaked cache
+    // entries in long-lived library sessions (CacheHygieneSpec pins it).
     import graft.functions.TextKernels
-    val docs = documents
-      .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles"))
-      .persist()
-    val sigs = docs.select(col("doc_id"),
-        TextKernels.minhashSigKernel(col("shingles"), NumPerms).as("sig"))
-      .persist()
+    val docs = truncate(documents
+      .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles")))
+    val sigs = truncate(docs.select(col("doc_id"),
+      TextKernels.minhashSigKernel(col("shingles"), NumPerms).as("sig")))
 
     // band keys are the RAW signature components (band, sig[2b], sig[2b+1])
     // — directly replayable in the DuckDB oracle, unlike a re-hash of the
@@ -203,10 +205,12 @@ object Dedup {
   def simhashNearPairsDf(documents: DataFrame,
                          dictAttach: Boolean = true): DataFrame = {
     import graft.functions.GraftFunctions.{sortedLongPairsKernel, sortedLongLookupKernel}
-    val fp = documents
+    // fingerprints feed the banding explode AND the scoring dictionary —
+    // truncate-materialize once (checkpoint blocks, ContextCleaner-
+    // reclaimed; no leaked cache in library sessions)
+    val fp = truncate(documents
       .select(col("doc_id"),
-        graft.functions.TextKernels.simhashKernel(col("text")).as("fp"))
-      .persist()
+        graft.functions.TextKernels.simhashKernel(col("text")).as("fp")))
     val chunked = fp.select(col("doc_id"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))

@@ -23,7 +23,8 @@ class CacheHygieneSpec extends SparkSpec {
   }
 
   for (q <- Seq("graph_pagerank", "graph_triangles", "graph_nbr_jaccard",
-    "dedup_clusters", "dedup_containment", "emb_dup_clusters"))
+    "dedup_clusters", "dedup_containment", "emb_dup_clusters",
+    "dedup_minhash", "dedup_simhash_near"))
     test(s"$q leaves no cached plans behind (checkpoint blocks whitelisted)") {
       clearAll() // isolate from whatever earlier suites left in the session
       SparkEntry.queries(q)(spark, sfDir)
