@@ -390,6 +390,10 @@ object Vectors {
     while (s < PqSub) {
       val cb = pqCodebooks(s)
       val off = s * PqSubDim
+      // mirror slice-then-dot on SHORT embeddings: slice past the array
+      // end yields a shorter (or empty) subvector, so bound the loop by
+      // the actual element count instead of reading out of range
+      val lim = math.min(PqSubDim, math.max(0, vec.numElements() - off))
       val d = new Array[Double](PqCents)
       var anyNaN = false
       var c = 0
@@ -397,7 +401,7 @@ object Vectors {
         val w = cb(c)
         var dot = 0.0
         var i = 0
-        while (i < PqSubDim) {
+        while (i < lim) {
           if (!vec.isNullAt(off + i)) dot += vec.getFloat(off + i).toDouble * w(i)
           i += 1
         }

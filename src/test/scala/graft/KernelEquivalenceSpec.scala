@@ -46,6 +46,20 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("pqCodesOf kernel == pqCodeCol on SHORT embeddings (slice past end)") {
+    // the expression form slices per subspace, and slice past the array
+    // end yields a shorter/empty subvector — the kernel must bound its
+    // reads the same way instead of reading out of range
+    val short = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 37).as("embedding"))
+    val codes = Vectors.pqCodesKernel(col("embedding"))
+    val ref = short.select(
+      (0 until Vectors.PqSub).map(s =>
+        (codes.getItem(s) <=> Vectors.pqCodeCol(col("embedding"), s)).as(s"eq$s")): _*)
+    val bad = ref.filter((0 until Vectors.PqSub).map(s => !col(s"eq$s")).reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
   test("centroidTopIds kernel == interpreted sort-based reference (keep=1 and keep=3)") {
     // reference: the pre-kernel transform/array_sort comparator pipeline
     val cents = emb.filter(col("vec_id") < 8)
