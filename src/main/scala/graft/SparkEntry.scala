@@ -1358,7 +1358,7 @@ object SparkEntry {
         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
         |  FROM events GROUP BY 1),
         |v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
-        |             count(*) AS n_users, sum(conv) AS n_converted
+        |             count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_converted
         |      FROM users GROUP BY 1),
         |pooled AS (SELECT
         |    COALESCE(sum(CASE WHEN variant = 'A' THEN n_converted END), 0) AS ca,

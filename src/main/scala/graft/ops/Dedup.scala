@@ -1011,7 +1011,7 @@ object Dedup {
       |audit AS (SELECT max(ns) AS max_splits_per_fp FROM (
       |    SELECT fp, count(DISTINCT split) AS ns FROM assigned GROUP BY 1))
       |SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_fps,
-      |       sum(n_chars) AS n_chars, max_splits_per_fp
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars, max_splits_per_fp
       |FROM assigned, audit
       |GROUP BY split, max_splits_per_fp
       |ORDER BY split""".stripMargin
