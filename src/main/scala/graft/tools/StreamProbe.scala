@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Focused profiler for the streaming lines (round-11 verdict item 7:
+  * `stream_neardup` throughput). Runs one streaming pipeline N times with
+  * a chosen shuffle-partition count and prints per-run seconds — isolates
+  * the fixed streaming-query machinery (query start, state-store
+  * instances, commit) from per-row work, which the full bench cannot.
+  *
+  * Usage: tools/runmain.sh graft.tools.StreamProbe <sfDir> [parts] [reps] [pipeline]
+  *   pipeline: neardup (default) | dedup
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val parts = if (args.length > 1) args(1).toInt else 32
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val which = if (args.length > 3) args(3) else "neardup"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stream-probe")
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    for (r <- 1 to reps) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t0 = System.nanoTime()
+      which match {
+        case "dedup" =>
+          val ev = graft.streaming.EventStream.readEvents(s2, sfDir)
+          graft.streaming.EventStream.runToCompletion(
+            graft.streaming.EventStream.streamingDedup(ev),
+            s"probe_dedup_${parts}_$r", OutputMode.Append())
+        case _ =>
+          val docPath = new java.io.File(s"$sfDir/documents.parquet")
+          val reader = s2.readStream.schema("doc_id LONG, text STRING")
+          val docs =
+            if (docPath.isDirectory) reader.parquet(docPath.toString)
+            else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          graft.streaming.EventStream.runToCompletion(
+            graft.streaming.DedupStream.streamingNearDup(s2, docs),
+            s"probe_neardup_${parts}_$r", OutputMode.Append())
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $which parts=$parts run=$r: $sec%.2f s  (${docRows / sec}%.0f rows/s)")
+    }
+    spark.stop()
+  }
+}
