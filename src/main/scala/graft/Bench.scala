@@ -136,6 +136,10 @@ object Bench {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // metrics-only knob: skips RocksDB's read-before-write row counting;
+      // measured ~10-15% off the warm stream_neardup wall (StreamProbe,
+      // round 11 — see docs/BENCH_NOTES.md)
+      s2.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       // driver testdata ships documents.parquet as a single FILE (stream
       // the parent dir with a glob); ScaleGen writes a directory
       val docPath = new java.io.File(s"$sfDir/documents.parquet")

@@ -16,7 +16,10 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * Same sketch as batch: md5-based 32-permutation MinHash signatures
   * (map-side codegen kernels), 16 × 2 banding. The state layer replaces
   * the batch band-bucket self-join: each (band, k0, k1) bucket is a
-  * `transformWithState` key whose [[ListState]] holds the signatures
+  * `transformWithState` key (packed to one xxhash64 long — fixed-width
+  * shuffle/state keys; a collision merging two buckets is a ~2⁻⁴⁷ event
+  * that could only ADD candidates, never lose one) whose [[ListState]]
+  * holds the signatures
   * registered in that bucket, capped at [[BucketCap]] entries — the same
   * skew guard as the batch 2..1000 bucket filter, bounding both state
   * size and per-arrival compare work no matter how degenerate a bucket
@@ -59,13 +62,18 @@ object DedupStream {
     * with the batch pipeline's estimate gate. */
   val EstThreshold = 0.25
 
-  /** Stateful core: key = "band:k0:k1" bucket, value rows =
-    * (bucket, band, doc_id, sig). Arrivals within a micro-batch are
-    * processed in doc_id order so output is deterministic regardless of
-    * shuffle iterator order; same-batch pairs are found because each
-    * arrival registers before the next is compared. */
-  class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
-      extends StatefulProcessor[String, (String, Int, Long, Array[Long]), StreamCandidate] {
+  /** Stateful core: key = the packed 64-bit (band, k0, k1) bucket id,
+    * value rows = (bucket, band, doc_id, sig). The key's VALUE is never
+    * read (band rides in the row) — it only partitions state — which is
+    * why a fixed-width long beats the former "band:k0:k1" string: the
+    * typed groupByKey sort-shuffle orders 8-byte longs instead of ~25-char
+    * strings and RocksDB keys shrink ~3×. Arrivals within a micro-batch
+    * are processed in doc_id order so output is deterministic regardless
+    * of shuffle iterator order; same-batch pairs are found because each
+    * arrival registers before the next is compared. Generic in K so the
+    * key representation can evolve without touching the compare logic. */
+  class LshBucketProcessor[K](ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[K, (K, Int, Long, Array[Long]), StreamCandidate] {
 
     @transient private var entries: ListState[BucketEntry] = _
 
@@ -73,8 +81,8 @@ object DedupStream {
       entries = getHandle.getListState[BucketEntry](
         "entries", Encoders.product[BucketEntry], ttl)
 
-    override def handleInputRows(key: String,
-                                 rows: Iterator[(String, Int, Long, Array[Long])],
+    override def handleInputRows(key: K,
+                                 rows: Iterator[(K, Int, Long, Array[Long])],
                                  timers: TimerValues): Iterator[StreamCandidate] = {
       val arrivals = rows.toSeq.sortBy(_._3)
       val registry = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
@@ -124,14 +132,14 @@ object DedupStream {
         explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
           col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
       .select(
-        concat_ws(":", col("bk.band"), col("bk.k0"), col("bk.k1")).as("bucket"),
+        xxhash64(col("bk.band"), col("bk.k0"), col("bk.k1")).as("bucket"),
         col("bk.band").as("band"), col("doc_id"), col("sig"))
-      .as[(String, Int, Long, Array[Long])]
+      .as[(Long, Int, Long, Array[Long])]
     // TTL states require processing-time mode; without TTL stay in
     // TimeMode.None so the unbounded path carries no clock machinery
     val (proc, timeMode) = ttl match {
-      case Some(d) => (new LshBucketProcessor(TTLConfig(d)), TimeMode.ProcessingTime())
-      case None    => (new LshBucketProcessor(), TimeMode.None())
+      case Some(d) => (new LshBucketProcessor[Long](TTLConfig(d)), TimeMode.ProcessingTime())
+      case None    => (new LshBucketProcessor[Long](), TimeMode.None())
     }
     banded
       .groupByKey(_._1)

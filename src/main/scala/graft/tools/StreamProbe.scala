@@ -33,8 +33,39 @@ object StreamProbe {
       s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      if (sys.env.contains("PROBE_CHANGELOG"))
+        s2.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      if (sys.env.contains("PROBE_NOTRACK"))
+        s2.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+      if (sys.env.contains("PROBE_NOCOMPRESS"))
+        s2.conf.set("spark.sql.streaming.stateStore.rocksdb.compression", "none")
       val t0 = System.nanoTime()
       which match {
+        case "baseline" => // stateless passthrough: pure streaming-query machinery
+          val docPath = new java.io.File(s"$sfDir/documents.parquet")
+          val reader = s2.readStream.schema("doc_id LONG, text STRING")
+          val docs =
+            if (docPath.isDirectory) reader.parquet(docPath.toString)
+            else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          graft.streaming.EventStream.runToCompletion(
+            docs.selectExpr("doc_id"), s"probe_base_${parts}_$r", OutputMode.Append())
+        case "sigonly" => // signatures + banding, no stateful operator
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextKernels
+          import graft.ops.Dedup.{Bands, NumPerms, Rows}
+          val docPath = new java.io.File(s"$sfDir/documents.parquet")
+          val reader = s2.readStream.schema("doc_id LONG, text STRING")
+          val docs =
+            if (docPath.isDirectory) reader.parquet(docPath.toString)
+            else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          val sigs = docs.select(col("doc_id"),
+            TextKernels.minhashSigKernel(
+              TextKernels.shinglesKernel(col("text"), 3), NumPerms).as("sig"))
+          val banded = sigs.select(col("doc_id"),
+            explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
+              col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+          graft.streaming.EventStream.runToCompletion(
+            banded, s"probe_sig_${parts}_$r", OutputMode.Append())
         case "dedup" =>
           val ev = graft.streaming.EventStream.readEvents(s2, sfDir)
           graft.streaming.EventStream.runToCompletion(
