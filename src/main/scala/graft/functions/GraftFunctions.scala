@@ -159,6 +159,18 @@ object GraftFunctions {
       inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), LongType),
       returnNullable = false))
 
+  /** Spark's `round(_, 4)` double semantics replayed in plain JVM code —
+    * the Catalyst Round expression for DoubleType goes through
+    * BigDecimal.valueOf → setScale(HALF_UP) → toDouble, and RDD-space
+    * kernels that pre-rank by a rounded score ([[graft.ops.Graph]]'s
+    * fused wedge top-k) must cut at EXACTLY the same grid values or a
+    * rounded tie could flip across the top-k boundary versus the
+    * DataFrame path. KernelEquivalenceSpec pins value-parity against the
+    * Catalyst expression over randomized inputs. */
+  def roundHalfUp4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Top-`keep` centroid ids of `vec` by cosine similarity (ties → the
     * smaller cent_id), over a broadcast `cents` array of
     * (cent_id: long, cent_vec: array) structs — ONE compiled call per

@@ -255,17 +255,18 @@ object Graph {
     *
     * `dictAttach` picks how restricted degrees re-attach to the scored
     * pair table:
-    *   - true (default): the ~|V|-row sizes table is packed into ONE row
-    *     of parallel sorted arrays, crossJoin-broadcast, and probed per
-    *     endpoint by the O(log n) [[graft.functions.GraftFunctions
-    *     .sortedLongLookup]] kernel — both endpoints attach in a single
-    *     map-side stage with NO join (two binary searches per pair beat
-    *     two whole broadcast-join stages; a map column would be a linear
-    *     scan per probe). Right while the retained-vertex dictionary fits
-    *     a broadcast row (16 B/node — ~10⁸ nodes ≈ 1.6 GB ceiling).
+    *   - true (default): the ~|V|-row sizes table becomes two sorted
+    *     primitive arrays broadcast into the run-length pass itself
+    *     ([[rleWedgeTopK]]): each surviving run is scored in place (two
+    *     O(log n) binary searches) and offered to a per-partition top-50
+    *     under the exact output order — the pair stream never leaves the
+    *     kernel, so the former second full-stream stage (dictionary
+    *     crossJoin + TakeOrdered over every pair) disappears. Right while
+    *     the retained-vertex dictionary is broadcastable (16 B/node —
+    *     ~10⁸ nodes ≈ 1.6 GB ceiling).
     *   - false: the two-equi-join form (each a ~|V|-row broadcast onto
-    *     the pair table) — the fallback when the vertex dictionary
-    *     outgrows a single broadcastable row at extreme graph sizes.
+    *     the full pair table) — the fallback when the vertex dictionary
+    *     outgrows broadcastability at extreme graph sizes.
     * Both paths produce identical output (GraphSpec pins it). */
   def neighborJaccardAdj(adj: DataFrame, maxDeg: Int = 256,
                          dictAttach: Boolean = true): DataFrame =
@@ -295,40 +296,56 @@ object Graph {
     * sf1). The mapPartitions hop is deliberate: it IS the aggregation,
     * on a primitive key the planner would otherwise hash; rows leave
     * Tungsten once, as (Long, Int), and re-enter as (Long, Long). */
+  /** Restricted degrees over the retained feature space: sz(u) = number of
+    * KEPT intermediates adjacent to u (explode kept adjacency, count by the
+    * exploded neighbor — Σ_kept d_x rows partial-aggregated map-side). */
+  private[graft] def nbrSizes(adj: DataFrame, maxDeg: Int): DataFrame =
+    adj.filter(size(col("ids")) <= maxDeg)
+      .select(explode(col("ids")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("sz"))
+
   private[graft] def neighborJaccardPlan(adj: DataFrame, maxDeg: Int = 256,
                                          dictAttach: Boolean = true): DataFrame = {
-    import graft.functions.GraftFunctions.sortedLongLookupKernel
     // ONE adjacency feeds everything — the capped pair expansion, the
     // restricted degrees, and the edge rows that gate the run-length pass
-    val kept = adj.filter(size(col("ids")) <= maxDeg)
-    val sizes = kept.select(explode(col("ids")).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("sz"))
-    val commons = rleWedgeCount(nbrTaggedSorted(adj, maxDeg))
-      .select(shiftrightunsigned(col("uv"), 32).as("u"),
-        col("uv").bitwiseAND(lit(4294967295L)).as("v"), col("common"))
-    val scored =
-      if (dictAttach) {
-        // sizes → one broadcast dictionary row (sorted keys ∥ values);
-        // the single-row crossJoin is in the no-NLJ whitelist
-        val szRow = sizes
-          .agg(array_sort(collect_list(struct(col("node"), col("sz")))).as("ns"))
-          .select(transform(col("ns"), x => x.getField("node")).as("szk"),
-            transform(col("ns"), x => x.getField("sz")).as("szv"))
-        commons.crossJoin(broadcast(szRow))
-          .select(col("u"), col("v"), col("common"),
-            sortedLongLookupKernel(col("szk"), col("szv"), col("u")).as("sz_u"),
-            sortedLongLookupKernel(col("szk"), col("szv"), col("v")).as("sz_v"))
-      } else {
-        commons
-          .join(sizes.select(col("node").as("u"), col("sz").as("sz_u")), Seq("u"))
-          .join(sizes.select(col("node").as("v"), col("sz").as("sz_v")), Seq("v"))
-      }
-    scored
-      .select(col("u").as("part_a"), col("v").as("part_b"),
-        round(col("common").cast("double") /
-          (col("sz_u") + col("sz_v") - col("common")), 4).as("nbr_jaccard"))
-      .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
-      .limit(50) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
+    val sizes = nbrSizes(adj, maxDeg)
+    if (dictAttach) {
+      // Dictionary path (default): the ~|V|-row sizes table becomes two
+      // sorted primitive arrays broadcast into the run-length pass, which
+      // scores each surviving run IN PLACE and keeps a per-partition
+      // top-50 under the exact output order (rounded score desc, ids) —
+      // no pair row ever leaves the kernel. The former shape
+      // re-materialized the ~10⁸-row commons stream into a second codegen
+      // stage (crossJoin-dictionary lookups + TakeOrdered over every
+      // pair); profiled at 4-26 s of the sf1 wall — work this fold does
+      // for ~0 marginal cost, since the run-length pass already holds
+      // (pair, common) in registers when a run closes. The driver-side
+      // dictionary build is the SAME materialization the former Catalyst
+      // broadcast performed internally (BroadcastExchange collects its
+      // child to the driver too) — ceiling unchanged at 16 B/node
+      // (~10⁸ nodes ≈ 1.6 GB); beyond broadcastability use the
+      // two-equi-join fallback below. Broadcast blocks are reclaimed by
+      // the ContextCleaner once the plan is unreferenced
+      // (CacheHygieneSpec pins that nothing persisted survives).
+      val spark = adj.sparkSession
+      val pairs = sizes.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val dict = spark.sparkContext.broadcast((pairs.map(_._1), pairs.map(_._2)))
+      rleWedgeTopK(nbrTaggedSorted(adj, maxDeg), dict, 50)
+        .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
+        .limit(50) // merge of the ≤ nPart·50 partition survivors
+    } else {
+      val commons = rleWedgeCount(nbrTaggedSorted(adj, maxDeg))
+        .select(shiftrightunsigned(col("uv"), 32).as("u"),
+          col("uv").bitwiseAND(lit(4294967295L)).as("v"), col("common"))
+      commons
+        .join(sizes.select(col("node").as("u"), col("sz").as("sz_u")), Seq("u"))
+        .join(sizes.select(col("node").as("v"), col("sz").as("sz_v")), Seq("v"))
+        .select(col("u").as("part_a"), col("v").as("part_b"),
+          round(col("common").cast("double") /
+            (col("sz_u") + col("sz_v") - col("common")), 4).as("nbr_jaccard"))
+        .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
+        .limit(50) // TakeOrderedAndProject: per-partition 50-heaps, no full sort
+    }
   }
 
   /** The tagged, shuffled, sorted wedge∪edge stream that feeds
@@ -373,6 +390,118 @@ object Graph {
     * under a dirty heap) would make the stage GC-bound. O(1) state per
     * partition regardless of group count — the property that lets the
     * pair space grow 100× without a memory cliff. */
+  /** [[rleWedgeCount]] fused with scoring and a bounded top-k: the same
+    * streaming run-length pass, but each surviving run (uv, common) is
+    * scored IMMEDIATELY against the broadcast restricted-degree dictionary
+    * (two binary searches over sorted primitive arrays, L2-resident at
+    * any realistic |V|) and offered to a per-partition top-`k` under the
+    * operator's exact output order — `(round(J,4) desc, u asc, v asc)`.
+    * Emits ≤ k rows (part_a, part_b, nbr_jaccard) per partition; the
+    * caller merges with a global orderBy+limit over ≤ nPart·k rows.
+    *
+    * Exactness: rounding replays Spark's `round(_, 4)` double semantics
+    * (BigDecimal.valueOf → setScale HALF_UP → toDouble; GraphSpec pins
+    * value-parity against the join path, which uses the Catalyst Round).
+    * The almost-always skip is the decimal-midpoint prefilter: once the
+    * heap is full, a candidate with J < worstRounded − 6e-5 sits strictly
+    * below the HALF_UP midpoint (worstRounded − 5e-5, with 1e-5 margin
+    * dwarfing double error), so it rounds strictly lower and loses to
+    * every held entry — one multiply+compare retires ~all of the ~10⁸
+    * runs without rounding or heap work. J ≤ common/sz_u (sz_v ≥ common)
+    * lets the check run after ONE lookup. */
+  private def rleWedgeTopK(taggedSorted: DataFrame,
+                           dict: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val session = taggedSorted.sparkSession
+    val rdd = org.apache.spark.sql.graft.bridge.toInternalRdd(taggedSorted)
+      .mapPartitions { it =>
+        val (szk, szv) = dict.value
+        // every run endpoint borders a kept intermediate, so it appeared in
+        // the sizes explode — the search always lands on an exact key
+        def szOf(node: Long): Long = {
+          var lo = 0
+          var hi = szk.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (szk(mid) < node) lo = mid + 1 else hi = mid
+          }
+          szv(lo)
+        }
+        import graft.functions.GraftFunctions.{roundHalfUp4 => round4}
+        val rjA = new Array[Double](k)
+        val uA = new Array[Long](k)
+        val vA = new Array[Long](k)
+        var n = 0
+        var worst = 0 // index of the entry every other entry beats (valid once n == k)
+        def recomputeWorst(): Unit = {
+          var w = 0
+          var i = 1
+          while (i < n) {
+            if (rjA(i) < rjA(w) || (rjA(i) == rjA(w) &&
+              (uA(i) > uA(w) || (uA(i) == uA(w) && vA(i) > vA(w))))) w = i
+            i += 1
+          }
+          worst = w
+        }
+        def offer(c: Long, key: Long): Unit = {
+          val u = key >>> 32
+          val v = key & 4294967295L
+          val su = szOf(u)
+          if (n == k) {
+            val thresh = rjA(worst) - 6e-5
+            if (c.toDouble / su < thresh) return // J ≤ c/sz_u: skip before lookup 2
+            val jac = c.toDouble / (su + szOf(v) - c)
+            if (jac < thresh) return
+            val rj = round4(jac)
+            if (!(rj > rjA(worst) || (rj == rjA(worst) &&
+              (u < uA(worst) || (u == uA(worst) && v < vA(worst)))))) return
+            rjA(worst) = rj; uA(worst) = u; vA(worst) = v
+            recomputeWorst()
+          } else {
+            rjA(n) = round4(c.toDouble / (su + szOf(v) - c))
+            uA(n) = u; vA(n) = v
+            n += 1
+            if (n == k) recomputeWorst()
+          }
+        }
+        // the same streaming run-length state machine as rleWedgeCount,
+        // with closed runs terminating into offer() instead of an output row
+        var curKey = 0L
+        var cnt = 0L
+        var edged = false
+        var open = false
+        while (it.hasNext) {
+          val r = it.next()
+          val kk = r.getLong(0)
+          val w = r.getInt(1)
+          if (!open) { curKey = kk; cnt = 0L; edged = false; open = true }
+          else if (kk != curKey) {
+            if (!edged && cnt > 0) offer(cnt, curKey)
+            curKey = kk; cnt = 0L; edged = false
+          }
+          if (w == 0) edged = true else cnt += 1
+        }
+        if (open && !edged && cnt > 0) offer(cnt, curKey)
+        (0 until n).iterator.map { i =>
+          val row = new GenericInternalRow(3)
+          row.setLong(0, uA(i)); row.setLong(1, vA(i)); row.setDouble(2, rjA(i))
+          row: InternalRow
+        }
+      }
+    org.apache.spark.sql.graft.bridge.fromInternalRdd(session, rdd,
+      StructType(Seq(StructField("part_a", LongType, nullable = false),
+        StructField("part_b", LongType, nullable = false),
+        StructField("nbr_jaccard", DoubleType, nullable = false))))
+  }
+
+  /** Probe alias for [[GraphProbe]] — keeps [[rleWedgeCount]] itself
+    * private while the profiler measures its output cardinality. */
+  private[graft] def rleWedgeCountPublicForProbe(taggedSorted: DataFrame): DataFrame =
+    rleWedgeCount(taggedSorted)
+
   private def rleWedgeCount(taggedSorted: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.SpecificInternalRow

@@ -126,6 +126,20 @@ class KernelEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("roundHalfUp4 == Catalyst round(_, 4) on randomized + near-midpoint doubles") {
+    // the fused wedge top-k cuts its heap by this JVM replay of Spark's
+    // double rounding; any grid divergence could flip a rounded tie
+    // across the top-50 boundary vs the DataFrame fallback path
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val xs = Seq.tabulate(20000)(_ => rnd.nextDouble()) ++
+      Seq.tabulate(2000)(i => (i + 1).toDouble / (i + 7)) ++ // ratio-shaped, like J
+      Seq.tabulate(2000)(i => i * 1e-4 + 5e-5) // hugging decimal midpoints
+    val bad = xs.toDF("x").select(col("x"), round(col("x"), 4).as("r")).collect()
+      .filter(r => GraftFunctions.roundHalfUp4(r.getDouble(0)) != r.getDouble(1))
+    assert(bad.isEmpty, bad.take(5).mkString(","))
+  }
+
   test("pqBestOf kernel == interpreted filter/transform/array_sort reference") {
     // real trained codebooks, then compare the per-subvector argmin between
     // the kernel and the pre-kernel lambda pipeline (score AND code)

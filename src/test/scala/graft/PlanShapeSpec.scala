@@ -124,19 +124,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally release()
   }
 
-  test("graph_nbr_jaccard: cap before pair kernel, one-shuffle RLE count, one dict crossJoin") {
+  test("graph_nbr_jaccard: cap before pair kernel, one-shuffle RLE top-k, no joins at all") {
     val adj = Graph.adjacency(spark, sfDir)
     val df = Graph.neighborJaccardPlan(adj)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // the wedge count crossed into RDD space (the run-length pass), so
-    // the OUTER plan consumes it as a flat ExistingRDD scan: no hash
-    // aggregate on the ~C(d,2)-pair stream and no anti-join stage may
-    // reappear here
+    // the fused run-length top-k crossed into RDD space, so the OUTER
+    // plan is just the ≤ nPart·50-row survivor merge over a flat
+    // ExistingRDD scan: no hash aggregate on the ~C(d,2)-pair stream, no
+    // anti-join, and — since the degree dictionary now rides inside the
+    // kernel — no join operator of any kind may reappear here
     assert(plan.contains("ExistingRDD"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
     assert(!plan.contains("LeftAnti"), plan.take(3000))
-    // the ONLY non-equi join is the single-row size-dictionary broadcast
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
 
     // the INNER subplan (what feeds the run-length count): packed pair
@@ -207,7 +208,6 @@ class PlanShapeSpec extends SparkSpec {
       "ann_ivf",           // single-row broadcast centroid-array crossJoin (map-side argmax)
       "ann_ivf_pq",        // same single-row broadcast centroid-array crossJoin (assignCentroid) + per-query ADC LUT broadcast
       "emb_pq_trained",    // single-row broadcast trained-codebook crossJoin (map-side coding)
-      "graph_nbr_jaccard", // single-row broadcast size-dictionary crossJoin (kernel lookups)
       "sql_vec_cosine",    // inequality-only join predicate by design
       "join_cross_small",  // deliberate cross of two tiny dims
       "q22_idle_rich",     // single-row broadcast scalar-subquery crossJoin
