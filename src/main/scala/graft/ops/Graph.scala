@@ -130,9 +130,23 @@ object Graph {
     * aggregate. Same update rule and the same per-node contribution
     * multiset as the edge-list path (summation order differs — absorbed
     * by the 4-decimal rounding of [[pagerankTop]], exactly like the
-    * engine's own partition-order variation). */
+    * engine's own partition-order variation).
+    *
+    * `dense` (default) takes [[pageRankDense]] — the broadcast-rank
+    * dense-vector fast path, one job per round instead of the loop's
+    * explode + hash aggregate + two joins + periodic checkpoint. Right
+    * while the rank vector is broadcastable (8 B/node — ~10⁸ nodes ≈
+    * 800 MB ceiling, the same class as [[neighborJaccardAdj]]'s degree
+    * dictionary); beyond that, `dense = false` is the declarative
+    * shuffle-based loop that scales with partitions, not memory.
+    * GraphSpec pins the two paths within 1e-9 relative on real data. */
   def pageRankAdj(adj: DataFrame, iters: Int = 6, d: Double = 0.85,
-                  checkpointEvery: Int = 3): DataFrame = {
+                  checkpointEvery: Int = 3, dense: Boolean = true): DataFrame =
+    if (dense) pageRankDense(adj, iters, d)
+    else pageRankAdjLoop(adj, iters, d, checkpointEvery)
+
+  private def pageRankAdjLoop(adj: DataFrame, iters: Int, d: Double,
+                              checkpointEvery: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val adjP = adj.persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = adjP.select(col("src").as("node"),
@@ -153,6 +167,76 @@ object Graph {
     }
     adjP.unpersist(blocking = false)
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** Power iteration with the rank vector as a BROADCAST dense array:
+    * each round is one job — a per-partition dense accumulation over the
+    * memoized adjacency (for each (src, ids) row: c = rank(src)/|ids|,
+    * acc(dst) += c for every retained dst, via binary search on the
+    * sorted node dictionary) and a treeReduce of the ≤ nPart partial
+    * vectors. Removes the per-round explode(Σd rows) + hash aggregate +
+    * two |V|-row join shuffles + lineage-checkpoint of the declarative
+    * loop; the driver holds 2-3 rank vectors (8 B/node) and each round
+    * re-broadcasts one.
+    *
+    * Update-rule equivalence with [[pageRankAdjLoop]]: ranks are kept
+    * for src nodes only; contributions to sink nodes (dst never a src)
+    * are dropped by the binary-search miss exactly where the loop's
+    * left-join drops them; nodes receiving no contribution get the
+    * (1-d) teleport floor from the zero-initialized accumulator. Same
+    * per-node contribution multiset — summation ORDER differs (partition
+    * accumulation + tree merge vs hash-aggregate order), absorbed by
+    * [[pagerankTop]]'s 4-decimal rounding like every other order
+    * variation across this family's paths and engines. */
+  private def pageRankDense(adj: DataFrame, iters: Int, d: Double): DataFrame = {
+    val spark = adj.sparkSession
+    val sc = spark.sparkContext
+    // sorted node dictionary — the same driver-side materialization class
+    // as neighborJaccard's degree dictionary (BroadcastExchange collects
+    // to the driver identically); ~10⁸-node ceiling, fallback above
+    val nodes = adj.select(col("src")).collect().map(_.getLong(0))
+    java.util.Arrays.sort(nodes)
+    val nV = nodes.length
+    val nodesB = sc.broadcast(nodes)
+    val base = org.apache.spark.sql.graft.bridge.toInternalRdd(
+      adj.select(col("src"), col("ids")))
+    var ranks = Array.fill(nV)(1.0)
+    var i = 0
+    while (i < iters) {
+      val ranksB = sc.broadcast(ranks)
+      val msum = base.mapPartitions { it =>
+        val ns = nodesB.value
+        val rk = ranksB.value
+        val acc = new Array[Double](ns.length)
+        while (it.hasNext) {
+          val r = it.next()
+          val ids = r.getArray(1)
+          val m = ids.numElements()
+          val c = rk(java.util.Arrays.binarySearch(ns, r.getLong(0))) / m
+          var j = 0
+          while (j < m) {
+            val t = java.util.Arrays.binarySearch(ns, ids.getLong(j))
+            if (t >= 0) acc(t) += c
+            j += 1
+          }
+        }
+        Iterator.single(acc)
+      }.treeReduce({ (a, b) =>
+        var j = 0; while (j < a.length) { a(j) += b(j); j += 1 }; a
+      }, depth = 2)
+      ranksB.unpersist(blocking = false)
+      val next = new Array[Double](nV)
+      var j = 0
+      while (j < nV) { next(j) = (1.0 - d) + d * msum(j); j += 1 }
+      ranks = next
+      i += 1
+    }
+    val out = ranks // stable reference for the closure
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.createDataFrame(
+      sc.parallelize(nodes.indices, math.min(n, math.max(1, nV)))
+        .map(j => (nodesB.value(j), out(j))))
+      .toDF("node", "rank")
   }
 
   /** The shared power-iteration loop. outdeg rides INSIDE the rank table

@@ -76,6 +76,28 @@ class GraphSpec extends SparkSpec {
     assert(dict.map(_.toSeq) == joins.map(_.toSeq))
   }
 
+  test("pagerank: dense broadcast-vector path ≡ declarative loop on real data") {
+    // the dense fast path (default) and the shuffle-based fallback share
+    // the exact per-node contribution multiset — only summation order
+    // differs, so per-node ranks must agree to ~1e-9 relative and the
+    // rounded top-25 contract output must be row-identical
+    val adj = Graph.adjacency(spark, sfDir)
+    val dense = Graph.pageRankAdj(adj).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val loop = Graph.pageRankAdj(adj, dense = false).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dense.nonEmpty && dense.keySet == loop.keySet)
+    dense.foreach { case (n, r) =>
+      assert(math.abs(r - loop(n)) <= 1e-9 * math.max(1.0, math.abs(r)),
+        s"node $n dense=$r loop=${loop(n)}")
+    }
+    // rank-mass invariant holds on the dense path too (Σ rank = |V| for
+    // the symmetric co-purchase graph where every dst is also a src)
+    val total = dense.values.sum
+    assert(math.abs(total - dense.size) / dense.size < 1e-9,
+      s"rank mass $total vs ${dense.size} nodes")
+  }
+
   test("co-purchase edges are symmetric and self-loop-free") {
     val e = Graph.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
