@@ -90,12 +90,15 @@ class PropertySpec extends SparkSpec {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("a", "b")
-    val local = Dedup.connectedComponents(edges, "a", "b")
+    // dense = false: this test proves the reliable-checkpoint GATE of the
+    // iterative loop (the dense one-pass path never checkpoints — nothing
+    // to gate), so both sides must take the loop
+    val local = Dedup.connectedComponents(edges, "a", "b", dense = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set(Dedup.CheckpointDirKey, dir)
     try {
-      val reliable = Dedup.connectedComponents(edges, "a", "b")
+      val reliable = Dedup.connectedComponents(edges, "a", "b", dense = false)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(reliable == local)
       // the durable dir must actually have been written (proof the gated
@@ -183,6 +186,12 @@ class PropertySpec extends SparkSpec {
       labels.foreach { case (id, l) =>
         assert(l == trueMin(id), s"seed $seed node $id: got $l want ${trueMin(id)}")
       }
+      // the dense default and the pointer-jumping loop are the same exact
+      // integer fixpoint — bitwise-identical labels, no tolerance
+      val loop = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          dense = false)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      assert(labels == loop, s"seed $seed dense vs loop labels differ")
     }
   }
 
