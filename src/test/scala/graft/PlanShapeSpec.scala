@@ -412,13 +412,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
-  test("graph_components: checkpoint-truncated labels, equi-joins only") {
+  test("graph_components: dense union-find rollup, no joins at all") {
     val df = Graph.components(spark, sfDir)
     val plan = executedPlan(df)
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(2000))
-    // pointer-jumping must end on a materialized (checkpointed) label
-    // table — the final rollup scans an RDD, not the re-derived lineage
+    // the dense one-pass union-find labels close on the driver and come
+    // back as broadcast-array rows — the label rollup has NO join stage
+    // (the loop path's per-round label equi-joins live in a separate
+    // query execution there; here they don't exist at all)
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("SerializeFromObject"), plan.take(2000))
+  }
+
+  test("cc loop path: checkpoint-truncated labels, equi-joins only") {
+    import spark.implicits._
+    // the partition-scaling fallback (dense=false) must still end on a
+    // materialized (checkpointed) label table — the final select scans
+    // an RDD, not the re-derived per-round lineage
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val df = Dedup.connectedComponents(edges, "a", "b", dense = false)
+    val plan = executedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
     assert(plan.contains("ExistingRDD"), plan.take(2000))
   }
 }
