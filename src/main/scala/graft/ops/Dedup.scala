@@ -285,6 +285,28 @@ object Dedup {
     * checkpoint write per round. Local benches leave it unset. */
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  /** Session conf key: distinct-node ceiling for the dense/dictionary
+    * driver-side fast paths (dense CC, dense PageRank, the nbr-Jaccard
+    * degree dictionary). Above it the operators take their
+    * partition-scaling fallbacks AUTOMATICALLY — the scale-safe path is
+    * chosen by the data, not by a caller who must know the ceiling
+    * (exactly how `autoBroadcastJoinThreshold` gates Spark's own
+    * driver-side materialization). Default 5·10⁷ (~800 MB of long/double
+    * vectors per broadcast at 16 B/node — comfortably inside a typical
+    * driver while leaving headroom for 2-3 live copies). */
+  val DenseMaxNodesKey = "spark.graft.denseMaxNodes"
+
+  private[graft] def denseMaxNodes(spark: SparkSession): Long =
+    spark.conf.getOption(DenseMaxNodesKey).map(_.toLong).getOrElse(50000000L)
+
+  /** True iff `rows` fits the dense/dictionary ceiling — the auto-gate
+    * for the adjacency-fed fast paths. Costs one count job; the graph
+    * family passes its MEMOIZED (checkpoint-materialized) row-per-node
+    * adjacency, so the count is a cheap flat-scan over cached blocks,
+    * never a recompute of the aggregate. */
+  private[graft] def withinDenseCeiling(rows: DataFrame): Boolean =
+    rows.count() <= denseMaxNodes(rows.sparkSession)
+
   /** Eager materialization + lineage truncation at operator exit points
     * (and inside iterative loops): RELIABLE `checkpoint()` when
     * [[CheckpointDirKey]] names a durable dir — localCheckpoint blocks
@@ -320,21 +342,53 @@ object Dedup {
     * columns are LongType — one pass over the edges (per-partition
     * union-find → 2·|V|-long star forests → treeAggregate merge), no
     * iteration, no checkpoints. Right while |V| fits driver memory
-    * (16 B/node — ~10⁸-node ceiling, the same class as the PageRank
-    * dense path and the nbr-Jaccard degree dictionary). Beyond that, or
-    * for non-long keys (string doc ids), `dense = false` / the type
-    * fallback is the declarative min-label pointer-jumping loop below,
-    * which scales with partitions, not memory. PropertySpec pins the
-    * two paths label-identical (the labels are an exact integer
-    * fixpoint, so equality is bitwise, not approximate). */
+    * (16 B/node — gated by [[DenseMaxNodesKey]], the same ceiling class
+    * as the PageRank dense path and the nbr-Jaccard degree dictionary).
+    * The gate is FAIL-FAST, not a pre-count: the edge list is usually a
+    * live derived plan (graph_components' pair aggregate, minhash's
+    * verified pairs), so counting |V| up front would re-run the whole
+    * derivation — instead the fold throws [[DenseCeilingExceeded]] the
+    * moment any partial/merged union-find passes the ceiling, and the
+    * dispatcher falls back to the loop. Common case (fits): zero extra
+    * cost. Rare case (exceeds): at most one partial pass wasted — callers
+    * that KNOW they're over the ceiling pass `dense = false` and skip
+    * the probe. Beyond the ceiling, or for non-long keys (string doc
+    * ids), the fallback is the declarative min-label pointer-jumping
+    * loop below, which scales with partitions, not memory. PropertySpec
+    * pins the two paths label-identical (the labels are an exact integer
+    * fixpoint, so equality is bitwise, not approximate), including on
+    * null-bearing edge lists: an edge with ONE null endpoint registers
+    * its non-null side as a node (a singleton unless connected
+    * elsewhere); null itself is never a node. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20, dense: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val longKeys = edges.schema(aCol).dataType == LongType &&
       edges.schema(bCol).dataType == LongType
-    if (dense && longKeys) connectedComponentsDense(edges, aCol, bCol)
-    else connectedComponentsLoop(edges, aCol, bCol, maxIter)
+    if (dense && longKeys) {
+      try connectedComponentsDense(edges, aCol, bCol)
+      catch {
+        case t: Throwable if hasDenseCeiling(t) =>
+          connectedComponentsLoop(edges, aCol, bCol, maxIter)
+      }
+    } else connectedComponentsLoop(edges, aCol, bCol, maxIter)
   }
+
+  /** Thrown inside the dense fold/merge the moment the distinct-node
+    * count passes [[DenseMaxNodesKey]] — the runtime half of the dense
+    * auto-gate. The message carries a stable marker because Spark may
+    * rewrap task failures with flattened messages between executor and
+    * driver. */
+  private[graft] final class DenseCeilingExceeded(maxNodes: Long)
+    extends RuntimeException(
+      s"graft.DenseCeilingExceeded: distinct-node count passed $maxNodes " +
+        s"($DenseMaxNodesKey) — taking the partition-scaling fallback")
+
+  private def hasDenseCeiling(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).exists { c =>
+      c.isInstanceOf[DenseCeilingExceeded] || (c.getMessage != null &&
+        c.getMessage.contains("graft.DenseCeilingExceeded"))
+    }
 
   /** One-pass dense CC: each edge partition folds into a [[LongUnionFind]]
     * and emits its star spanning forest (2·|V_part| longs — bounded by
@@ -346,6 +400,9 @@ object Dedup {
                                        bCol: String): DataFrame = {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
+    // structural backstop: the union-find table itself tops out at 2^29
+    // keys, so the conf can never promise more than the structure holds
+    val cap = math.min(denseMaxNodes(spark), LongUnionFind.MaxNodes.toLong - 2)
     val rdd = org.apache.spark.sql.graft.bridge.toInternalRdd(
       edges.select(col(aCol), col(bCol)))
     val merge = (x: Array[Long], y: Array[Long]) =>
@@ -357,13 +414,22 @@ object Dedup {
         while (i < x.length) { uf.union(x(i), x(i + 1)); i += 2 }
         i = 0
         while (i < y.length) { uf.union(y(i), y(i + 1)); i += 2 }
+        if (uf.size > cap) throw new DenseCeilingExceeded(cap)
         uf.starEdges
       }
     val forest = rdd.mapPartitions { it =>
       val uf = new LongUnionFind()
       while (it.hasNext) {
         val r = it.next()
-        if (!r.isNullAt(0) && !r.isNullAt(1)) uf.union(r.getLong(0), r.getLong(1))
+        val aNull = r.isNullAt(0)
+        val bNull = r.isNullAt(1)
+        if (!aNull && !bNull) uf.union(r.getLong(0), r.getLong(1))
+        // one-null edges register the non-null side as a node (singleton
+        // unless connected elsewhere) — parity with the loop path's
+        // coalesce-to-self-edge normalization
+        else if (!aNull) uf.indexOf(r.getLong(0))
+        else if (!bNull) uf.indexOf(r.getLong(1))
+        if (uf.size > cap) throw new DenseCeilingExceeded(cap)
       }
       Iterator.single(uf.starEdges)
     }.treeAggregate(Array.emptyLongArray)(merge, merge, depth = 2)
@@ -395,7 +461,15 @@ object Dedup {
     // per-round label join below is an equi-join on dst, so hash-placing
     // the (static, reused-every-round) edge side once means Catalyst
     // re-shuffles only the tiny label side each round, never the edges.
-    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // null-endpoint normalization (parity with the dense fold): an edge
+    // with ONE null endpoint becomes a self-edge on its non-null side —
+    // the node enters the output as a singleton unless connected
+    // elsewhere — and both-null rows vanish; null is never a node. A
+    // map-side projection, no extra scan.
+    val fwd = edges.select(col(aCol).as("a0"), col(bCol).as("b0"))
+      .filter(col("a0").isNotNull || col("b0").isNotNull)
+      .select(coalesce(col("a0"), col("b0")).as("src"),
+        coalesce(col("b0"), col("a0")).as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)

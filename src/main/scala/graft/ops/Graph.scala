@@ -135,14 +135,17 @@ object Graph {
     * `dense` (default) takes [[pageRankDense]] — the broadcast-rank
     * dense-vector fast path, one job per round instead of the loop's
     * explode + hash aggregate + two joins + periodic checkpoint. Right
-    * while the rank vector is broadcastable (8 B/node — ~10⁸ nodes ≈
-    * 800 MB ceiling, the same class as [[neighborJaccardAdj]]'s degree
-    * dictionary); beyond that, `dense = false` is the declarative
-    * shuffle-based loop that scales with partitions, not memory.
+    * while the rank vector is broadcastable (8 B/node), which is gated
+    * AUTOMATICALLY on |V| = the adjacency's row count against
+    * [[Dedup.DenseMaxNodesKey]] (default 5·10⁷) — above the ceiling the
+    * declarative shuffle-based loop (scales with partitions, not driver
+    * memory) engages by data, with no flag to flip; `dense = false`
+    * forces it. The gate's count is one cheap flat-scan job: driver
+    * queries pass the memoized checkpoint-materialized adjacency.
     * GraphSpec pins the two paths within 1e-9 relative on real data. */
   def pageRankAdj(adj: DataFrame, iters: Int = 6, d: Double = 0.85,
                   checkpointEvery: Int = 3, dense: Boolean = true): DataFrame =
-    if (dense) pageRankDense(adj, iters, d)
+    if (dense && Dedup.withinDenseCeiling(adj)) pageRankDense(adj, iters, d)
     else pageRankAdjLoop(adj, iters, d, checkpointEvery)
 
   private def pageRankAdjLoop(adj: DataFrame, iters: Int, d: Double,
@@ -193,7 +196,8 @@ object Graph {
     val sc = spark.sparkContext
     // sorted node dictionary — the same driver-side materialization class
     // as neighborJaccard's degree dictionary (BroadcastExchange collects
-    // to the driver identically); ~10⁸-node ceiling, fallback above
+    // to the driver identically); reached only under the |V| gate in
+    // [[pageRankAdj]], so the collect is pre-bounded by denseMaxNodes
     val nodes = adj.select(col("src")).collect().map(_.getLong(0))
     java.util.Arrays.sort(nodes)
     val nV = nodes.length
@@ -231,11 +235,15 @@ object Graph {
       ranks = next
       i += 1
     }
-    val out = ranks // stable reference for the closure
+    // final ranks go out as a broadcast (mirroring the idsB/labelsB shape
+    // of the dense CC) — capturing the array in the task closure would
+    // serialize 8 B/node into EVERY task binary instead of once per
+    // executor over the torrent
+    val finalB = sc.broadcast(ranks)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     spark.createDataFrame(
       sc.parallelize(nodes.indices, math.min(n, math.max(1, nV)))
-        .map(j => (nodesB.value(j), out(j))))
+        .map(j => (nodesB.value(j), finalB.value(j))))
       .toDF("node", "rank")
   }
 
@@ -388,12 +396,24 @@ object Graph {
       .select(explode(col("ids")).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("sz"))
 
+  /** NOTE on eagerness: the dictionary path runs TWO jobs at
+    * plan-CONSTRUCTION time — the |V| gate's count and the sizes
+    * collect+broadcast — so building this DataFrame (explain, plan
+    * dumps, tests) already executes the degree aggregate; the driver
+    * entry immediately truncate-materializes anyway, so query execution
+    * pays nothing extra. Each call's broadcast lives until the
+    * ContextCleaner collects the unreferenced plan (CacheHygieneSpec
+    * pins that nothing persisted survives). */
   private[graft] def neighborJaccardPlan(adj: DataFrame, maxDeg: Int = 256,
                                          dictAttach: Boolean = true): DataFrame = {
     // ONE adjacency feeds everything — the capped pair expansion, the
-    // restricted degrees, and the edge rows that gate the run-length pass
+    // restricted degrees, and the edge rows that gate the run-length pass.
+    // The dictionary fast path is gated AUTOMATICALLY on |V| (adjacency
+    // rows, a superset of the dictionary's nodes since the adjacency is
+    // symmetric) against Dedup.DenseMaxNodesKey — above the ceiling the
+    // two-equi-join fallback engages by data, no flag to flip.
     val sizes = nbrSizes(adj, maxDeg)
-    if (dictAttach) {
+    if (dictAttach && Dedup.withinDenseCeiling(adj)) {
       // Dictionary path (default): the ~|V|-row sizes table becomes two
       // sorted primitive arrays broadcast into the run-length pass, which
       // scores each surviving run IN PLACE and keeps a per-partition
@@ -406,9 +426,9 @@ object Graph {
       // (pair, common) in registers when a run closes. The driver-side
       // dictionary build is the SAME materialization the former Catalyst
       // broadcast performed internally (BroadcastExchange collects its
-      // child to the driver too) — ceiling unchanged at 16 B/node
-      // (~10⁸ nodes ≈ 1.6 GB); beyond broadcastability use the
-      // two-equi-join fallback below. Broadcast blocks are reclaimed by
+      // child to the driver too) — and the |V| gate above keeps it
+      // inside denseMaxNodes (16 B/node), falling back to the
+      // two-equi-join path beyond. Broadcast blocks are reclaimed by
       // the ContextCleaner once the plan is unreferenced
       // (CacheHygieneSpec pins that nothing persisted survives).
       val spark = adj.sparkSession

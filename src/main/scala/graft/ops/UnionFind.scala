@@ -9,8 +9,19 @@ package graft.ops
   *
   * Capacity is keys actually seen (distinct node ids), NOT edges — a
   * partition of 10⁸ edges over 10⁶ nodes holds 10⁶ slots. Arrays double
-  * on demand; the table rehashes at 50% load.
+  * on demand; the table rehashes at 50% load. Hard ceiling: 2^29
+  * distinct keys (the 50%-load bound of the largest power-of-two int
+  * table) — exceeding it fails with an explicit `require` directing the
+  * caller to the partition-scaling fallback, never an opaque
+  * NegativeArraySizeException from a wrapped shift.
   */
+private[graft] object LongUnionFind {
+  /** Largest power-of-two open-addressing table (2^30 ints = 4 GB). */
+  val MaxTable: Int = 1 << 30
+  /** Distinct-key ceiling: 50% load of [[MaxTable]]. */
+  val MaxNodes: Int = 1 << 29
+}
+
 private[graft] final class LongUnionFind(initialCap: Int = 16) {
   private[this] var tab: Array[Int] = new Array[Int](tableSizeFor(initialCap))
   private[this] var nodes: Array[Long] = new Array[Long](math.max(4, initialCap))
@@ -20,7 +31,7 @@ private[graft] final class LongUnionFind(initialCap: Int = 16) {
 
   private def tableSizeFor(c: Int): Int = {
     var s = 16
-    while (s < c * 2 && s > 0) s <<= 1
+    while (s < c * 2 && s < LongUnionFind.MaxTable) s <<= 1
     s
   }
 
@@ -43,6 +54,11 @@ private[graft] final class LongUnionFind(initialCap: Int = 16) {
     while (true) {
       val v = tab(i)
       if (v == 0) {
+        require(n < LongUnionFind.MaxNodes,
+          s"LongUnionFind supports at most ${LongUnionFind.MaxNodes} distinct " +
+            "keys (2^29, the 50%-load bound of the largest power-of-two table); " +
+            "this input exceeds the dense path's capacity — run the " +
+            "partition-scaling fallback (dense = false) instead")
         if (n == nodes.length) growNodes()
         nodes(n) = k; parent(n) = n; csize(n) = 1
         tab(i) = n + 1

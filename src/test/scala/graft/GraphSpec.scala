@@ -98,6 +98,33 @@ class GraphSpec extends SparkSpec {
       s"rank mass $total vs ${dense.size} nodes")
   }
 
+  test("auto-gate: above denseMaxNodes, pagerank and nbr-jaccard take the " +
+    "partition-scaling paths — no flag") {
+    val adj = Graph.adjacency(spark, sfDir) // |V| ≫ 2 at any sf
+    spark.conf.set(graft.ops.Dedup.DenseMaxNodesKey, "2")
+    try {
+      // pagerank: the loop's final ranks come off a checkpointed table
+      // (ExistingRDD leaf), never the dense rollup's object scan
+      val pr = Graph.pageRankAdj(adj, iters = 2)
+      val prPlan = pr.queryExecution.executedPlan.toString
+      assert(prPlan.contains("ExistingRDD"), prPlan.take(2000))
+      assert(!prPlan.contains("SerializeFromObject"), prPlan.take(2000))
+      assert(pr.limit(1).collect().nonEmpty)
+      // nbr-jaccard: the degree dictionary is out of bounds, so the score
+      // attach must come back as the two-equi-join fallback
+      val nj = Graph.neighborJaccardPlan(adj)
+      val njPlan = nj.queryExecution.executedPlan.toString
+      assert(njPlan.contains("Join"), njPlan.take(2000))
+    } finally spark.conf.unset(graft.ops.Dedup.DenseMaxNodesKey)
+    // defaults restored: the dense/dictionary fast paths re-engage
+    val prPlan = Graph.pageRankAdj(adj, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(prPlan.contains("SerializeFromObject"), prPlan.take(2000))
+    val njPlan = Graph.neighborJaccardPlan(adj)
+      .queryExecution.executedPlan.toString
+    assert(!njPlan.contains("Join"), njPlan.take(2000))
+  }
+
   test("co-purchase edges are symmetric and self-loop-free") {
     val e = Graph.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet

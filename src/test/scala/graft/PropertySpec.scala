@@ -195,6 +195,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: CC null-endpoint edges — dense ≡ loop, null is never a node") {
+    import spark.implicits._
+    // one-null edges contribute their non-null side as a node (singleton
+    // unless connected elsewhere); both-null rows vanish entirely
+    val edges = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)), // component {1,2,3}
+      (Some(7L), None),                           // 7: singleton via null
+      (None, Some(8L)), (Some(8L), Some(9L)),     // 8 also really connected
+      (None, None)                                // vanishes
+    ).toDF("a", "b")
+    val dense = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.connectedComponents(edges, "a", "b", dense = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 8L, 9L -> 8L)
+    assert(dense == want, s"dense: $dense")
+    assert(loop == want, s"loop: $loop")
+  }
+
+  test("auto-gate: above denseMaxNodes, default CC takes the loop — no flag") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    spark.conf.set(Dedup.DenseMaxNodesKey, "2")
+    try {
+      // 5 distinct nodes > ceiling 2: the dense probe fail-fasts mid-fold
+      // and the dispatcher falls back to the pointer-jumping loop — the
+      // result plan carries the loop's checkpointed-label leaf, not the
+      // dense rollup's object scan
+      val gated = Dedup.connectedComponents(edges, "a", "b")
+      val labels = gated.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == want, s"gated: $labels")
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"), plan.take(2000))
+      assert(!plan.contains("SerializeFromObject"), plan.take(2000))
+    } finally spark.conf.unset(Dedup.DenseMaxNodesKey)
+    // back under the ceiling, the default is the dense rollup again
+    val dflt = Dedup.connectedComponents(edges, "a", "b")
+    assert(dflt.queryExecution.executedPlan.toString.contains("SerializeFromObject"))
+    assert(dflt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+  }
+
   test("property: ngram-Jaccard pipeline equals an independent in-test reimplementation") {
     import spark.implicits._
     val rng = new scala.util.Random(77)
