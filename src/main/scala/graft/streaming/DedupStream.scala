@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextKernels
-import graft.ops.Dedup.{Bands, NumPerms, Rows}
+import graft.ops.Dedup.{Bands, NumPerms}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
@@ -40,8 +40,9 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * whose buckets sit far below the cap, where the contract is exact.
   *
   * Scale shape: one shuffle (groupByKey on the bucket key), state
-  * entries are (8-byte id + 32-long signature) ≈ 270 B — never text —
-  * and RocksDB owns the registry. At 100 TB-feed scale the TTL knob
+  * entries are (8-byte id + 16-long PACKED signature) ≈ 140 B — two
+  * 31-bit minhash values per long, never text — and RocksDB owns the
+  * registry. At 100 TB-feed scale the TTL knob
   * (`ttl` arg → TTLConfig on the list state, processing-time mode)
   * bounds the horizon like dropDuplicatesWithinWatermark does for exact
   * dedup — registry entries expire after the configured age, so state is
@@ -49,8 +50,17 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * variant. The batch-parity spec runs unbounded (TTLConfig.NONE). */
 object DedupStream {
 
-  /** One bucket-registry entry: a previously ingested doc's signature. */
+  /** One bucket-registry entry: a previously ingested doc's signature,
+    * PACKED two 31-bit minhash values per long (the kernel's values are
+    * mod 2³¹−1, so 32 perms ride in 16 longs — half the state bytes and
+    * half the shuffle payload of the unpacked form; per-perm equality is
+    * per-half equality, so estimates are bit-identical). */
   case class BucketEntry(docId: Long, sig: Array[Long])
+
+  /** Packed signature length: [[NumPerms]] 31-bit values, 2 per long.
+    * Equal to [[Bands]] because Rows == 2 — the banding below leans on
+    * that identity (packed element b IS band b's (k0, k1) key). */
+  val PackedLen: Int = NumPerms / 2
 
   /** A near-dup candidate discovered on arrival (docA < docB). */
   case class StreamCandidate(docA: Long, docB: Long, band: Int, estSim: Double)
@@ -92,9 +102,15 @@ object DedupStream {
       arrivals.foreach { case (_, band, docId, sig) =>
         if (!registry.exists(_.docId == docId)) {
           registry.foreach { e =>
+            // matching perms = matching 32-bit halves of the packed sig
             var m = 0
             var i = 0
-            while (i < NumPerms) { if (e.sig(i) == sig(i)) m += 1; i += 1 }
+            while (i < PackedLen) {
+              val x = e.sig(i) ^ sig(i)
+              if ((x >>> 32) == 0L) m += 1
+              if ((x & 0xFFFFFFFFL) == 0L) m += 1
+              i += 1
+            }
             val est = m.toDouble / NumPerms
             if (est >= EstThreshold)
               out += StreamCandidate(math.min(e.docId, docId),
@@ -127,13 +143,20 @@ object DedupStream {
     val sigs = docs.select(col("doc_id"),
       TextKernels.minhashSigKernel(
         TextKernels.shinglesKernel(col("text"), 3), NumPerms).as("sig"))
-    val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
-          col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+    // pack ONCE per doc (2 × 31-bit minhash values per long), then band:
+    // with Rows == 2, band b's (k0, k1) key IS packed element b, so the
+    // bucket hash and the registry share the same 16-long array — the
+    // explode duplicates half the bytes the unpacked form shuffled
+    val packed = sigs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(PackedLen - 1)),
+        j => shiftleft(col("sig")(j * 2), 32)
+          .bitwiseOR(col("sig")(j * 2 + 1))).as("psig"))
+    val banded = packed
+      .select(col("doc_id"), col("psig"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .select(
-        xxhash64(col("bk.band"), col("bk.k0"), col("bk.k1")).as("bucket"),
-        col("bk.band").as("band"), col("doc_id"), col("sig"))
+        xxhash64(col("band"), col("psig")(col("band"))).as("bucket"),
+        col("band"), col("doc_id"), col("psig"))
       .as[(Long, Int, Long, Array[Long])]
     // TTL states require processing-time mode; without TTL stay in
     // TimeMode.None so the unbounded path carries no clock machinery
