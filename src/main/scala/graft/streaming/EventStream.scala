@@ -22,14 +22,21 @@ object EventStream {
     * multi-micro-batch replay in tests. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the streaming file source needs a directory root; point it at the sf
-    // dir and glob-filter to the events file (a production source would be a
-    // partitioned directory of arriving files, one micro-batch per trigger).
-    val raw = spark.readStream
+    // the streaming file source needs a directory root. Driver testdata
+    // ships events.parquet as a single FILE (point the source at the sf
+    // dir and glob-filter to it); ScaleGen (sf1) writes a Spark DIRECTORY
+    // of part files — stream the directory itself, one file per trigger,
+    // which is also the realistic arrival pattern (N micro-batches). The
+    // glob filter must NOT be applied in the directory case: it matches
+    // leaf file names, so it would silently select ZERO part files and
+    // the query would "complete" over an empty stream.
+    val evPath = new java.io.File(s"$dir/events.parquet")
+    val reader = spark.readStream
       .schema(batchSchema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val raw =
+      if (evPath.isDirectory) reader.parquet(evPath.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     // Normalize ts to TimestampType for watermarking, mirroring
     // graft.Tables.events: TIMESTAMP(NANOS) arrives as LongType ns under
     // nanosAsLong; TIMESTAMP(MICROS) without UTC adjustment arrives as

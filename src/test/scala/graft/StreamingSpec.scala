@@ -24,6 +24,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sfDir).count())
   }
 
+  test("readEvents streams a DIRECTORY-form events table (ScaleGen layout)") {
+    // ScaleGen writes events.parquet as a Spark directory of part files;
+    // the single-file glob filter must NOT apply there or the source
+    // matches zero files and every downstream query "completes" over an
+    // empty stream (the r12 sf1 finding: stream_dedup "ran" in 0.18 s
+    // because it deduped nothing)
+    import java.nio.file.{Files => JFiles}
+    val root = JFiles.createTempDirectory("graftevdir")
+    Tables.events(spark, sfDir).repartition(3)
+      .write.parquet(root.resolve("events.parquet").toString)
+    val events = EventStream.readEvents(spark, root.toString)
+    EventStream.runToCompletion(EventStream.tumblingCounts(events), "evdir_test")
+    val streamed = spark.table("evdir_test").agg(sum("n")).first().getLong(0)
+    assert(streamed == Tables.events(spark, sfDir).count(),
+      s"directory-form stream processed $streamed rows")
+  }
+
   test("streaming dedup passes distinct event_ids through") {
     val events = EventStream.readEvents(spark, sfDir)
     EventStream.runToCompletion(EventStream.streamingDedup(events), "dedup_test",
