@@ -27,7 +27,11 @@ object StreamProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docRows = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // rows/s denominators: document pipelines stream documents.parquet,
+    // the dedup pipeline streams events.parquet
+    val docRows =
+      if (which == "dedup") spark.read.parquet(s"$sfDir/events.parquet").count()
+      else spark.read.parquet(s"$sfDir/documents.parquet").count()
     for (r <- 1 to reps) {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", parts.toString)

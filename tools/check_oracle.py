@@ -50,6 +50,11 @@ ALLOWED_PAIRS = {
 
 def connect_views(sf_dir):
     con = duckdb.connect()
+    # in-memory connections default to max_temp_directory_size=0 (no
+    # spill at all) — the sf1 minhash replay needs ~tens of GB of sort
+    # spill for the 32-permutation sketch, so allow a bounded temp dir
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         # driver testdata ships single files; ScaleGen (sf1) writes Spark
         # directories of part files — read whichever shape exists
