@@ -237,6 +237,23 @@ class PropertySpec extends SparkSpec {
     assert(dflt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
   }
 
+  test("auto-gate: ceiling crossed only at the MERGE level still falls back") {
+    import spark.implicits._
+    // every partition holds 2 nodes (under the ceiling of 3); only the
+    // treeAggregate merge of the star forests crosses it — the fold-level
+    // check alone would miss this, the merge-level check must fire
+    val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("a", "b").repartition(4)
+    val want = Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L)
+    spark.conf.set(Dedup.DenseMaxNodesKey, "3")
+    try {
+      val gated = Dedup.connectedComponents(edges, "a", "b")
+      assert(gated.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+      assert(gated.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    } finally spark.conf.unset(Dedup.DenseMaxNodesKey)
+  }
+
   test("property: ngram-Jaccard pipeline equals an independent in-test reimplementation") {
     import spark.implicits._
     val rng = new scala.util.Random(77)
