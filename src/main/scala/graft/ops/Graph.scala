@@ -55,6 +55,14 @@ object Graph {
       .distinct()
   }
 
+  /** Target sort rows per partition of the wedge∪edge shuffle
+    * ([[nbrTaggedSorted]]): ~8M rows ≈ 300 MB of external-sorter
+    * footprint — small enough that a full complement of concurrent
+    * sorters fits executor memory with room to spill, large enough that
+    * the sf0.1/sf1 plans keep their historical core-count partitioning
+    * (the count only grows past the core floor around 2.5×10⁸ wedges). */
+  private val WedgeRowsPerPartition = 8000000L
+
   /** Directed co-purchase pairs, BOTH directions in one explode pass,
     * duplicate rows across orders allowed — the feed for the
     * adjacency-aggregate operators ([[pageRankAdj]] via [[pagerankTop]],
@@ -475,10 +483,28 @@ object Graph {
     val und = adj.select(col("src"), explode(col("ids")).as("v"))
       .select(shiftleft(col("src"), 32).bitwiseOR(col("v")).as("uv"),
         lit(0).as("w"))
-    val nPart = adj.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // explicit partition count: AQE's size-based coalesce would fold the
-    // ~12-byte-row shuffle into a handful of partitions and starve the
-    // sort+count stage of cores (same reasoning as the adjacency memo)
+    // explicit partition count, VOLUME-SCALED: AQE's size-based coalesce
+    // would fold the ~12-byte-row shuffle into a handful of partitions
+    // and starve the sort+count stage of cores (same reasoning as the
+    // adjacency memo) — but a FIXED count fails in the other direction
+    // at scale: 32 partitions over the sf10 replica corpus put ~3×10⁷
+    // sort rows into each of 32 CONCURRENT external sorters and the
+    // stage died with UNABLE_TO_ACQUIRE_MEMORY (round-12 finding). The
+    // row count is exactly predictable before the shuffle — Σ C(d,2)
+    // wedges + Σ d edge tags over the kept adjacency, one cheap
+    // map-side aggregate on the memoized input — so partition the
+    // COMPUTE a row fans out to: ≤ ~8M sort rows (~300 MB sorter
+    // footprint) per partition, floor at the core count, capped at 4096
+    // (at 10⁹ rows that is ~125 partitions; at sf0.1/sf1 the floor
+    // keeps the historical 32-partition plans bit-identical).
+    val spark = adj.sparkSession
+    val cores = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val estRow = kept
+      .select(sum(expr("size(ids) * (size(ids) + 1) / 2")).cast("long"))
+      .first()
+    val estRows = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    val nPart = math.max(cores,
+      math.min(4096L, (estRows + WedgeRowsPerPartition - 1) / WedgeRowsPerPartition).toInt)
     wedges.union(und)
       .repartition(nPart, col("uv"))
       .sortWithinPartitions("uv")
