@@ -300,12 +300,27 @@ object Dedup {
     spark.conf.getOption(DenseMaxNodesKey).map(_.toLong).getOrElse(50000000L)
 
   /** True iff `rows` fits the dense/dictionary ceiling — the auto-gate
-    * for the adjacency-fed fast paths. Costs one count job; the graph
-    * family passes its MEMOIZED (checkpoint-materialized) row-per-node
-    * adjacency, so the count is a cheap flat-scan over cached blocks,
-    * never a recompute of the aggregate. */
-  private[graft] def withinDenseCeiling(rows: DataFrame): Boolean =
-    rows.count() <= denseMaxNodes(rows.sparkSession)
+    * for the adjacency-fed fast paths. Costs at most one count job per
+    * DataFrame INSTANCE (weakly memoized below): the graph family passes
+    * its MEMOIZED (checkpoint-materialized) row-per-node adjacency — a
+    * stable instance per (session, dir) — so across a family's queries
+    * the flat-scan count runs once, and it is never a recompute of the
+    * aggregate. */
+  private[graft] def withinDenseCeiling(rows: DataFrame): Boolean = {
+    val n = Option(gateCounts.get(rows)).map(_.longValue).getOrElse {
+      val c = rows.count()
+      gateCounts.put(rows, java.lang.Long.valueOf(c))
+      c
+    }
+    n <= denseMaxNodes(rows.sparkSession)
+  }
+
+  /** Weak identity cache for [[withinDenseCeiling]]'s row counts — keys
+    * are the DataFrame instances themselves (the PlanMemo adjacency is a
+    * stable instance), so entries vanish with the plans they describe. */
+  private val gateCounts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Long])
 
   /** Eager materialization + lineage truncation at operator exit points
     * (and inside iterative loops): RELIABLE `checkpoint()` when
