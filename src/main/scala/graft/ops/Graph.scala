@@ -499,8 +499,12 @@ object Graph {
     // keeps the historical 32-partition plans bit-identical).
     val spark = adj.sparkSession
     val cores = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val estRow = kept
-      .select(sum(expr("size(ids) * (size(ids) + 1) / 2")).cast("long"))
+    // kept nodes contribute C(d,2) wedges + d edge tags = d(d+1)/2 rows;
+    // degree-capped nodes still ship their d edge tags
+    val estRow = adj
+      .select(sum(expr(
+        s"CASE WHEN size(ids) <= $maxDeg THEN size(ids) * (size(ids) + 1) / 2 " +
+          "ELSE size(ids) END")).cast("long"))
       .first()
     val estRows = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
     val nPart = math.max(cores,
