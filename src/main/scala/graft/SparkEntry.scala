@@ -140,6 +140,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
     "dedup_containment" -> (Dedup.containmentPairs(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
+    "dedup_minhash_reps" -> (Dedup.minhashClusterReps(_, _)),
     // --- similarity search ---
     "ann_brute_force"   -> (Vectors.annBruteForce(_, _)),
     "ann_range_search"  -> (Vectors.rangeSearch(_, _)),
@@ -153,6 +154,7 @@ object SparkEntry {
     // --- multimodal columns ---
     "mm_media_stats"    -> (Multimodal.mediaStats(_, _)),
     "mm_frame_sample"   -> (Multimodal.frameSample(_, _)),
+    "mm_manifest_plan"  -> ((s, d) => Multimodal.manifestPlan(s, d)),
     // --- iterative graph analytics ---
     "graph_pagerank"    -> (Graph.pagerankTop(_, _)),
     "graph_triangles"   -> (Graph.triangleCounts(_, _)),
@@ -1105,6 +1107,7 @@ object SparkEntry {
     // constants + the md5_number_upper byte-swap idiom) — previously
     // rows-only under xxhash64
     "dedup_minhash" -> graft.ops.Dedup.minhashOracle,
+    "dedup_minhash_reps" -> graft.ops.Dedup.minhashRepsOracle,
     "dedup_simhash" -> graft.ops.Dedup.simhashGroupsOracle,
     "dedup_simhash_near" -> graft.ops.Dedup.simhashNearOracle,
 
@@ -1957,6 +1960,22 @@ object SparkEntry {
         |       octet_length(encode(text)) AS n_bytes,
         |       (doc_id % 640) + 32 AS width, (doc_id % 480) + 32 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // blob-pack manifest: per-mime running byte offsets, floor-placement
+    // into target-size blob files, in-file ranges via the per-file min
+    "mm_manifest_plan" ->
+      s"""WITH m AS (SELECT doc_id, 'image/fake-' || lang AS mime,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |p AS (SELECT *, CAST(coalesce(sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bytes_before
+         |      FROM m),
+         |q AS (SELECT *, CAST(floor(bytes_before / ${graft.ops.Multimodal.BlobTargetBytes}) AS BIGINT) AS file_seq
+         |      FROM p)
+         |SELECT doc_id, mime || '/blob-' || CAST(file_seq AS VARCHAR) AS uri,
+         |       CAST(bytes_before - min(bytes_before) OVER (PARTITION BY mime, file_seq) AS BIGINT) AS byte_start,
+         |       n_bytes AS byte_len
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     // every-4th 256-byte frame, md5 per frame. Text is ASCII (verified per
     // SF), so DuckDB's char-based substring == Spark's byte-based binary

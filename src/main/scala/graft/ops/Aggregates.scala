@@ -550,20 +550,35 @@ object Aggregates {
     * 2%-error register count costs ~2× less per-row update than 1% and
     * AggregatesSpec pins the result within 5% of exact. Approx values
     * differ per implementation, so the output hashes via the EXACT
-    * countDistinct companion + in-plan `est_ok` (oracle emits TRUE).
-    * SCALE CAVEAT: that exact companion expands all values —
-    * oracle-harness-only; at 100 TB run the sketch column alone (see
-    * [[percentilesApprox]]). */
+    * count-distinct companion + in-plan `est_ok` (oracle emits TRUE).
+    *
+    * Plan shape (round 13 — was the worst non-dedup sf10 line at 17×):
+    * mixing `countDistinct` with a non-distinct agg makes Catalyst plan
+    * an Expand (2 projections → 2× the input rows through the exchange)
+    * plus the 3-phase distinct machinery. Instead the exact side is an
+    * EXPLICIT two-stage aggregate: dedup to (priority, custkey) first —
+    * map-side partial dedup, one exchange of already-deduped pairs —
+    * then count. HLL insertion is idempotent, so
+    * `approx_count_distinct` over the DEDUPED rows builds the identical
+    * register set (identical estimate) while updating |distinct| rows
+    * instead of |orders|. Same results, no Expand, strictly less
+    * exchange volume. SCALE CAVEAT: the exact companion still shuffles
+    * one row per distinct pair — oracle-harness shape; at 100 TB run
+    * the sketch alone over the raw table (see [[percentilesApprox]]). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority").as("priority"))
+      .select(col("o_orderpriority").as("priority"), col("o_custkey").as("custkey"))
+      .distinct()
+      .groupBy(col("priority"))
       .agg(
-        countDistinct(col("o_custkey")).as("n_customers"),
+        // count(custkey) over distinct (priority, custkey) rows ==
+        // countDistinct (both ignore nulls)
+        count(col("custkey")).as("n_customers"),
         // est_ok = HLL++ estimate within 10% of exact (rsd 0.02 → ~2%
         // std err), checked in-plan so the oracle (TRUE) pins the sketch
-        (abs(approx_count_distinct(col("o_custkey"), rsd = 0.02) -
-          countDistinct(col("o_custkey"))) <=
-          countDistinct(col("o_custkey")) * 0.10).as("est_ok"))
+        (abs(approx_count_distinct(col("custkey"), rsd = 0.02) -
+          count(col("custkey"))) <=
+          count(col("custkey")) * 0.10).as("est_ok"))
       .orderBy("priority")
 
   /** ROLLUP grouping sets (absent in reference; native `.rollup`).

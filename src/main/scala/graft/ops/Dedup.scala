@@ -143,6 +143,140 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash near-dup CLUSTER REPRESENTATIVES — the emission shape a
+    * pipeline consumer actually wants at corpus scale: one row per
+    * near-dup cluster (representative = min doc_id, member count, id sum/
+    * max for audit), never the all-pairs list. [[minhashPairs]] is
+    * output-bound on dense corpora — k mutual near-dups produce C(k,2)
+    * true pairs, so a 100-replica cluster emits 4 950 rows where ONE
+    * cluster row carries the decision a dedup pass needs (sf10 measured:
+    * 2.5×10⁷ pairs, and every pair pays the signature+shingle verify).
+    *
+    * Candidate generation is CHAIN-emission, the O(k)-per-bucket LSH
+    * shape: per (band, k0, k1) bucket the sorted member list contributes
+    * only its k−1 CONSECUTIVE pairs, not all C(k,2) — enough to keep any
+    * bucket's members connectable while the verified-pair volume stays
+    * linear in bucket size. Chains then take the SAME gates as
+    * [[minhashPairs]] (signature-estimate ≥ 0.25, exact string-space
+    * Jaccard ≥ 0.2), and the verified chain graph feeds
+    * [[connectedComponents]] (dense union-find; |V|-auto-gated). The
+    * semantics is deliberately chain-based — deterministic and replayable
+    * end-to-end in the DuckDB oracle ([[minhashRepsOracle]], recursive-CTE
+    * closure) — and coincides with all-pairs clustering whenever bucket
+    * co-members verify transitively (true replica clusters; RecallSpec
+    * pins the agreement on planted near-dups). A failed interior chain
+    * link with a passing non-adjacent link can split a cluster that
+    * all-pairs would join — the documented trade for O(k) verify volume.
+    *
+    * Scale shape: bucket rows carry (band, sig-pair, doc_id) only; the
+    * chain explode is linear; sig/shingle attach joins touch O(corpus +
+    * chains) rows instead of O(pairs); the union-find consumes edges
+    * without materializing membership lists. At 100 TB this is the
+    * variant to run — `dedup_minhash` stays frozen as the exhaustive
+    * pair report. */
+  def minhashClusterReps(spark: SparkSession, dir: String): DataFrame =
+    minhashClusterRepsDf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) DataFrame (spec entry point). */
+  def minhashClusterRepsDf(documents: DataFrame): DataFrame = {
+    import graft.functions.TextKernels
+    val docs = truncate(documents
+      .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles")))
+    val sigs = truncate(docs.select(col("doc_id"),
+      TextKernels.minhashSigKernel(col("shingles"), NumPerms).as("sig")))
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
+        col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k0").as("k0"), col("bk.k1").as("k1"))
+    // chain candidates: consecutive pairs of the bucket's SORTED member
+    // list (k−1 rows, not C(k,2)); same 2..1000 skew cap as minhashPairs
+    val chains = banded
+      .groupBy(col("band"), col("k0"), col("k1"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+      .select(explode(expr(
+        "transform(sequence(1, size(ids) - 1), " +
+          "i -> named_struct('a', element_at(ids, i), 'b', element_at(ids, i + 1)))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val estimated = chains
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / NumPerms).as("est_sim"))
+      .filter(col("est_sim") >= 0.25)
+    val verified = estimated
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b")))) >= 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(verified, "doc_a", "doc_b")
+      .groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("id_sum"),
+        max(col("id")).as("max_id"))
+      .orderBy("rep_id")
+  }
+
+  /** DuckDB oracle for [[minhashClusterReps]] — the [[minhashOracle]]
+    * pipeline with chain-emission candidates and a recursive-CTE
+    * transitive closure over the verified chain graph. */
+  def minhashRepsOracle: String = {
+    val values = SqlPerms.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks),
+       |shingles AS (SELECT DISTINCT doc_id,
+       |    concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1], tk[CAST(i AS INT) + 2]) AS s
+       |  FROM sh0),
+       |hs AS (SELECT doc_id, s,
+       |    ((x & 255) << 24) | (((x >> 8) & 255) << 16) | (((x >> 16) & 255) << 8) | ((x >> 24) & 255) AS h
+       |  FROM (SELECT doc_id, s, CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS x FROM shingles)),
+       |perms(i, a, b) AS (VALUES $values),
+       |sigs AS (SELECT doc_id, i, min((a * h + b) % ${SqlPrime}) AS m FROM hs, perms GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // ${Rows} AS band,
+       |    max(CASE WHEN i % 2 = 0 THEN m END) AS k0,
+       |    max(CASE WHEN i % 2 = 1 THEN m END) AS k1
+       |  FROM sigs GROUP BY 1, 2),
+       |g AS (SELECT band, k0, k1 FROM bands GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND 1000),
+       |lists AS (SELECT b.band, b.k0, b.k1, list_sort(list(b.doc_id)) AS ids
+       |          FROM bands b JOIN g USING (band, k0, k1) GROUP BY 1, 2, 3),
+       |chains AS (SELECT DISTINCT ids[CAST(i AS INT)] AS doc_a, ids[CAST(i AS INT) + 1] AS doc_b
+       |           FROM (SELECT ids, unnest(range(1, len(ids))) AS i FROM lists)),
+       |est AS (SELECT doc_a, doc_b,
+       |    CAST(count(*) FILTER (WHERE sa.m = sb.m) AS DOUBLE) / ${NumPerms} AS est_sim
+       |  FROM chains JOIN sigs sa ON sa.doc_id = doc_a
+       |              JOIN sigs sb ON sb.doc_id = doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT doc_a, doc_b FROM est WHERE est_sim >= 0.25),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS cmn
+       |  FROM cand c JOIN shingles x ON x.doc_id = c.doc_a
+       |              JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2),
+       |ver AS (SELECT c.doc_a, c.doc_b
+       |  FROM common c JOIN szs sa ON sa.doc_id = c.doc_a
+       |                JOIN szs sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(cmn AS DOUBLE) / (sa.sz + sb.sz - cmn) >= 0.2),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ver),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+       |           FROM reach GROUP BY src)
+       |SELECT label AS rep_id, count(*) AS n_members,
+       |       CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
+       |FROM labels GROUP BY 1 ORDER BY rep_id""".stripMargin
+  }
+
   /** 64-bit SimHash per document: explode tokens → per-token md5-derived
     * 32-bit word pair (same base hash as the kernel) →
     * per-doc two-phase aggregation where each of the 64 bits sums +1/-1
@@ -365,9 +499,14 @@ object Dedup {
     * derivation — instead the fold throws [[DenseCeilingExceeded]] the
     * moment any partial/merged union-find passes the ceiling, and the
     * dispatcher falls back to the loop. Common case (fits): zero extra
-    * cost. Rare case (exceeds): at most one partial pass wasted — callers
-    * that KNOW they're over the ceiling pass `dense = false` and skip
-    * the probe. Beyond the ceiling, or for non-long keys (string doc
+    * cost. Rare case (exceeds): at most one partial pass wasted in local
+    * mode; on a cluster the scheduler retries a failed task
+    * `spark.task.maxFailures` times (default 4) before aborting the
+    * stage, so the wasted work is multiplied by the retry count — a
+    * deployment that expects to trip the ceiling should either lower
+    * `spark.task.maxFailures` for the job or pass `dense = false`
+    * outright. Callers that KNOW they're over the ceiling pass
+    * `dense = false` and skip the probe. Beyond the ceiling, or for non-long keys (string doc
     * ids), the fallback is the declarative min-label pointer-jumping
     * loop below, which scales with partitions, not memory. PropertySpec
     * pins the two paths label-identical (the labels are an exact integer
@@ -402,7 +541,13 @@ object Dedup {
   private def hasDenseCeiling(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).exists { c =>
       c.isInstanceOf[DenseCeilingExceeded] || (c.getMessage != null &&
-        c.getMessage.contains("graft.DenseCeilingExceeded"))
+        (c.getMessage.contains("graft.DenseCeilingExceeded") ||
+          // LongUnionFind's own structural require (2^29 keys) can fire
+          // mid-merge before the configured cap is checked when the conf
+          // is set near/above the structural limit — it is the same
+          // "dense path over capacity" condition, so it takes the same
+          // fallback instead of hard-failing.
+          c.getMessage.contains("LongUnionFind supports at most")))
     }
 
   /** One-pass dense CC: each edge partition folds into a [[LongUnionFind]]
@@ -425,11 +570,22 @@ object Dedup {
       else if (y.isEmpty) x
       else {
         val uf = new LongUnionFind((x.length + y.length) / 2)
+        // cap checked INSIDE the loops (uf.size is a field read): with a
+        // conf near the 2^29 structural limit, a check only after both
+        // forests are unioned would let LongUnionFind's own require fire
+        // first mid-merge — hasDenseCeiling now also recognizes that
+        // message, but the in-loop check keeps the marker exception the
+        // normal path and bounds wasted merge work.
         var i = 0
-        while (i < x.length) { uf.union(x(i), x(i + 1)); i += 2 }
+        while (i < x.length) {
+          uf.union(x(i), x(i + 1)); i += 2
+          if (uf.size > cap) throw new DenseCeilingExceeded(cap)
+        }
         i = 0
-        while (i < y.length) { uf.union(y(i), y(i + 1)); i += 2 }
-        if (uf.size > cap) throw new DenseCeilingExceeded(cap)
+        while (i < y.length) {
+          uf.union(y(i), y(i + 1)); i += 2
+          if (uf.size > cap) throw new DenseCeilingExceeded(cap)
+        }
         uf.starEdges
       }
     val forest = rdd.mapPartitions { it =>

@@ -503,8 +503,13 @@ object Graph {
     // degree-capped nodes still ship their d edge tags
     val estRow = adj
       .select(sum(expr(
-        s"CASE WHEN size(ids) <= $maxDeg THEN size(ids) * (size(ids) + 1) / 2 " +
-          "ELSE size(ids) END")).cast("long"))
+        // BIGINT before multiplying: with int arithmetic a caller-supplied
+        // maxDeg ≥ 46341 lets d*(d+1) overflow negative, the summed
+        // estimate goes negative, and nPart silently collapses to the
+        // core floor — defeating the volume scaling.
+        s"CASE WHEN size(ids) <= $maxDeg " +
+          "THEN CAST(size(ids) AS BIGINT) * (size(ids) + 1) / 2 " +
+          "ELSE CAST(size(ids) AS BIGINT) END")).cast("long"))
       .first()
     val estRows = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
     val nPart = math.max(cores,

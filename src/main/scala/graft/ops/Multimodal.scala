@@ -162,6 +162,54 @@ object Multimodal {
         col("meta.height").cast("long").as("height"))
       .orderBy("doc_id")
 
+  /** Blob-pack target size for [[manifestPlan]]'s default QUERY entry —
+    * deliberately small (64 KiB) so the plan exercises multi-file
+    * placement even at sf0.001; production object-store packing uses
+    * ~64 MB blobs (one HTTP range-read per payload, row groups stay
+    * scan-friendly). */
+  val BlobTargetBytes: Long = 64L * 1024
+
+  /** Blob-manifest planning — the at-scale media layout this file's
+    * header documents: payloads over ~1 MB do NOT travel inline in rows;
+    * they live packed in blob-store files and rows carry (uri,
+    * byte_range). This op PLANS that packing: per mime group (payloads of
+    * one type pack together so a modality-specific reader never range-
+    * reads past foreign bytes), payloads are laid out in doc_id order,
+    * each assigned the blob file its running byte offset falls in
+    * (floor(bytes_before / target) — same first-fit-by-prefix rule as
+    * [[graft.ops.Text.compactionPlan]]) and its byte range within that
+    * file. Output is the per-payload manifest a downstream decode stage
+    * joins on — pure integer math over metadata, fully oracle-able, no
+    * payload bytes touched.
+    *
+    * Scale shape: two window passes over (mime)-partitioned metadata —
+    * a running byte sum and a per-file min — then a projection; the only
+    * exchanges are the window partitionings on the ~100-byte metadata
+    * rows, never payloads. At 100 TB the window partition key widens to
+    * (mime, ingest-bucket) so no single mime's running sum serializes in
+    * one task. */
+  def manifestPlan(spark: SparkSession, dir: String,
+                   targetBytes: Long = BlobTargetBytes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy(col("mime")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = mediaTable(spark, dir)
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("bytes_before", coalesce(sum(col("n_bytes")).over(before), lit(0L)))
+      .withColumn("file_seq", floor(col("bytes_before") / targetBytes))
+    // byte_start is relative to the file: subtract the file's first
+    // payload's running offset (a second window over (mime, file_seq))
+    val fileBase = Window.partitionBy(col("mime"), col("file_seq"))
+    placed
+      .withColumn("file_base", min(col("bytes_before")).over(fileBase))
+      .select(col("doc_id"),
+        concat(col("mime"), lit("/blob-"), col("file_seq")).as("uri"),
+        (col("bytes_before") - col("file_base")).as("byte_start"),
+        col("n_bytes").as("byte_len"))
+      .orderBy("doc_id")
+  }
+
   /** Resize plumbing: deterministic down-sampling of the payload (every
     * k-th byte) with metadata updated to match — the same partition-local
     * map shape a real image resize (e.g. imageio scaled rewrite) plugs

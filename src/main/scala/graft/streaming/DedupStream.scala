@@ -4,7 +4,7 @@ import graft.functions.TextKernels
 import graft.ops.Dedup.{Bands, NumPerms}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming MinHash-LSH near-duplicate detection — the continuous-
   * ingestion counterpart of the batch LSH family (`Dedup.minhashPairs`):
@@ -18,9 +18,8 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * the batch band-bucket self-join: each (band, k0, k1) bucket is a
   * `transformWithState` key (packed to one xxhash64 long — fixed-width
   * shuffle/state keys; a collision merging two buckets is a ~2⁻⁴⁷ event
-  * that could only ADD candidates, never lose one) whose [[ListState]]
-  * holds the signatures
-  * registered in that bucket, capped at [[BucketCap]] entries — the same
+  * that could only ADD candidates, never lose one) holding the bucket's
+  * registered signatures, capped at [[BucketCap]] entries — the same
   * skew guard as the batch 2..1000 bucket filter, bounding both state
   * size and per-arrival compare work no matter how degenerate a bucket
   * gets (boilerplate-heavy feeds). An arriving document compares its
@@ -39,31 +38,39 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * micro-batch cannot). StreamingSpec's superset check runs on a corpus
   * whose buckets sit far below the cap, where the contract is exact.
   *
-  * Scale shape: one shuffle (groupByKey on the bucket key), state
-  * entries are (8-byte id + 16-long PACKED signature) ≈ 140 B — two
-  * 31-bit minhash values per long, never text — and RocksDB owns the
-  * registry. At 100 TB-feed scale the TTL knob
-  * (`ttl` arg → TTLConfig on the list state, processing-time mode)
-  * bounds the horizon like dropDuplicatesWithinWatermark does for exact
-  * dedup — registry entries expire after the configured age, so state is
-  * O(active horizon) not O(corpus); exercised by StreamingSpec's TTL
-  * variant. The batch-parity spec runs unbounded (TTLConfig.NONE). */
+  * Scale shape: one shuffle (groupByKey on the bucket key), and ONE
+  * state row per bucket — a single packed long array laid out
+  * [[RegStride]] longs per entry (doc_id, insert-time ms, 16 packed
+  * signature words; two 31-bit minhash values per word, never text) —
+  * so a bucket visit costs ONE RocksDB get + ONE primitive-array decode
+  * instead of [[BucketCap]] per-element row decodes (the former
+  * ListState layout; the decode fan-out, not the signature compares,
+  * dominated the adversarial sf10 wall — see docs/BENCH_NOTES.md round
+  * 13). At 100 TB-feed scale the TTL knob (`ttl` arg) bounds the
+  * horizon like dropDuplicatesWithinWatermark does for exact dedup —
+  * per-ENTRY insert timestamps filter aged entries on read (an expired
+  * base doc stops matching at exactly its own age, the ListState-TTL
+  * contract, pinned by StreamingSpec's TTL variant) and the state
+  * store's value-level TTL physically evicts idle buckets — so state is
+  * O(active horizon), not O(corpus). The batch-parity spec runs
+  * unbounded (no TTL). */
 object DedupStream {
-
-  /** One bucket-registry entry: a previously ingested doc's signature,
-    * PACKED two 31-bit minhash values per long (the kernel's values are
-    * mod 2³¹−1, so 32 perms ride in 16 longs — half the state bytes and
-    * half the shuffle payload of the unpacked form; per-perm equality is
-    * per-half equality, so estimates are bit-identical). */
-  case class BucketEntry(docId: Long, sig: Array[Long])
 
   /** Packed signature length: [[NumPerms]] 31-bit values, 2 per long.
     * Equal to [[Bands]] because Rows == 2 — the banding below leans on
     * that identity (packed element b IS band b's (k0, k1) key). */
   val PackedLen: Int = NumPerms / 2
 
+  /** Longs per registry entry: doc_id, insert-time millis, packed sig. */
+  val RegStride: Int = 2 + PackedLen
+
   /** A near-dup candidate discovered on arrival (docA < docB). */
   case class StreamCandidate(docA: Long, docB: Long, band: Int, estSim: Double)
+
+  /** ValueState wrapper (Encoders.product needs a Product; the payload
+    * is the flat entries array, [[RegStride]] longs each, insertion
+    * order). */
+  case class PackedRegistry(v: Array[Long])
 
   /** Per-bucket registry cap — the streaming analog of the batch
     * pipeline's 1000-member bucket filter (skew guard). */
@@ -71,6 +78,10 @@ object DedupStream {
   /** Minimum signature-agreement estimate to emit a candidate — shared
     * with the batch pipeline's estimate gate. */
   val EstThreshold = 0.25
+  /** EstThreshold expressed in matching-perm count (est = m/NumPerms ≥
+    * 0.25 ⇔ m ≥ 8) — the loop compares integers, emission math on the
+    * double is unchanged. */
+  val MinMatches: Int = math.ceil(EstThreshold * NumPerms).toInt
 
   /** Stateful core: key = the packed 64-bit (band, k0, k1) bucket id,
     * value rows = (bucket, band, doc_id, sig). The key's VALUE is never
@@ -81,49 +92,108 @@ object DedupStream {
     * are processed in doc_id order so output is deterministic regardless
     * of shuffle iterator order; same-batch pairs are found because each
     * arrival registers before the next is compared. Generic in K so the
-    * key representation can evolve without touching the compare logic. */
-  class LshBucketProcessor[K](ttl: TTLConfig = TTLConfig.NONE)
+    * key representation can evolve without touching the compare logic.
+    *
+    * `ttl`: None = unbounded registry (batch parity). Some(d) = per-entry
+    * horizon d, enforced by filtering aged entries on read (their insert
+    * timestamps ride in the packed layout) with the store's value TTL as
+    * the physical-eviction backstop for buckets no arrival ever revisits. */
+  class LshBucketProcessor[K](ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[K, (K, Int, Long, Array[Long]), StreamCandidate] {
 
-    @transient private var entries: ListState[BucketEntry] = _
+    private val ttlMs: Long = ttl.map(_.toMillis).getOrElse(0L)
 
+    @transient private var registry: ValueState[PackedRegistry] = _
+
+    // State variable is VERSIONED ("registry_v3"; v1 = 32 unpacked longs
+    // per ListState entry, v2 = 16 packed): each layout change renames
+    // the variable so a restart from a stale checkpoint fails state
+    // validation loudly instead of silently mis-comparing against the
+    // old byte layout; the stride guard below backstops any path that
+    // slips through.
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      entries = getHandle.getListState[BucketEntry](
-        "entries", Encoders.product[BucketEntry], ttl)
+      registry = getHandle.getValueState[PackedRegistry](
+        "registry_v3", Encoders.product[PackedRegistry],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: K,
                                  rows: Iterator[(K, Int, Long, Array[Long])],
                                  timers: TimerValues): Iterator[StreamCandidate] = {
-      val arrivals = rows.toSeq.sortBy(_._3)
-      val registry = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
-      entries.get().foreach(registry += _)
+      val arrivals = rows.toArray
+      java.util.Arrays.sort(arrivals, Ordering.by((r: (K, Int, Long, Array[Long])) => r._3))
+      val stored = registry.get() match {
+        case null => Array.emptyLongArray
+        case r    => r.v
+      }
+      if (stored.length % RegStride != 0)
+        throw new IllegalStateException(
+          s"graft.DedupStream: registry_v3 length ${stored.length} is not a " +
+            s"multiple of stride $RegStride — state written by an " +
+            "incompatible layout; clear the checkpoint")
+      // one working buffer sized for the worst case; reg(0 until n*Stride)
+      // is live. TTL: drop aged entries up front (compacting copy) so they
+      // neither match nor hold cap space — per-entry semantics.
+      val cap = BucketCap * RegStride
+      val reg = new Array[Long](cap)
+      var n = 0
+      if (ttlMs > 0) {
+        val cutoff = timers.getCurrentProcessingTimeInMs() - ttlMs
+        var off = 0
+        while (off < stored.length) {
+          if (stored(off + 1) >= cutoff) {
+            System.arraycopy(stored, off, reg, n * RegStride, RegStride)
+            n += 1
+          }
+          off += RegStride
+        }
+      } else {
+        System.arraycopy(stored, 0, reg, 0, stored.length)
+        n = stored.length / RegStride
+      }
+      val dropped = n * RegStride != stored.length
+      val nowMs = if (ttlMs > 0) timers.getCurrentProcessingTimeInMs() else 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[StreamCandidate]
       var appended = false
       arrivals.foreach { case (_, band, docId, sig) =>
-        if (!registry.exists(_.docId == docId)) {
-          registry.foreach { e =>
+        // membership scan (stride walk over ≤64 doc ids)
+        var seen = false
+        var off = 0
+        val live = n * RegStride
+        while (off < live && !seen) { seen = reg(off) == docId; off += RegStride }
+        if (!seen) {
+          off = 0
+          while (off < live) {
             // matching perms = matching 32-bit halves of the packed sig
             var m = 0
             var i = 0
+            val base = off + 2
             while (i < PackedLen) {
-              val x = e.sig(i) ^ sig(i)
+              val x = reg(base + i) ^ sig(i)
               if ((x >>> 32) == 0L) m += 1
               if ((x & 0xFFFFFFFFL) == 0L) m += 1
               i += 1
             }
-            val est = m.toDouble / NumPerms
-            if (est >= EstThreshold)
-              out += StreamCandidate(math.min(e.docId, docId),
-                math.max(e.docId, docId), band, est)
+            if (m >= MinMatches) {
+              val other = reg(off)
+              out += StreamCandidate(math.min(other, docId),
+                math.max(other, docId), band, m.toDouble / NumPerms)
+            }
+            off += RegStride
           }
-          if (registry.size < BucketCap) {
-            registry += BucketEntry(docId, sig)
+          if (n < BucketCap) {
+            val base = n * RegStride
+            reg(base) = docId
+            reg(base + 1) = nowMs
+            System.arraycopy(sig, 0, reg, base + 2, PackedLen)
+            n += 1
             appended = true
           }
         }
       }
-      // one state write per (bucket, micro-batch), not per arrival
-      if (appended) entries.put(registry.toArray)
+      // one state write per (bucket, micro-batch), not per arrival; also
+      // rewritten when TTL dropped entries so state physically shrinks
+      if (appended || dropped)
+        registry.update(PackedRegistry(java.util.Arrays.copyOf(reg, n * RegStride)))
       out.iterator
     }
   }
@@ -134,7 +204,7 @@ object DedupStream {
     * (docA, docB), as the batch pipeline's `distinct()` does.
     *
     * `ttl` bounds the dedup horizon: registry entries older than the
-    * duration expire from state (RocksDB TTL, processing-time mode), so
+    * duration expire (per-entry read filter + store-level eviction), so
     * an endless feed holds O(horizon) state instead of O(corpus). None
     * (default) keeps the registry forever — full batch parity. */
   def streamingNearDup(spark: SparkSession, docs: DataFrame,
@@ -160,13 +230,13 @@ object DedupStream {
       .as[(Long, Int, Long, Array[Long])]
     // TTL states require processing-time mode; without TTL stay in
     // TimeMode.None so the unbounded path carries no clock machinery
-    val (proc, timeMode) = ttl match {
-      case Some(d) => (new LshBucketProcessor[Long](TTLConfig(d)), TimeMode.ProcessingTime())
-      case None    => (new LshBucketProcessor[Long](), TimeMode.None())
+    val timeMode = ttl match {
+      case Some(_) => TimeMode.ProcessingTime()
+      case None    => TimeMode.None()
     }
     banded
       .groupByKey(_._1)
-      .transformWithState(proc, timeMode, OutputMode.Append())
+      .transformWithState(new LshBucketProcessor[Long](ttl), timeMode, OutputMode.Append())
       .toDF()
   }
 }

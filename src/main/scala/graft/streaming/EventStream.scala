@@ -30,12 +30,20 @@ object EventStream {
     // glob filter must NOT be applied in the directory case: it matches
     // leaf file names, so it would silently select ZERO part files and
     // the query would "complete" over an empty stream.
-    val evPath = new java.io.File(s"$dir/events.parquet")
+    // Directory detection goes through Hadoop's FileSystem (resolved with
+    // the session's Hadoop conf), NOT java.io.File: on hdfs:// or s3a://
+    // paths java.io.File.isDirectory is always false, a directory-form
+    // events table would fall into the glob branch, match zero part files,
+    // and the query would silently complete over an empty stream — the
+    // exact bug class the directory branch exists to prevent.
+    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = evPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir = fs.getFileStatus(evPath).isDirectory
     val reader = spark.readStream
       .schema(batchSchema)
       .option("maxFilesPerTrigger", "1")
     val raw =
-      if (evPath.isDirectory) reader.parquet(evPath.toString)
+      if (isDir) reader.parquet(evPath.toString)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     // Normalize ts to TimestampType for watermarking, mirroring
     // graft.Tables.events: TIMESTAMP(NANOS) arrives as LongType ns under

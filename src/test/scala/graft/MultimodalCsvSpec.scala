@@ -47,6 +47,34 @@ class MultimodalCsvSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("frame_idx") % 4 == 0))
   }
 
+  test("manifest plan: contiguous non-overlapping ranges, every payload placed once") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val nDocs = media.count()
+    val rows = Multimodal.manifestPlan(spark, sfDir).collect()
+    assert(rows.length.toLong == nDocs, "one manifest row per payload")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length.toLong == nDocs)
+    rows.foreach(r => assert(r.getAs[Long]("byte_len") > 0))
+    // within each blob file: ranges tile the file with no gaps/overlap,
+    // starting at 0 and filling to roughly the target before rolling over
+    rows.groupBy(_.getAs[String]("uri")).foreach { case (uri, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("byte_start"))
+      assert(sorted.head.getAs[Long]("byte_start") == 0L, s"$uri does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("byte_start") + a.getAs[Long]("byte_len") ==
+            b.getAs[Long]("byte_start"), s"gap/overlap in $uri")
+        case _ => ()
+      }
+    }
+    // per-mime file sequence is dense from 0 (blob-0, blob-1, ...)
+    rows.map(_.getAs[String]("uri")).distinct.groupBy(_.split("/blob-")(0))
+      .foreach { case (mime, uris) =>
+        val seqs = uris.map(_.split("/blob-")(1).toLong).sorted
+        assert(seqs.head == 0L && seqs.last == seqs.length - 1L,
+          s"$mime file sequence not dense: ${seqs.mkString(",")}")
+      }
+  }
+
   test("binaryFile source -> imageio decode end-to-end on real files") {
     import graft.ops.Multimodal
     def png(rgb: Int, w: Int, h: Int): Array[Byte] = {

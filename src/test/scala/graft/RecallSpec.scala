@@ -103,6 +103,26 @@ class RecallSpec extends SparkSpec {
     labels.values.toSet.foreach((l: Long) => assert(labels(l) == l))
   }
 
+  test("minhash cluster reps agree with all-pairs clustering on planted replicas") {
+    import org.apache.spark.sql.functions.col
+    // chain-emission semantics coincides with all-pairs clustering when
+    // bucket co-members verify transitively — true of planted replica
+    // clusters (the production case the operator exists for)
+    val reps = Dedup.minhashClusterRepsDf(plantedDocs).collect()
+      .map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("id_sum"), r.getAs[Long]("max_id"))).toSet
+    val pairs = Dedup.minhashPairsDf(plantedDocs).select(col("doc_a"), col("doc_b"))
+    val allPairs = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"), max(col("id")).as("m"))
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("m"))).toSet
+    assert(reps.nonEmpty, "no clusters found on the planted corpus")
+    assert(reps == allPairs,
+      s"chain-emission clusters ${reps.size} != all-pairs clusters ${allPairs.size}")
+  }
+
   test("k-means centroids: <= nlist rows, 64 double dims, stable ids") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Vectors.kmeansCentroids(emb, nlist = 8, iters = 2).collect()
