@@ -335,4 +335,24 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Drive a streaming query to completion through the `noop` sink — the
+    * measurement harness (Bench/StreamProbe) variant of
+    * [[runToCompletion]]: every micro-batch fully executes (same contract
+    * as the batch bench's noop writes) but rows are dropped at the sink
+    * instead of being collected into driver memory. The memory sink
+    * java-serializes each partition's rows back to the driver and keeps
+    * them all — on a high-output stream (the sf10 adversarial near-dup
+    * feed emits ~10⁸ candidates) that collect OOMs the harness long
+    * before the operator itself is stressed, and even when it survives
+    * it bills driver-collect overhead to the operator. */
+  def runToCompletionNoop(df: DataFrame,
+                          mode: OutputMode = OutputMode.Complete()): Unit = {
+    val q = df.writeStream
+      .format("noop")
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

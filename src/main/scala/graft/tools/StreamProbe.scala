@@ -51,8 +51,8 @@ object StreamProbe {
           val docs =
             if (docPath.isDirectory) reader.parquet(docPath.toString)
             else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-          graft.streaming.EventStream.runToCompletion(
-            docs.selectExpr("doc_id"), s"probe_base_${parts}_$r", OutputMode.Append())
+          graft.streaming.EventStream.runToCompletionNoop(
+            docs.selectExpr("doc_id"), OutputMode.Append())
         case "sigonly" => // signatures + banding, no stateful operator
           import org.apache.spark.sql.functions._
           import graft.functions.TextKernels
@@ -68,22 +68,19 @@ object StreamProbe {
           val banded = sigs.select(col("doc_id"),
             explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
               col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
-          graft.streaming.EventStream.runToCompletion(
-            banded, s"probe_sig_${parts}_$r", OutputMode.Append())
+          graft.streaming.EventStream.runToCompletionNoop(banded, OutputMode.Append())
         case "dedup" =>
           val ev = graft.streaming.EventStream.readEvents(s2, sfDir)
-          graft.streaming.EventStream.runToCompletion(
-            graft.streaming.EventStream.streamingDedup(ev),
-            s"probe_dedup_${parts}_$r", OutputMode.Append())
+          graft.streaming.EventStream.runToCompletionNoop(
+            graft.streaming.EventStream.streamingDedup(ev), OutputMode.Append())
         case _ =>
           val docPath = new java.io.File(s"$sfDir/documents.parquet")
           val reader = s2.readStream.schema("doc_id LONG, text STRING")
           val docs =
             if (docPath.isDirectory) reader.parquet(docPath.toString)
             else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-          graft.streaming.EventStream.runToCompletion(
-            graft.streaming.DedupStream.streamingNearDup(s2, docs),
-            s"probe_neardup_${parts}_$r", OutputMode.Append())
+          graft.streaming.EventStream.runToCompletionNoop(
+            graft.streaming.DedupStream.streamingNearDup(s2, docs), OutputMode.Append())
       }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] $which parts=$parts run=$r: $sec%.2f s  (${docRows / sec}%.0f rows/s)")
