@@ -51,6 +51,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("agg_approx_distinct: explicit two-stage distinct, NO Expand node") {
+    // the round-13 rewrite exists to kill the Expand plan (2 projections
+    // per input row + 3-phase distinct machinery) that made this the
+    // worst non-dedup sf10 ratio (32.7 s, 17x); a regression back to a
+    // mixed countDistinct plan re-introduces Expand
+    val plan = executedPlan(Aggregates.approxDistinct(spark, sfDir))
+    assert(!plan.contains("Expand"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("q1 aggregation executes inside WholeStageCodegen") {
     val df = Aggregates.pricingSummary(spark, sfDir)
     df.collect()

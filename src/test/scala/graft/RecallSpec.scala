@@ -123,6 +123,18 @@ class RecallSpec extends SparkSpec {
       s"chain-emission clusters ${reps.size} != all-pairs clusters ${allPairs.size}")
   }
 
+  test("minhash cluster reps: empty output on an all-distinct corpus") {
+    import spark.implicits._
+    val vocab = Array.tabulate(2000)(i => s"w$i")
+    val rand = new scala.util.Random(42)
+    val indep = (0 until 40)
+      .map(i => (i.toLong, Array.fill(80)(vocab(rand.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    // no verified pairs -> no clusters -> zero rows (singletons are
+    // never emitted; CC over an empty edge list must not blow up)
+    assert(Dedup.minhashClusterRepsDf(indep).count() == 0)
+  }
+
   test("k-means centroids: <= nlist rows, 64 double dims, stable ids") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Vectors.kmeansCentroids(emb, nlist = 8, iters = 2).collect()
