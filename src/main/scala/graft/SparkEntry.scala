@@ -155,6 +155,8 @@ object SparkEntry {
     "mm_media_stats"    -> (Multimodal.mediaStats(_, _)),
     "mm_frame_sample"   -> (Multimodal.frameSample(_, _)),
     "mm_manifest_plan"  -> ((s, d) => Multimodal.manifestPlan(s, d)),
+    "mm_payload_dedup"  -> (Multimodal.payloadDedup(_, _)),
+    "mm_modality_mix"   -> (Multimodal.modalityMix(_, _)),
     // --- iterative graph analytics ---
     "graph_pagerank"    -> (Graph.pagerankTop(_, _)),
     "graph_triangles"   -> (Graph.triangleCounts(_, _)),
@@ -1976,6 +1978,25 @@ object SparkEntry {
          |       CAST(bytes_before - min(bytes_before) OVER (PARTITION BY mime, file_seq) AS BIGINT) AS byte_start,
          |       n_bytes AS byte_len
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // payload bytes = utf-8 text bytes, so md5(payload) == md5(text)
+    "mm_payload_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "mm_modality_mix" ->
+      """WITH m AS (SELECT 'image/fake-' || lang AS mime,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |           FROM documents),
+        |a AS (SELECT mime, count(*) AS n_items,
+        |             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |             min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+        |      FROM m GROUP BY 1)
+        |SELECT mime, n_items, total_bytes, min_bytes, max_bytes,
+        |       round(CAST(total_bytes AS DOUBLE) /
+        |             CAST(sum(total_bytes) OVER () AS DOUBLE), 6) AS byte_share
+        |FROM a ORDER BY mime""".stripMargin,
 
     // every-4th 256-byte frame, md5 per frame. Text is ASCII (verified per
     // SF), so DuckDB's char-based substring == Spark's byte-based binary

@@ -210,6 +210,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Payload-level EXACT dedup — the multimodal sibling of
+    * [[graft.ops.Dedup.exactDedup]]: identical media BYTES (re-uploaded
+    * images, mirrored assets) collapse to one canonical row regardless of
+    * surrounding metadata. Fingerprint = md5 of the payload; the
+    * aggregation shuffles only (16-byte fp, id, n_bytes) — payload bytes
+    * never cross the exchange, the invariant that makes this viable when
+    * payloads are MBs (at blob-manifest scale the fp is computed at
+    * ingest and this op never touches bytes at all). Keeper = smallest
+    * doc_id, the same deterministic rule as the text-side dedup. */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), md5(col("payload")).as("fp"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("keep_id")
+
+  /** Modality-mix report — the multimodal analog of `pipeline_mixture`:
+    * per media type, corpus share by row count and by BYTES (the number
+    * a multimodal training-mixture spec is written against, since one
+    * video outweighs a thousand captions), plus payload-size dispersion
+    * for shard planning. One aggregate over metadata; payloads feed only
+    * the map-side length(). */
+  def modalityMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    mediaTable(spark, dir)
+      .select(col("meta.mime").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .withColumn("byte_share",
+        round(col("total_bytes").cast("double") /
+          sum(col("total_bytes")).over(Window.partitionBy()), 6))
+      .orderBy("mime")
+  }
+
   /** Resize plumbing: deterministic down-sampling of the payload (every
     * k-th byte) with metadata updated to match — the same partition-local
     * map shape a real image resize (e.g. imageio scaled rewrite) plugs
