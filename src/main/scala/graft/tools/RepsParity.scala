@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-level agreement check for `dedup_minhash_reps` (round 13): on a
+  * corpus whose near-dup clusters are genuine replica groups, the
+  * chain-emission cluster report must equal the all-pairs one — the same
+  * property RecallSpec pins on a 55-doc planted corpus, re-asserted here
+  * on the ScaleGen tier (50k docs at sf1, 99-replica clusters at sf10)
+  * where bucket membership, the 2..1000 cap, and the est/Jaccard gates
+  * all operate at real fan-out. Compares
+  * (rep_id, n_members, id_sum, max_id) sets from
+  * [[graft.ops.Dedup.minhashClusterRepsDf]] vs connected components over
+  * the frozen [[graft.ops.Dedup.minhashPairsDf]] verified-pair graph.
+  *
+  * Usage: tools/runmain.sh graft.tools.RepsParity <sfDir>
+  */
+object RepsParity {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-reps-parity")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val reps = graft.ops.Dedup.minhashClusterRepsDf(docs).collect()
+      .map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("id_sum"), r.getAs[Long]("max_id"))).toSet
+    val t1 = System.nanoTime()
+    val pairs = graft.ops.Dedup.minhashPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    val full = graft.ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"), max(col("id")).as("m"))
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("m"))).toSet
+    val t2 = System.nanoTime()
+    val only1 = reps -- full
+    val only2 = full -- reps
+    println(f"[reps-parity] dir=$dir chain_clusters=${reps.size} " +
+      f"allpairs_clusters=${full.size} agree=${reps == full} " +
+      f"reps_sec=${(t1 - t0) / 1e9}%.1f allpairs_sec=${(t2 - t1) / 1e9}%.1f")
+    if (reps != full)
+      println(s"[reps-parity] DIVERGED chain-only=${only1.take(5)} allpairs-only=${only2.take(5)}")
+    spark.stop()
+  }
+}
