@@ -113,32 +113,52 @@ object Bench {
     // which is exactly the band the r11→r12 driver-line drift lived in.
     // The warm feeds are ~24 rows, so this adds ~4 s once, independent of
     // SF — never a rerun of the real corpus.
-    if (only.isEmpty) try {
+    // each warm is individually guarded: a RocksDB/JNI failure in the
+    // near-dup warm must not silently skip the sliding/dedup warms (the
+    // timed lines would re-absorb the exact cold-start skew this exists
+    // to remove)
+    def warm(label: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable => System.err.println(s"[bench] warm $label: $e") }
+    if (only.isEmpty) {
       import spark.implicits._
-      val wdir = java.nio.file.Files.createTempDirectory("graft_stream_warm").toString
-      (0 until 24).map(i => (i.toLong, s"warm doc $i alpha beta gamma delta " * 4))
-        .toDF("doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(s"$wdir/docs")
-      val s2 = spark.newSession()
-      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val wdocs = s2.readStream.schema("doc_id LONG, text STRING").parquet(s"$wdir/docs")
-      graft.streaming.EventStream.runToCompletionNoop(
-        graft.streaming.DedupStream.streamingNearDup(s2, wdocs),
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      (0 until 24).map(i => (i.toLong, (i % 5).toLong, "click", 1.0,
-          java.sql.Timestamp.valueOf("2024-01-01 0%d:00:00".format(i % 10))))
-        .toDF("event_id", "user_id", "event_type", "value", "ts")
-        .coalesce(1).write.mode("overwrite").parquet(s"$wdir/events")
-      val wev = spark.readStream
-        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
-        .parquet(s"$wdir/events")
-      graft.streaming.EventStream.runToCompletionNoop(
-        graft.streaming.EventStream.slidingCounts(wev))
-      graft.streaming.EventStream.runToCompletionNoop(
-        graft.streaming.EventStream.streamingDedup(wev),
-        org.apache.spark.sql.streaming.OutputMode.Append())
-    } catch { case e: Throwable => System.err.println(s"[bench] stream warm: $e") }
+      val wdirPath = java.nio.file.Files.createTempDirectory("graft_stream_warm")
+      val wdir = wdirPath.toString
+      warm("neardup") {
+        (0 until 24).map(i => (i.toLong, s"warm doc $i alpha beta gamma delta " * 4))
+          .toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$wdir/docs")
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val wdocs = s2.readStream.schema("doc_id LONG, text STRING").parquet(s"$wdir/docs")
+        graft.streaming.EventStream.runToCompletionNoop(
+          graft.streaming.DedupStream.streamingNearDup(s2, wdocs),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+      warm("windows") {
+        (0 until 24).map(i => (i.toLong, (i % 5).toLong, "click", 1.0,
+            java.sql.Timestamp.valueOf("2024-01-01 0%d:00:00".format(i % 10))))
+          .toDF("event_id", "user_id", "event_type", "value", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$wdir/events")
+        val wev = spark.readStream
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+          .parquet(s"$wdir/events")
+        graft.streaming.EventStream.runToCompletionNoop(
+          graft.streaming.EventStream.slidingCounts(wev))
+        graft.streaming.EventStream.runToCompletionNoop(
+          graft.streaming.EventStream.streamingDedup(wev),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+      // the warm feeds are throwaway — don't leave parquet + stream
+      // metadata accumulating in the system temp dir across bench runs
+      warm("cleanup") {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(wdirPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
 
     val streamRows =
       if (only.isDefined) 0L

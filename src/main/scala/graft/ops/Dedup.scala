@@ -91,57 +91,78 @@ object Dedup {
     * (driver data has none). */
   def minhashPairsDf(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsKernel
-    // Shingle sets and signatures are each consumed by 2-3 downstream
-    // joins; materialize each ONCE via the shared truncate helper
-    // (reliable checkpoint when configured, localCheckpoint otherwise) so
-    // the expensive per-document kernel passes never re-run per consumer.
-    // Unlike a bare .persist() the blocks are released by ContextCleaner
-    // as soon as the result DataFrame is unreferenced — no leaked cache
-    // entries in long-lived library sessions (CacheHygieneSpec pins it).
+    val (docs, sigs) = minhashDocsSigs(documents)
+    // all-pairs emission: every C(k,2) pair of each capped bucket
+    val pairs = minhashBuckets(sigs)
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    minhashVerified(pairs, docs, sigs)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- shared MinHash pipeline stages -----------------------------------
+  // minhashPairsDf and minhashClusterRepsDf differ ONLY in how a bucket's
+  // member list becomes candidate pairs (all C(k,2) vs the k−1 chain).
+  // Every other stage — shingling, signatures, banding, the 2..1000 skew
+  // cap, the est ≥ 0.25 gate, the exact-Jaccard ≥ 0.2 verify — must stay
+  // bit-identical between the two (RecallSpec + tools/RepsParity pin the
+  // chain ≡ all-pairs cluster property, which holds only while the gates
+  // agree), so they live here ONCE.
+
+  /** Shingle sets and signatures, each materialized ONCE via the shared
+    * truncate helper (reliable checkpoint when configured, localCheckpoint
+    * otherwise) — they feed 2-3 downstream joins and the expensive
+    * per-document kernel passes must not re-run per consumer. Unlike a
+    * bare .persist() the blocks are released by ContextCleaner as soon as
+    * the result is unreferenced (CacheHygieneSpec pins it). */
+  private def minhashDocsSigs(documents: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.TextKernels
     val docs = truncate(documents
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles")))
     val sigs = truncate(docs.select(col("doc_id"),
       TextKernels.minhashSigKernel(col("shingles"), NumPerms).as("sig")))
+    (docs, sigs)
+  }
 
-    // band keys are the RAW signature components (band, sig[2b], sig[2b+1])
-    // — directly replayable in the DuckDB oracle, unlike a re-hash of the
-    // slice; the grouping key is 20 bytes instead of 8, on a per-doc-
-    // per-band row count that the banding keeps linear
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
-        col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+  /** Banded bucket membership → capped member lists (band, k0, k1, ids).
+    * Band keys are the RAW signature components (band, sig[2b], sig[2b+1])
+    * — directly replayable in the DuckDB oracle, unlike a re-hash of the
+    * slice; the grouping key is 20 bytes instead of 8, on a per-doc-
+    * per-band row count that the banding keeps linear. The 2..1000 size
+    * filter is the skew cap (an over-full bucket is boilerplate, not
+    * dedup signal). */
+  private def minhashBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(
+        col("doc_id"),
+        explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
+          col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k0").as("k0"), col("bk.k1").as("k1"))
-
-    val pairs = banded
       .groupBy(col("band"), col("k0"), col("k1"))
       .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, 1000))
-      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
 
-    val estimated = pairs
+  /** Candidate (doc_a, doc_b) pairs → signature-estimate gate (≥ 0.25) →
+    * exact string-space Jaccard verify (≥ 0.2). Emits (doc_a, doc_b,
+    * est_sim, jaccard) unrounded; callers round/order or drop the scores. */
+  private def minhashVerified(pairs: DataFrame, docs: DataFrame,
+                              sigs: DataFrame): DataFrame =
+    pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
           .cast("double") / NumPerms).as("est_sim"))
       .filter(col("est_sim") >= 0.25)
-
-    estimated
       .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** MinHash near-dup CLUSTER REPRESENTATIVES — the emission shape a
     * pipeline consumer actually wants at corpus scale: one row per
@@ -179,41 +200,19 @@ object Dedup {
 
   /** Core over any (doc_id, text) DataFrame (spec entry point). */
   def minhashClusterRepsDf(documents: DataFrame): DataFrame = {
-    import graft.functions.TextKernels
-    val docs = truncate(documents
-      .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles")))
-    val sigs = truncate(docs.select(col("doc_id"),
-      TextKernels.minhashSigKernel(col("shingles"), NumPerms).as("sig")))
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
-        col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.k0").as("k0"), col("bk.k1").as("k1"))
+    val (docs, sigs) = minhashDocsSigs(documents)
     // chain candidates: consecutive pairs of the bucket's SORTED member
-    // list (k−1 rows, not C(k,2)); same 2..1000 skew cap as minhashPairs
-    val chains = banded
-      .groupBy(col("band"), col("k0"), col("k1"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
+    // list (k−1 rows, not C(k,2)); bucketing + caps + gates are the
+    // SHARED stages (see minhashBuckets/minhashVerified)
+    val chains = minhashBuckets(sigs)
+      .select(sort_array(col("ids")).as("ids"))
       .select(explode(expr(
         "transform(sequence(1, size(ids) - 1), " +
           "i -> named_struct('a', element_at(ids, i), 'b', element_at(ids, i + 1)))"))
         .as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    val estimated = chains
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-          .cast("double") / NumPerms).as("est_sim"))
-      .filter(col("est_sim") >= 0.25)
-    val verified = estimated
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b")))) >= 0.2)
+    val verified = minhashVerified(chains, docs, sigs)
       .select(col("doc_a"), col("doc_b"))
     connectedComponents(verified, "doc_a", "doc_b")
       .groupBy(col("label").as("rep_id"))

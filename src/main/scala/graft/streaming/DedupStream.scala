@@ -125,15 +125,23 @@ object DedupStream {
         case null => Array.emptyLongArray
         case r    => r.v
       }
-      if (stored.length % RegStride != 0)
+      // incompatible-layout guard: stride divisibility AND the cap — a
+      // checkpoint written by a build with a larger BucketCap is a clean
+      // multiple of the stride but would overflow the working buffer
+      // (raw AIOOBE instead of this message) if only divisibility were
+      // checked
+      if (stored.length % RegStride != 0 || stored.length > BucketCap * RegStride)
         throw new IllegalStateException(
           s"graft.DedupStream: registry_v3 length ${stored.length} is not a " +
-            s"multiple of stride $RegStride — state written by an " +
-            "incompatible layout; clear the checkpoint")
-      // one working buffer sized for the worst case; reg(0 until n*Stride)
-      // is live. TTL: drop aged entries up front (compacting copy) so they
-      // neither match nor hold cap space — per-entry semantics.
-      val cap = BucketCap * RegStride
+            s"multiple of stride $RegStride within cap $BucketCap — state " +
+            "written by an incompatible layout; clear the checkpoint")
+      // one working buffer, sized to what THIS visit can actually hold
+      // (live entries + at most one append per arrival, cap-bounded):
+      // most buckets hold 1-3 entries, and tens of millions of bucket
+      // visits each allocating the full 1152-long worst case would be
+      // hundreds of GB of young-gen churn in the hot path
+      val cap = math.min(BucketCap * RegStride,
+        stored.length + arrivals.length * RegStride)
       val reg = new Array[Long](cap)
       var n = 0
       if (ttlMs > 0) {
@@ -151,7 +159,16 @@ object DedupStream {
         n = stored.length / RegStride
       }
       val dropped = n * RegStride != stored.length
-      val nowMs = if (ttlMs > 0) timers.getCurrentProcessingTimeInMs() else 0L
+      // insert timestamps are stamped in EVERY mode (processing time when
+      // the state layer provides it, wall clock otherwise): a registry
+      // written under ttl=None and later restarted with a TTL must
+      // expire by true entry age, not silently drop everything because
+      // no-TTL writes stamped 0. The stamp never reaches output rows, so
+      // batch-parity determinism is unaffected.
+      val nowMs = {
+        val t = if (ttlMs > 0) timers.getCurrentProcessingTimeInMs() else -1L
+        if (t > 0) t else System.currentTimeMillis()
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[StreamCandidate]
       var appended = false
       arrivals.foreach { case (_, band, docId, sig) =>
