@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.containmentPairs(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     "dedup_minhash_reps" -> (Dedup.minhashClusterReps(_, _)),
+    "dedup_simhash_reps" -> (Dedup.simhashClusterReps(_, _)),
     // --- similarity search ---
     "ann_brute_force"   -> (Vectors.annBruteForce(_, _)),
     "ann_range_search"  -> (Vectors.rangeSearch(_, _)),
@@ -1112,6 +1113,7 @@ object SparkEntry {
     "dedup_minhash_reps" -> graft.ops.Dedup.minhashRepsOracle,
     "dedup_simhash" -> graft.ops.Dedup.simhashGroupsOracle,
     "dedup_simhash_near" -> graft.ops.Dedup.simhashNearOracle,
+    "dedup_simhash_reps" -> graft.ops.Dedup.simhashRepsOracle,
 
     "text_entropy" ->
       """WITH tf AS (

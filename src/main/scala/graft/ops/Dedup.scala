@@ -337,52 +337,118 @@ object Dedup {
 
   def simhashNearPairsDf(documents: DataFrame,
                          dictAttach: Boolean = true): DataFrame = {
-    import graft.functions.GraftFunctions.{sortedLongPairsKernel, sortedLongLookupKernel}
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
     // fingerprints feed the banding explode AND the scoring dictionary —
     // truncate-materialize once (checkpoint blocks, ContextCleaner-
     // reclaimed; no leaked cache in library sessions)
     val fp = truncate(documents
       .select(col("doc_id"),
         graft.functions.TextKernels.simhashKernel(col("text")).as("fp")))
-    val chunked = fp.select(col("doc_id"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("ck.c").as("c"), col("ck.key").as("key"))
-    val cands = chunked.groupBy(col("c"), col("key"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
+    // all-pairs emission: every C(k,2) pair of each capped chunk bucket
+    val cands = simhashBuckets(fp)
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    // fingerprint re-attach: both endpoints of every candidate pair need
-    // their 64-bit simhash back. Default = the broadcast-dictionary idiom
-    // (one row of parallel sorted arrays, two O(log n) binary-search
-    // kernel probes per pair, map-side) — two whole shuffle-join stages
-    // disappear vs the equi-join form. 16 B/doc keeps the dictionary
-    // broadcastable to ~10⁸ docs; past that ceiling flip `dictAttach`
-    // off for the two-join fallback (same output — spec-pinned), exactly
-    // like [[Graph.neighborJaccardAdj]].
-    val scored =
-      if (dictAttach) {
-        val fpRow = fp
-          .agg(array_sort(collect_list(struct(col("doc_id"), col("fp")))).as("kv"))
-          .select(transform(col("kv"), x => x.getField("doc_id")).as("ks"),
-            transform(col("kv"), x => x.getField("fp")).as("vs"))
-        cands.crossJoin(broadcast(fpRow))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(sortedLongLookupKernel(col("ks"), col("vs"), col("doc_a"))
-              .bitwiseXOR(sortedLongLookupKernel(col("ks"), col("vs"), col("doc_b"))))
-              .as("hamming"))
-      } else {
-        cands
-          .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
-          .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      }
-    scored
+    simhashHamming(cands, fp, dictAttach)
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- shared SimHash-banding stages -------------------------------------
+  // simhashNearPairsDf and simhashClusterRepsDf differ only in how a chunk
+  // bucket's member list becomes candidate pairs (all C(k,2) vs the k−1
+  // chain); the banding, the 2..1000 cap, and the hamming verify are
+  // shared so the two cannot drift apart (same discipline as the MinHash
+  // family's minhashBuckets/minhashVerified).
+
+  /** 4×16-bit pigeonhole chunk buckets → capped member lists
+    * (c, key, ids): two 64-bit fingerprints within hamming 3 must agree
+    * on at least one of the four 16-bit chunks, so per-chunk equality
+    * buckets are a complete candidate generator for ≤3 (SimHash banding
+    * exactness spec-pinned). */
+  private def simhashBuckets(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"),
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("ck.c").as("c"), col("ck.key").as("key"))
+      .groupBy(col("c"), col("key"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+
+  /** Hamming distance attach for candidate pairs. Default = the broadcast-
+    * dictionary idiom (one row of parallel sorted arrays, two O(log n)
+    * binary-search kernel probes per pair, map-side) — two whole
+    * shuffle-join stages disappear vs the equi-join form. 16 B/doc keeps
+    * the dictionary broadcastable to ~10⁸ docs; past that ceiling flip
+    * `dictAttach` off for the two-join fallback (same output —
+    * spec-pinned), exactly like [[Graph.neighborJaccardAdj]]. */
+  private def simhashHamming(cands: DataFrame, fp: DataFrame,
+                             dictAttach: Boolean): DataFrame = {
+    import graft.functions.GraftFunctions.sortedLongLookupKernel
+    if (dictAttach) {
+      val fpRow = fp
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("fp")))).as("kv"))
+        .select(transform(col("kv"), x => x.getField("doc_id")).as("ks"),
+          transform(col("kv"), x => x.getField("fp")).as("vs"))
+      cands.crossJoin(broadcast(fpRow))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(sortedLongLookupKernel(col("ks"), col("vs"), col("doc_a"))
+            .bitwiseXOR(sortedLongLookupKernel(col("ks"), col("vs"), col("doc_b"))))
+            .as("hamming"))
+    } else {
+      cands
+        .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    }
+  }
+
+  /** SimHash near-dup CLUSTER REPRESENTATIVES — the simhash sibling of
+    * [[minhashClusterReps]], closing the representative-emission story
+    * across both sketch families: one row per hamming-≤3 cluster
+    * (rep = min doc_id, member count, id sum/max for audit) instead of
+    * the all-pairs report.
+    *
+    * Unlike the minhash variant this one keeps ALL-PAIRS candidate
+    * emission, and the choice is load-bearing: emission strategy follows
+    * VERIFY COST. MinHash verification attaches shingle sets and pays an
+    * exact-Jaccard per pair (the 200-300 s sf10 wall), so linear chain
+    * candidates are worth a documented connectivity trade; simhash
+    * verification is two O(log n) broadcast-dictionary probes + one XOR
+    * per pair — map-side, codegen'd, ~free — so C(k,2) candidates under
+    * the 1000 bucket cap cost little, and chains would be WRONG here in
+    * practice, not just in theory: sibling replicas sit at hamming 4-6
+    * from each other while each is ≤3 from their base, so consecutive-
+    * pair links fail verification and split real clusters (measured at
+    * sf1: 6 199 chain clusters vs 4 418 true ones — the experiment that
+    * chose this design). With all-pairs candidates the output is exactly
+    * the connected components of the [[simhashNearPairs]] graph — a
+    * STRONGER contract than the minhash variant's, with only the linear
+    * cluster report materialized. */
+  def simhashClusterReps(spark: SparkSession, dir: String): DataFrame =
+    simhashClusterRepsDf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) DataFrame (spec entry point). */
+  def simhashClusterRepsDf(documents: DataFrame,
+                           dictAttach: Boolean = true): DataFrame = {
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
+    val fp = truncate(documents
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhashKernel(col("text")).as("fp")))
+    val cands = simhashBuckets(fp)
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val verified = simhashHamming(cands, fp, dictAttach)
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(verified, "doc_a", "doc_b")
+      .groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("id_sum"),
+        max(col("id")).as("max_id"))
+      .orderBy("rep_id")
   }
 
   /** Exact n-gram Jaccard via shingle inverted index — the scalable exact
@@ -1067,6 +1133,33 @@ object Dedup {
        |FROM cands JOIN fps fa ON fa.doc_id = doc_a JOIN fps fb ON fb.doc_id = doc_b
        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB oracle for [[simhashClusterReps]] — [[simhashNearOracle]]'s
+    * full all-pairs pipeline plus a recursive-CTE transitive closure
+    * over the hamming-verified pair graph. */
+  def simhashRepsOracle: String =
+    s"""WITH RECURSIVE ${simhashFpCte},
+       |chunks AS (SELECT doc_id, c, (fp >> (c * 16)) & 65535 AS key
+       |           FROM fps, (SELECT unnest(range(4)) AS c)),
+       |g AS (SELECT c, key FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+       |kc AS (SELECT ch.doc_id, ch.c, ch.key FROM chunks ch JOIN g USING (c, key)),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM kc a JOIN kc b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ver AS (SELECT doc_a, doc_b
+       |        FROM cands JOIN fps fa ON fa.doc_id = doc_a
+       |                   JOIN fps fb ON fb.doc_id = doc_b
+       |        WHERE bit_count(xor(fa.fp, fb.fp)) <= 3),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ver),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+       |           FROM reach GROUP BY src)
+       |SELECT label AS rep_id, count(*) AS n_members,
+       |       CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
+       |FROM labels GROUP BY 1 ORDER BY rep_id""".stripMargin
 
   /** Sub-document EXACT dedup (chunk granularity): tile each document
     * into fixed non-overlapping character windows, fingerprint each tile

@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * [[graft.ops.Dedup.minhashClusterRepsDf]] vs connected components over
   * the frozen [[graft.ops.Dedup.minhashPairsDf]] verified-pair graph.
   *
-  * Usage: tools/runmain.sh graft.tools.RepsParity <sfDir>
+  * Usage: tools/runmain.sh graft.tools.RepsParity <sfDir> [minhash|simhash]
   */
 object RepsParity {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val family = if (args.length > 1) args(1) else "minhash"
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-reps-parity")
@@ -33,13 +34,21 @@ object RepsParity {
     // chain one) is not charged the JVM's first-touch costs the second
     // pipeline then rides for free
     docs.write.format("noop").mode("overwrite").save()
-    graft.ops.Dedup.minhashClusterRepsDf(docs.limit(64)).collect()
+    def repsDf(d: org.apache.spark.sql.DataFrame) = family match {
+      case "simhash" => graft.ops.Dedup.simhashClusterRepsDf(d)
+      case _         => graft.ops.Dedup.minhashClusterRepsDf(d)
+    }
+    def pairsDf(d: org.apache.spark.sql.DataFrame) = family match {
+      case "simhash" => graft.ops.Dedup.simhashNearPairsDf(d)
+      case _         => graft.ops.Dedup.minhashPairsDf(d)
+    }
+    repsDf(docs.limit(64)).collect()
     val t0 = System.nanoTime()
-    val reps = graft.ops.Dedup.minhashClusterRepsDf(docs).collect()
+    val reps = repsDf(docs).collect()
       .map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_members"),
         r.getAs[Long]("id_sum"), r.getAs[Long]("max_id"))).toSet
     val t1 = System.nanoTime()
-    val pairs = graft.ops.Dedup.minhashPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    val pairs = pairsDf(docs).select(col("doc_a"), col("doc_b"))
     val full = graft.ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(col("id")).as("s"), max(col("id")).as("m"))
@@ -49,7 +58,7 @@ object RepsParity {
     val t2 = System.nanoTime()
     val only1 = reps -- full
     val only2 = full -- reps
-    println(f"[reps-parity] dir=$dir chain_clusters=${reps.size} " +
+    println(f"[reps-parity] family=$family dir=$dir chain_clusters=${reps.size} " +
       f"allpairs_clusters=${full.size} agree=${reps == full} " +
       f"reps_sec=${(t1 - t0) / 1e9}%.1f allpairs_sec=${(t2 - t1) / 1e9}%.1f")
     if (reps != full)

@@ -123,6 +123,24 @@ class RecallSpec extends SparkSpec {
       s"chain-emission clusters ${reps.size} != all-pairs clusters ${allPairs.size}")
   }
 
+  test("simhash cluster reps agree with all-pairs clustering on planted replicas") {
+    import org.apache.spark.sql.functions.col
+    val reps = Dedup.simhashClusterRepsDf(plantedDocs).collect()
+      .map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("id_sum"), r.getAs[Long]("max_id"))).toSet
+    val pairs = Dedup.simhashNearPairsDf(plantedDocs).select(col("doc_a"), col("doc_b"))
+    val allPairs = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"), max(col("id")).as("m"))
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("m"))).toSet
+    // the 5 byte-identical replicas guarantee hamming-0 clusters exist
+    assert(reps.nonEmpty, "no simhash clusters found on the planted corpus")
+    assert(reps == allPairs,
+      s"chain-emission clusters ${reps.size} != all-pairs clusters ${allPairs.size}")
+  }
+
   test("minhash cluster reps: empty output on an all-distinct corpus") {
     import spark.implicits._
     val vocab = Array.tabulate(2000)(i => s"w$i")
