@@ -336,7 +336,28 @@ object Dedup {
     simhashNearPairsDf(Tables.documents(spark, dir))
 
   def simhashNearPairsDf(documents: DataFrame,
-                         dictAttach: Boolean = true): DataFrame = {
+                         dictAttach: Boolean = true): DataFrame =
+    simhashVerifiedPairs(documents, dictAttach, uniquePairs = true)
+      .orderBy("doc_a", "doc_b")
+
+  // ---- shared SimHash-banding stages -------------------------------------
+  // simhashNearPairsDf and simhashClusterRepsDf consume the SAME verified
+  // hamming-≤3 pair graph (both use all-pairs candidate emission — see
+  // simhashClusterReps' scaladoc for why chains were measured wrong here)
+  // and differ only in post-processing: the ordered pair report vs the
+  // union-find cluster rollup. The whole pipeline up to verified pairs
+  // lives in simhashVerifiedPairs so the two cannot drift apart (same
+  // discipline as the MinHash family's minhashBuckets/minhashVerified).
+
+  /** Fingerprint → chunk buckets → all-pairs candidates → hamming ≤ 3
+    * verify. `uniquePairs` dedups candidate pairs before the verify — a
+    * pair can co-occur in up to 4 chunk buckets, so the pair REPORT needs
+    * distinct output rows; the cluster-reps consumer skips it (duplicate
+    * edges are harmless to union-find, and re-verifying a duplicate costs
+    * two binary-search probes + one XOR — cheaper than a full distinct
+    * shuffle over the candidate set). */
+  private def simhashVerifiedPairs(documents: DataFrame, dictAttach: Boolean,
+                                   uniquePairs: Boolean): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsKernel
     // fingerprints feed the banding explode AND the scoring dictionary —
     // truncate-materialize once (checkpoint blocks, ContextCleaner-
@@ -344,22 +365,13 @@ object Dedup {
     val fp = truncate(documents
       .select(col("doc_id"),
         graft.functions.TextKernels.simhashKernel(col("text")).as("fp")))
-    // all-pairs emission: every C(k,2) pair of each capped chunk bucket
-    val cands = simhashBuckets(fp)
+    val exploded = simhashBuckets(fp)
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    val cands = if (uniquePairs) exploded.distinct() else exploded
     simhashHamming(cands, fp, dictAttach)
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
   }
-
-  // ---- shared SimHash-banding stages -------------------------------------
-  // simhashNearPairsDf and simhashClusterRepsDf differ only in how a chunk
-  // bucket's member list becomes candidate pairs (all C(k,2) vs the k−1
-  // chain); the banding, the 2..1000 cap, and the hamming verify are
-  // shared so the two cannot drift apart (same discipline as the MinHash
-  // family's minhashBuckets/minhashVerified).
 
   /** 4×16-bit pigeonhole chunk buckets → capped member lists
     * (c, key, ids): two 64-bit fingerprints within hamming 3 must agree
@@ -432,16 +444,10 @@ object Dedup {
   /** Core over any (doc_id, text) DataFrame (spec entry point). */
   def simhashClusterRepsDf(documents: DataFrame,
                            dictAttach: Boolean = true): DataFrame = {
-    import graft.functions.GraftFunctions.sortedLongPairsKernel
-    val fp = truncate(documents
-      .select(col("doc_id"),
-        graft.functions.TextKernels.simhashKernel(col("text")).as("fp")))
-    val cands = simhashBuckets(fp)
-      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
-    val verified = simhashHamming(cands, fp, dictAttach)
-      .filter(col("hamming") <= 3)
+    // uniquePairs = false: duplicate edges (a pair co-occurring in up to
+    // 4 chunk buckets) are harmless to union-find, so the reps path skips
+    // the distinct's full candidate shuffle
+    val verified = simhashVerifiedPairs(documents, dictAttach, uniquePairs = false)
       .select(col("doc_a"), col("doc_b"))
     connectedComponents(verified, "doc_a", "doc_b")
       .groupBy(col("label").as("rep_id"))
@@ -1118,17 +1124,24 @@ object Dedup {
        |SELECT fp AS simhash, count(*) AS n_docs, min(doc_id) AS keep_id
        |FROM fps GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** DuckDB oracle for [[simhashNearPairs]] — replays the 4×16-bit
-    * pigeonhole banding INCLUDING the bucket cap (arithmetic >> plus the
-    * 0xFFFF mask equals the kernel's unsigned shift on every chunk). */
+  /** Shared DuckDB CTE block: the 4×16-bit pigeonhole banding INCLUDING
+    * the bucket cap (arithmetic >> plus the 0xFFFF mask equals the
+    * kernel's unsigned shift on every chunk) → distinct candidate pairs.
+    * Used by BOTH [[simhashNearOracle]] and [[simhashRepsOracle]] so a
+    * cap/banding change can never make the two oracles verify different
+    * graphs (same rationale as [[simhashFpCte]]). */
+  private def simhashCandsCte: String =
+    """chunks AS (SELECT doc_id, c, (fp >> (c * 16)) & 65535 AS key
+      |           FROM fps, (SELECT unnest(range(4)) AS c)),
+      |g AS (SELECT c, key FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+      |kc AS (SELECT ch.doc_id, ch.c, ch.key FROM chunks ch JOIN g USING (c, key)),
+      |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM kc a JOIN kc b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[simhashNearPairs]]. */
   def simhashNearOracle: String =
     s"""WITH ${simhashFpCte},
-       |chunks AS (SELECT doc_id, c, (fp >> (c * 16)) & 65535 AS key
-       |           FROM fps, (SELECT unnest(range(4)) AS c)),
-       |g AS (SELECT c, key FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
-       |kc AS (SELECT ch.doc_id, ch.c, ch.key FROM chunks ch JOIN g USING (c, key)),
-       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM kc a JOIN kc b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+       |${simhashCandsCte}
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
        |FROM cands JOIN fps fa ON fa.doc_id = doc_a JOIN fps fb ON fb.doc_id = doc_b
        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
@@ -1139,12 +1152,7 @@ object Dedup {
     * over the hamming-verified pair graph. */
   def simhashRepsOracle: String =
     s"""WITH RECURSIVE ${simhashFpCte},
-       |chunks AS (SELECT doc_id, c, (fp >> (c * 16)) & 65535 AS key
-       |           FROM fps, (SELECT unnest(range(4)) AS c)),
-       |g AS (SELECT c, key FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
-       |kc AS (SELECT ch.doc_id, ch.c, ch.key FROM chunks ch JOIN g USING (c, key)),
-       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM kc a JOIN kc b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id),
+       |${simhashCandsCte},
        |ver AS (SELECT doc_a, doc_b
        |        FROM cands JOIN fps fa ON fa.doc_id = doc_a
        |                   JOIN fps fb ON fb.doc_id = doc_b

@@ -3,16 +3,21 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-level agreement check for `dedup_minhash_reps` (round 13): on a
-  * corpus whose near-dup clusters are genuine replica groups, the
-  * chain-emission cluster report must equal the all-pairs one — the same
-  * property RecallSpec pins on a 55-doc planted corpus, re-asserted here
-  * on the ScaleGen tier (50k docs at sf1, 99-replica clusters at sf10)
-  * where bucket membership, the 2..1000 cap, and the est/Jaccard gates
-  * all operate at real fan-out. Compares
-  * (rep_id, n_members, id_sum, max_id) sets from
-  * [[graft.ops.Dedup.minhashClusterRepsDf]] vs connected components over
-  * the frozen [[graft.ops.Dedup.minhashPairsDf]] verified-pair graph.
+/** Scale-level agreement check for the cluster-representative ops
+  * (round 13): the reps report must equal connected components over the
+  * corresponding frozen all-pairs graph — the property RecallSpec pins
+  * on a 55-doc planted corpus, re-asserted here on the ScaleGen tiers
+  * (50k docs at sf1, 99-replica clusters at sf10) where bucket
+  * membership, the caps, and the verify gates all operate at real
+  * fan-out. family=minhash compares the CHAIN-emission
+  * [[graft.ops.Dedup.minhashClusterRepsDf]] vs CC over
+  * [[graft.ops.Dedup.minhashPairsDf]] (agreement is the measured
+  * property chains trade for linear verify volume); family=simhash
+  * compares [[graft.ops.Dedup.simhashClusterRepsDf]] vs CC over
+  * [[graft.ops.Dedup.simhashNearPairsDf]] (agreement is structural —
+  * both consume the same verified graph — so this run guards the
+  * shared-stage refactor). Sets compared:
+  * (rep_id, n_members, id_sum, max_id).
   *
   * Usage: tools/runmain.sh graft.tools.RepsParity <sfDir> [minhash|simhash]
   */
@@ -34,13 +39,17 @@ object RepsParity {
     // chain one) is not charged the JVM's first-touch costs the second
     // pipeline then rides for free
     docs.write.format("noop").mode("overwrite").save()
+    // strict match: a typo'd family must fail, not silently measure
+    // minhash under the wrong label
+    require(family == "minhash" || family == "simhash",
+      s"unknown family '$family' (expected minhash|simhash)")
     def repsDf(d: org.apache.spark.sql.DataFrame) = family match {
       case "simhash" => graft.ops.Dedup.simhashClusterRepsDf(d)
-      case _         => graft.ops.Dedup.minhashClusterRepsDf(d)
+      case "minhash" => graft.ops.Dedup.minhashClusterRepsDf(d)
     }
     def pairsDf(d: org.apache.spark.sql.DataFrame) = family match {
       case "simhash" => graft.ops.Dedup.simhashNearPairsDf(d)
-      case _         => graft.ops.Dedup.minhashPairsDf(d)
+      case "minhash" => graft.ops.Dedup.minhashPairsDf(d)
     }
     repsDf(docs.limit(64)).collect()
     val t0 = System.nanoTime()
@@ -58,11 +67,11 @@ object RepsParity {
     val t2 = System.nanoTime()
     val only1 = reps -- full
     val only2 = full -- reps
-    println(f"[reps-parity] family=$family dir=$dir chain_clusters=${reps.size} " +
+    println(f"[reps-parity] family=$family dir=$dir reps_clusters=${reps.size} " +
       f"allpairs_clusters=${full.size} agree=${reps == full} " +
       f"reps_sec=${(t1 - t0) / 1e9}%.1f allpairs_sec=${(t2 - t1) / 1e9}%.1f")
     if (reps != full)
-      println(s"[reps-parity] DIVERGED chain-only=${only1.take(5)} allpairs-only=${only2.take(5)}")
+      println(s"[reps-parity] DIVERGED reps-only=${only1.take(5)} allpairs-only=${only2.take(5)}")
     spark.stop()
   }
 }

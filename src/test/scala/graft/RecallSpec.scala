@@ -137,8 +137,9 @@ class RecallSpec extends SparkSpec {
         r.getAs[Long]("s"), r.getAs[Long]("m"))).toSet
     // the 5 byte-identical replicas guarantee hamming-0 clusters exist
     assert(reps.nonEmpty, "no simhash clusters found on the planted corpus")
+    // structural for simhash: both sides consume the same verified graph
     assert(reps == allPairs,
-      s"chain-emission clusters ${reps.size} != all-pairs clusters ${allPairs.size}")
+      s"simhash reps clusters ${reps.size} != all-pairs clusters ${allPairs.size}")
   }
 
   test("minhash cluster reps: empty output on an all-distinct corpus") {
