@@ -146,10 +146,23 @@ object Dedup {
       .filter(size(col("ids")).between(2, 1000))
 
   /** Candidate (doc_a, doc_b) pairs → signature-estimate gate (≥ 0.25) →
-    * exact string-space Jaccard verify (≥ 0.2). Emits (doc_a, doc_b,
-    * est_sim, jaccard) unrounded; callers round/order or drop the scores. */
+    * exact set-space Jaccard verify (≥ 0.2). Emits (doc_a, doc_b,
+    * est_sim, jaccard) unrounded; callers round/order or drop the scores.
+    *
+    * The Jaccard runs over xxhash64-HASHED shingle sets, not the strings:
+    * the verify joins replicate each doc's shingle set once per candidate
+    * partner (~10² partners/doc on replica corpora), so at sf10 the
+    * string form shipped ~300 × ~20-byte strings per pair row where the
+    * hashed form ships 8-byte longs — ~5× fewer exchange bytes on the
+    * family's dominant stage, and array_intersect/union hash longs
+    * instead of strings. Same identical-unless-xxhash64-collides
+    * (~n²/2⁶⁴ per pair) trade the repo already documents for
+    * dedup_ngram_jaccard's int64-hashed shingle space; the DuckDB oracle
+    * stays in string space and has hash-matched every round. */
   private def minhashVerified(pairs: DataFrame, docs: DataFrame,
-                              sigs: DataFrame): DataFrame =
+                              sigs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      transform(col("shingles"), s => xxhash64(s)).as("sh"))
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -157,12 +170,13 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
           .cast("double") / NumPerms).as("est_sim"))
       .filter(col("est_sim") >= 0.25)
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .join(hashed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
+  }
 
   /** MinHash near-dup CLUSTER REPRESENTATIVES — the emission shape a
     * pipeline consumer actually wants at corpus scale: one row per
