@@ -192,8 +192,10 @@ object Dedup {
     * only its k−1 CONSECUTIVE pairs, not all C(k,2) — enough to keep any
     * bucket's members connectable while the verified-pair volume stays
     * linear in bucket size. Chains then take the SAME gates as
-    * [[minhashPairs]] (signature-estimate ≥ 0.25, exact string-space
-    * Jaccard ≥ 0.2), and the verified chain graph feeds
+    * [[minhashPairs]] (signature-estimate ≥ 0.25, exact Jaccard ≥ 0.2
+    * over xxhash64-HASHED shingle sets — the ~5×-fewer-exchange-bytes
+    * trade and its ~n²/2⁶⁴ collision caveat are documented on
+    * [[minhashVerified]]), and the verified chain graph feeds
     * [[connectedComponents]] (dense union-find; |V|-auto-gated). The
     * semantics is deliberately chain-based — deterministic and replayable
     * end-to-end in the DuckDB oracle ([[minhashRepsOracle]], recursive-CTE
@@ -1059,9 +1061,13 @@ object Dedup {
     * concat_ws's NULL-skip), md5-top-32 base hashes (byte-swap of
     * md5_number_upper's low word — the repo's verified cross-engine md5
     * idiom), all 32 CW permutations, (band, sig-component) buckets with
-    * the 2..1000 cap, signature-estimate gate, and exact string-space
-    * Jaccard verification. Every constant renders from [[SqlPerms]], so
-    * oracle and kernel cannot drift. */
+    * the 2..1000 cap, signature-estimate gate, and exact Jaccard
+    * verification. The oracle verifies in STRING space where the Spark
+    * side uses xxhash64-hashed shingle sets (see [[minhashVerified]]) —
+    * equality holds modulo xxhash64 collisions (~n²/2⁶⁴ per pair), the
+    * same accepted probabilistic-parity trade as dedup_ngram_jaccard.
+    * Every constant renders from [[SqlPerms]], so oracle and kernel
+    * cannot drift. */
   def minhashOracle: String = {
     val values = SqlPerms.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
     s"""WITH toks AS (
