@@ -132,18 +132,37 @@ object Dedup {
     * — directly replayable in the DuckDB oracle, unlike a re-hash of the
     * slice; the grouping key is 20 bytes instead of 8, on a per-doc-
     * per-band row count that the banding keeps linear. The 2..1000 size
-    * filter is the skew cap (an over-full bucket is boilerplate, not
-    * dedup signal). */
+    * cap is the skew gate (an over-full bucket is boilerplate, not
+    * dedup signal) — enforced INSIDE the aggregation via
+    * [[cappedBuckets]], so a mega-bucket never materializes its full
+    * membership in one buffer before being dropped. */
   private def minhashBuckets(sigs: DataFrame): DataFrame =
-    sigs.select(
-        col("doc_id"),
-        explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
-          col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.k0").as("k0"), col("bk.k1").as("k1"))
-      .groupBy(col("band"), col("k0"), col("k1"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
+    cappedBuckets(
+      sigs.select(
+          col("doc_id"),
+          explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
+            col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.k0").as("k0"), col("bk.k1").as("k1")),
+      Seq("band", "k0", "k1"), "doc_id", lo = 2, hi = 1000)
+
+  /** Shared capped bucket-membership builder for every LSH family
+    * (MinHash bands here, SimHash chunks, the n-gram posting index,
+    * [[Vectors]]' embedding LSH codes): groups duplicate-free (key, id)
+    * rows and returns (keys..., ids) ONLY for groups whose size lands in
+    * [lo, hi]. Same single-shuffle ObjectHashAggregate plan and same
+    * output as `collect_set` + a post-hoc size filter, but the cap lives
+    * INSIDE the aggregate ([[graft.functions.CappedCollect]]): partial
+    * buffers are bounded at `hi` ids and a hot bucket ships at most `hi`
+    * ids per map partition through the exchange instead of its full
+    * membership — the two-phase-membership fix without a second pass
+    * over the rows (CappedBucketsSpec pins parity, the bounded-shuffle
+    * property, and the plan shape). */
+  private[graft] def cappedBuckets(rows: DataFrame, keys: Seq[String],
+                                   idCol: String, lo: Int, hi: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(graft.functions.CappedCollect.cappedIdSet(lo, hi)(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 0)
 
   /** Candidate (doc_a, doc_b) pairs → signature-estimate gate (≥ 0.25) →
     * exact set-space Jaccard verify (≥ 0.2). Emits (doc_a, doc_b,
@@ -393,15 +412,16 @@ object Dedup {
     * (c, key, ids): two 64-bit fingerprints within hamming 3 must agree
     * on at least one of the four 16-bit chunks, so per-chunk equality
     * buckets are a complete candidate generator for ≤3 (SimHash banding
-    * exactness spec-pinned). */
+    * exactness spec-pinned). The 2..1000 cap is enforced inside the
+    * aggregation ([[cappedBuckets]]) so hot chunks never materialize
+    * full membership. */
   private def simhashBuckets(fp: DataFrame): DataFrame =
-    fp.select(col("doc_id"),
-        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("ck.c").as("c"), col("ck.key").as("key"))
-      .groupBy(col("c"), col("key"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
+    cappedBuckets(
+      fp.select(col("doc_id"),
+          explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+            shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
+        .select(col("doc_id"), col("ck.c").as("c"), col("ck.key").as("key")),
+      Seq("c", "key"), "doc_id", lo = 2, hi = 1000)
 
   /** Hamming distance attach for candidate pairs. Default = the broadcast-
     * dictionary idiom (one row of parallel sorted arrays, two O(log n)
@@ -949,10 +969,12 @@ object Dedup {
     val postings = docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
-    val kept = postings
-      .groupBy(col("shingle"))
-      .agg(collect_set(col("doc_id")).as("ids")) // kernel sorts; no sort_array
-      .filter(size(col("ids")) <= MaxDf)
+    // lo = 1: singleton postings stay — `sizes` below needs every doc's
+    // retained-feature count, including docs whose shingles are unique.
+    // MaxDf enforced inside the aggregation (cappedBuckets): a
+    // boilerplate shingle's posting list never materializes past the cap.
+    val kept = cappedBuckets(postings, Seq("shingle"), "doc_id",
+        lo = 1, hi = MaxDf)
       .persist()
     val sizes = kept.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))

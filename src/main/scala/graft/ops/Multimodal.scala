@@ -169,6 +169,14 @@ object Multimodal {
     * scan-friendly). */
   val BlobTargetBytes: Long = 64L * 1024
 
+  /** Ingest-bucket width (docs per bucket) for [[manifestPlan]]'s running
+    * sum — deliberately small (128) so the driver SFs (500-5000 docs)
+    * exercise multi-bucket prefix reconstruction per mime; at 100 TB size
+    * it so a bucket's metadata rows fit one window task (~10⁵-10⁶ docs)
+    * while per-mime bucket COUNT stays window-able (the bucket-base pass
+    * runs over one aggregated row per bucket). */
+  val ManifestBucketDocs: Long = 128L
+
   /** Blob-manifest planning — the at-scale media layout this file's
     * header documents: payloads over ~1 MB do NOT travel inline in rows;
     * they live packed in blob-store files and rows carry (uri,
@@ -182,21 +190,44 @@ object Multimodal {
     * joins on — pure integer math over metadata, fully oracle-able, no
     * payload bytes touched.
     *
-    * Scale shape: two window passes over (mime)-partitioned metadata —
-    * a running byte sum and a per-file min — then a projection; the only
-    * exchanges are the window partitionings on the ~100-byte metadata
-    * rows, never payloads. At 100 TB the window partition key widens to
-    * (mime, ingest-bucket) so no single mime's running sum serializes in
-    * one task. */
+    * Scale shape: the per-mime running byte sum is a DISTRIBUTED prefix
+    * sum over (mime, ingest-bucket) — bucket = floor(doc_id /
+    * [[ManifestBucketDocs]]), deterministic so the oracle's global-sum
+    * replay matches bit-for-bit. Pass 1: a running sum windowed by
+    * (mime, bucket), so no single mime's manifest ever serializes
+    * through one task. Pass 2: per-(mime, bucket) byte totals (one
+    * aggregated row per bucket) take a per-mime cumulative — a window
+    * over bucket-count rows, not doc rows — and the resulting
+    * bucket_base re-attaches by (mime, bucket) join (AQE broadcasts the
+    * tiny base table); bytes_before = bucket_base + local_before, equal
+    * to the single-window global sum. The per-file min window stays
+    * (mime, file_seq) — a blob file's manifest rows are bounded by
+    * targetBytes / min payload size. All exchanges carry ~100-byte
+    * metadata rows, never payloads. */
   def manifestPlan(spark: SparkSession, dir: String,
-                   targetBytes: Long = BlobTargetBytes): DataFrame = {
+                   targetBytes: Long = BlobTargetBytes,
+                   bucketDocs: Long = ManifestBucketDocs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val before = Window.partitionBy(col("mime")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val placed = mediaTable(spark, dir)
+    val rows = mediaTable(spark, dir)
       .select(col("doc_id"), col("meta.mime").as("mime"),
         length(col("payload")).cast("long").as("n_bytes"))
-      .withColumn("bytes_before", coalesce(sum(col("n_bytes")).over(before), lit(0L)))
+      .withColumn("bucket", floor(col("doc_id") / bucketDocs))
+    val localBefore = Window.partitionBy(col("mime"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketsBefore = Window.partitionBy(col("mime")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = rows
+      .groupBy(col("mime"), col("bucket"))
+      .agg(sum(col("n_bytes")).as("bucket_bytes"))
+      .withColumn("bucket_base",
+        coalesce(sum(col("bucket_bytes")).over(bucketsBefore), lit(0L)))
+      .select(col("mime"), col("bucket"), col("bucket_base"))
+    val placed = rows
+      .withColumn("local_before",
+        coalesce(sum(col("n_bytes")).over(localBefore), lit(0L)))
+      .join(bases, Seq("mime", "bucket"))
+      .withColumn("bytes_before", col("bucket_base") + col("local_before"))
       .withColumn("file_seq", floor(col("bytes_before") / targetBytes))
     // byte_start is relative to the file: subtract the file's first
     // payload's running offset (a second window over (mime, file_seq))

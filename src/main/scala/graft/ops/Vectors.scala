@@ -230,10 +230,11 @@ object Vectors {
   def cosineNearDupPairsDf(emb: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsKernel
     val vecs = emb.select(col("vec_id"), col("embedding").as("vec"))
-    val pairs = withBuckets(emb, "id", "v").select(col("t"), col("code"), col("id"))
-      .groupBy(col("t"), col("code"))
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, 2000))
+    // 2..2000 cap enforced inside the aggregation (Dedup.cappedBuckets):
+    // a hot LSH code never materializes its full membership list
+    val pairs = graft.ops.Dedup.cappedBuckets(
+        withBuckets(emb, "id", "v").select(col("t"), col("code"), col("id")),
+        Seq("t", "code"), "id", lo = 2, hi = 2000)
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

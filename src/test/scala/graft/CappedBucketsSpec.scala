@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Pins for [[graft.functions.CappedCollect]] / [[Dedup.cappedBuckets]] —
+  * the in-aggregate skew cap shared by all four LSH bucket builders
+  * (MinHash bands, SimHash chunks, n-gram postings, embedding codes).
+  *
+  * Three properties: (1) output parity with the old
+  * `collect_set` + size-filter shape on duplicate-free inputs, including
+  * under the sort-based aggregation fallback (buffer serialization
+  * round-trips); (2) the mega-bucket boundedness the rewrite exists for —
+  * a hot bucket ships at most `hi` ids per map partition through the
+  * exchange instead of its full membership; (3) the plan shape: one
+  * partial/final ObjectHashAggregate pair, cap inside the aggregate. */
+class CappedBucketsSpec extends SparkSpec {
+
+  /** Duplicate-free (key, id) rows: `sizes(k)` ids per key k, ids made
+    * incompressible (odd-prime multiply) so shuffle byte counts reflect
+    * payload, not run-length luck. `parts` input partitions. */
+  private def bucketRows(sizes: Seq[(Long, Int)], parts: Int): DataFrame = {
+    val rows = for { (k, n) <- sizes; i <- 0 until n }
+      yield (k, (k * 1000000L + i) * 0x9E3779B97F4A7C15L)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts)).toDF("key", "doc_id")
+  }
+
+  private def oldShape(rows: DataFrame, lo: Int, hi: Int): DataFrame =
+    rows.groupBy(col("key"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(lo, hi))
+
+  private def canon(df: DataFrame): Set[(Long, Seq[Long])] =
+    df.select(col("key"), sort_array(col("ids")).as("ids"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .toSet
+
+  test("cappedBuckets ≡ collect_set + size filter on duplicate-free rows") {
+    // deterministic pseudo-random sizes straddling lo and hi
+    val sizes = (0L until 400L).map(k => (k, ((k * 7919) % 31).toInt + 1))
+    val rows = bucketRows(sizes, parts = 6)
+    for ((lo, hi) <- Seq((1, 25), (2, 20), (3, 10))) {
+      val got = canon(Dedup.cappedBuckets(rows, Seq("key"), "doc_id", lo, hi))
+      val want = canon(oldShape(rows, lo, hi))
+      assert(got == want, s"parity failed at [$lo, $hi]")
+      assert(want.nonEmpty && want.size < sizes.size,
+        s"bounds [$lo, $hi] must both keep and drop buckets for the test to bite")
+    }
+  }
+
+  test("parity holds under the sort-based aggregation fallback (buffer serde)") {
+    // force ObjectHashAggregate to spill to the sort-based path after 2
+    // in-memory keys, so partial CapBuf buffers serialize/deserialize
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    try {
+      val sizes = (0L until 200L).map(k => (k, ((k * 31) % 17).toInt + 1))
+      val rows = bucketRows(sizes, parts = 5)
+      val got = canon(Dedup.cappedBuckets(rows, Seq("key"), "doc_id", 2, 12))
+      val want = canon(oldShape(rows, 2, 12))
+      assert(got == want)
+    } finally spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+  }
+
+  /** Pre-compression bytes shipped through the plan's single exchange
+    * (AQE off so the plan is a plain tree; the only shuffle is the
+    * aggregation's partial→final exchange). */
+  private def aggExchangeDataSize(build: => DataFrame): Long = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = build
+      df.collect()
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1, s"expected 1 exchange, got ${exchanges.size}")
+      exchanges.head.metrics("dataSize").value
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("mega-bucket: membership never materializes or ships past the cap") {
+    // one boilerplate mega-bucket (200k members) + 50 real buckets of 3,
+    // cap 100: the old shape accumulates and ships all 200k ids before
+    // its filter can drop them; the capped aggregate ships ≤ cap ids per
+    // map partition and frees the hot buffer the moment it exceeds cap.
+    val sizes = (1L to 50L).map(k => (k, 3)) :+ (999L, 200000)
+    val rows = bucketRows(sizes, parts = 8)
+
+    val capped = canon(Dedup.cappedBuckets(rows, Seq("key"), "doc_id", 2, 100))
+    assert(capped.size == 50 && !capped.exists(_._1 == 999L),
+      "mega-bucket must drop; the 50 real buckets must survive intact")
+    assert(capped.forall(_._2.length == 3))
+
+    val cappedBytes = aggExchangeDataSize(
+      Dedup.cappedBuckets(rows, Seq("key"), "doc_id", 2, 100))
+    val setBytes = aggExchangeDataSize(oldShape(rows, 2, 100))
+    // 200k × 8 B of mega-bucket ids dominate the old exchange; the capped
+    // one carries ≤ 8 parts × 100 ids for the hot key + the 50 real
+    // buckets. Assert an order of magnitude, not an exact byte count.
+    assert(cappedBytes * 10 < setBytes,
+      s"capped exchange $cappedBytes B not ≪ collect_set exchange $setBytes B")
+  }
+
+  test("plan shape: partial/final ObjectHashAggregate with the cap inside") {
+    val rows = bucketRows(Seq((1L, 3), (2L, 5)), parts = 2)
+    val df = Dedup.cappedBuckets(rows, Seq("key"), "doc_id", 2, 100)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.contains("partial_capped_id_set"), plan.take(2000))
+    assert(plan.contains("capped_id_set"), plan.take(2000))
+    // no post-aggregation size-BETWEEN filter shape: the only residual
+    // filter is the empty-array drop
+    assert(!plan.contains("collect_set"), plan.take(2000))
+  }
+}

@@ -75,6 +75,34 @@ class MultimodalCsvSpec extends SparkSpec {
       }
   }
 
+  test("manifest plan: distributed prefix sum ≡ single global window (bucket widening)") {
+    // bucketDocs larger than any doc_id → one bucket per mime, i.e. the
+    // original single-window global running sum; the default multi-bucket
+    // path must reconstruct it exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("uri"),
+        r.getAs[Long]("byte_start"), r.getAs[Long]("byte_len"))).sorted.toSeq
+    val widened = canon(Multimodal.manifestPlan(spark, sfDir, bucketDocs = 32L))
+    val global = canon(Multimodal.manifestPlan(spark, sfDir, bucketDocs = Long.MaxValue))
+    assert(widened == global)
+    // the widening must actually bite at this SF: >1 bucket per mime
+    val nBuckets = Multimodal.mediaTable(spark, sfDir)
+      .select(floor(col("doc_id") / 32L)).distinct().count()
+    assert(nBuckets > 1, "test corpus too small to exercise multi-bucket prefix sum")
+  }
+
+  test("manifest plan pin: running sum windows by (mime, bucket), never mime alone") {
+    val df = Multimodal.manifestPlan(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // row-level running sum partitioned by (mime, bucket), ordered by doc_id
+    assert("windowspecdefinition\\(mime#\\d+, bucket#\\d+L?, doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    // the unwidened shape — a doc-level window keyed by mime alone — must not return
+    assert("windowspecdefinition\\(mime#\\d+, doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isEmpty, plan.take(3000))
+  }
+
   test("binaryFile source -> imageio decode end-to-end on real files") {
     import graft.ops.Multimodal
     def png(rgb: Int, w: Int, h: Int): Array[Byte] = {
