@@ -97,8 +97,24 @@ object DedupStream {
     * `ttl`: None = unbounded registry (batch parity). Some(d) = per-entry
     * horizon d, enforced by filtering aged entries on read (their insert
     * timestamps ride in the packed layout) with the store's value TTL as
-    * the physical-eviction backstop for buckets no arrival ever revisits. */
-  class LshBucketProcessor[K](ttl: Option[java.time.Duration] = None)
+    * the physical-eviction backstop for buckets no arrival ever revisits.
+    *
+    * `repEmission`: the streaming analog of the batch cluster-reps
+    * lesson ([[graft.ops.Dedup.minhashClusterReps]] — k mutual near-dups
+    * emit C(k,2) pairs where ONE linkage edge per arrival carries the
+    * same connectivity). false = pair mode: an arrival emits a candidate
+    * for EVERY matching registered entry (the exhaustive report — output
+    * quadratic in cluster size). true = reps mode: an arrival emits ONE
+    * edge per bucket visit, to the MINIMUM-doc_id matching entry — the
+    * union-find linkage a downstream cluster rollup consumes, keeping
+    * output LINEAR on replica-heavy feeds. The edge targets the min
+    * MATCHING entry (est-gated), not a blind per-bucket rep pointer: two
+    * docs can share a bucket without being similar, and a blind pointer
+    * would weld their clusters together. Registration, state layout,
+    * caps, and TTL are identical in both modes — only emission differs
+    * (same registry_v3 state; a checkpoint can switch modes). */
+  class LshBucketProcessor[K](ttl: Option[java.time.Duration] = None,
+                              repEmission: Boolean = false)
       extends StatefulProcessor[K, (K, Int, Long, Array[Long]), StreamCandidate] {
 
     private val ttlMs: Long = ttl.map(_.toMillis).getOrElse(0L)
@@ -178,6 +194,11 @@ object DedupStream {
         val live = n * RegStride
         while (off < live && !seen) { seen = reg(off) == docId; off += RegStride }
         if (!seen) {
+          // reps mode: the single linkage edge goes to the MIN-doc_id
+          // matching entry (registry holds insertion order, not id order,
+          // so track the min across the walk)
+          var repOther = Long.MaxValue
+          var repMatches = 0
           off = 0
           while (off < live) {
             // matching perms = matching 32-bit halves of the packed sig
@@ -192,11 +213,18 @@ object DedupStream {
             }
             if (m >= MinMatches) {
               val other = reg(off)
-              out += StreamCandidate(math.min(other, docId),
-                math.max(other, docId), band, m.toDouble / NumPerms)
+              if (repEmission) {
+                if (other < repOther) { repOther = other; repMatches = m }
+              } else {
+                out += StreamCandidate(math.min(other, docId),
+                  math.max(other, docId), band, m.toDouble / NumPerms)
+              }
             }
             off += RegStride
           }
+          if (repEmission && repOther != Long.MaxValue)
+            out += StreamCandidate(math.min(repOther, docId),
+              math.max(repOther, docId), band, repMatches.toDouble / NumPerms)
           if (n < BucketCap) {
             val base = n * RegStride
             reg(base) = docId
@@ -225,7 +253,33 @@ object DedupStream {
     * an endless feed holds O(horizon) state instead of O(corpus). None
     * (default) keeps the registry forever — full batch parity. */
   def streamingNearDup(spark: SparkSession, docs: DataFrame,
-                       ttl: Option[java.time.Duration] = None): DataFrame = {
+                       ttl: Option[java.time.Duration] = None): DataFrame =
+    streamingLsh(spark, docs, ttl, repEmission = false)
+
+  /** Cluster-linkage variant of [[streamingNearDup]] — the streaming
+    * side of the batch reps lesson (BENCH_NOTES round 13: a 99-replica
+    * cluster pays C(k,2) pair rows where k−1 linkage edges carry the
+    * decision). Emits ONE (rep, member) union-find edge per (arrival,
+    * matching bucket) — rep = the minimum-doc_id est-matching registered
+    * entry — so output stays LINEAR in arrivals on replica-heavy feeds
+    * while connecting exactly the clusters the pair mode connects on
+    * corpora whose co-bucket members mutually match (true replica
+    * clusters; the same transitivity trade, measured and documented, as
+    * batch chain emission — StreamingSpec pins stream-reps clusters ≡
+    * batch [[graft.ops.Dedup.minhashClusterReps]] on a replayed planted
+    * corpus). Downstream a consumer folds the edge stream through
+    * union-find (or [[graft.ops.Dedup.connectedComponents]] on the
+    * collected edges) for the cluster rollup; edges may repeat across
+    * bands/batches — duplicates are harmless to union-find, exactly as
+    * in the batch reps pipelines. */
+  def streamingNearDupReps(spark: SparkSession, docs: DataFrame,
+                           ttl: Option[java.time.Duration] = None): DataFrame =
+    streamingLsh(spark, docs, ttl, repEmission = true)
+      .toDF("rep", "member", "band", "est_sim")
+
+  private def streamingLsh(spark: SparkSession, docs: DataFrame,
+                           ttl: Option[java.time.Duration],
+                           repEmission: Boolean): DataFrame = {
     import spark.implicits._
     val sigs = docs.select(col("doc_id"),
       TextKernels.minhashSigKernel(
@@ -253,7 +307,8 @@ object DedupStream {
     }
     banded
       .groupByKey(_._1)
-      .transformWithState(new LshBucketProcessor[Long](ttl), timeMode, OutputMode.Append())
+      .transformWithState(new LshBucketProcessor[Long](ttl, repEmission),
+        timeMode, OutputMode.Append())
       .toDF()
   }
 }

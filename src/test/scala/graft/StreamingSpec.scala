@@ -357,6 +357,69 @@ class StreamingSpec extends SparkSpec {
     (0 until 3).foreach(i => assert(streamed.contains((i.toLong, (100 + i).toLong))))
   }
 
+  test("streaming reps edges close into exactly the batch minhash cluster reps") {
+    import graft.streaming.DedupStream
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark2.implicits._
+    // planted replica clusters of varying size: bases 0..9 of 80 tokens;
+    // base i < 4 gets THREE near-dup replicas (ids 100+3i..102+3i — one
+    // identical, two 2-token mutations), bases 4..6 get one replica each,
+    // 7..9 stay singletons. Multi-member clusters are the case reps
+    // emission exists for (pair mode pays C(k,2) rows).
+    val rng = new scala.util.Random(11)
+    val vocab = Array.tabulate(1000)(i => s"w$i")
+    val bases = Array.tabulate(10)(_ => Array.fill(80)(vocab(rng.nextInt(vocab.length))))
+    def mutate(t: Array[String]): String = {
+      val c = t.clone()
+      (0 until 2).foreach(_ => c(rng.nextInt(c.length)) = vocab(rng.nextInt(vocab.length)))
+      c.mkString(" ")
+    }
+    val rows = bases.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) } ++
+      (0 until 4).flatMap(i => Seq(
+        ((100 + 3 * i).toLong, bases(i).mkString(" ")),
+        ((101 + 3 * i).toLong, mutate(bases(i))),
+        ((102 + 3 * i).toLong, mutate(bases(i))))) ++
+      (4 until 7).map(i => ((120 + i).toLong, mutate(bases(i))))
+    val docs = rows.toSeq.toDF("doc_id", "text")
+    // bases land in an earlier micro-batch than the replicas: linkage
+    // must cross the state registry, not just intra-batch compares
+    val watch = java.nio.file.Files.createTempDirectory("graftlshreps")
+    docs.filter(col("doc_id") < 100).coalesce(1)
+      .write.mode("append").parquet(watch.toString)
+    docs.filter(col("doc_id") >= 100).coalesce(1)
+      .write.mode("append").parquet(watch.toString)
+    val stream = spark2.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    EventStream.runToCompletion(
+      DedupStream.streamingNearDupReps(spark2, stream), "lsh_reps_test",
+      OutputMode.Append())
+    val edges = spark2.table("lsh_reps_test")
+
+    // linearity contract: reps mode emits at most ONE edge per
+    // (member, band) arrival visit — never one per registered match
+    val maxPerVisit = edges.groupBy(col("member"), col("band"))
+      .count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPerVisit == 1L, s"reps mode emitted $maxPerVisit edges in one bucket visit")
+
+    // cluster parity: union-find closure over the streamed edges must
+    // equal the batch cluster-reps rollup on the same corpus
+    val streamClusters = graft.ops.Dedup
+      .connectedComponents(edges.select(col("rep"), col("member")), "rep", "member")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"),
+        sum(col("id")).as("s"), max(col("id")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchClusters = graft.ops.Dedup.minhashClusterRepsDf(docs)
+      .collect().map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("id_sum"), r.getAs[Long]("max_id"))).toSet
+    assert(batchClusters.exists(_._2 >= 4L),
+      s"planted corpus too weak — no multi-replica cluster: $batchClusters")
+    assert(streamClusters == batchClusters,
+      s"stream reps $streamClusters != batch reps $batchClusters")
+  }
+
   test("LSH near-dup state survives a checkpointed restart (dups found across deploys)") {
     import graft.streaming.DedupStream
     import java.nio.file.{Files => JFiles}
