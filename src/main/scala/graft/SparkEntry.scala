@@ -142,6 +142,7 @@ object SparkEntry {
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     "dedup_minhash_reps" -> (Dedup.minhashClusterReps(_, _)),
     "dedup_simhash_reps" -> (Dedup.simhashClusterReps(_, _)),
+    "dedup_ngram_reps"  -> (Dedup.ngramClusterReps(_, _)),
     // --- similarity search ---
     "ann_brute_force"   -> (Vectors.annBruteForce(_, _)),
     "ann_range_search"  -> (Vectors.rangeSearch(_, _)),
@@ -2280,5 +2281,42 @@ object SparkEntry {
         |SELECT label AS keep_id, count(*) AS cluster_size,
         |       array_to_string(list_sort(list(id)), ',') AS members
         |FROM labels GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // dedup_clusters' pipeline + closure with the fixed-width reps
+    // rollup instead of the unbounded members string (the emission a
+    // corpus-scale dedup pass consumes)
+    "dedup_ngram_reps" ->
+      """WITH RECURSIVE
+        |     toks AS (SELECT doc_id,
+        |                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |     sh AS (SELECT doc_id,
+        |                   list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                                                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |            FROM toks),
+        |     post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |     kept AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= 100),
+        |     kp AS (SELECT p.doc_id, p.shingle FROM post p JOIN kept k ON p.shingle = k.shingle),
+        |     sizes AS (SELECT doc_id, count(*) AS sz FROM kp GROUP BY 1),
+        |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |               FROM kp a JOIN kp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |               GROUP BY 1, 2),
+        |     prs AS (SELECT doc_a, doc_b FROM (
+        |               SELECT doc_a, doc_b,
+        |                      round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) AS jaccard
+        |               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        |                          JOIN sizes sb ON doc_b = sb.doc_id) q
+        |             WHERE jaccard >= 0.5),
+        |     und AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |             UNION ALL SELECT doc_b AS src, doc_a AS dst FROM prs),
+        |     reach(src, dst) AS (
+        |       SELECT src, dst FROM und
+        |       UNION
+        |       SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |     labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |                FROM reach GROUP BY src)
+        |SELECT label AS rep_id, count(*) AS n_members,
+        |       CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
+        |FROM labels GROUP BY 1 ORDER BY rep_id""".stripMargin,
   )
 }

@@ -848,6 +848,28 @@ object Dedup {
         concat_ws(",", col("members")).as("members"))
       .orderBy("keep_id")
 
+  /** N-gram near-dup CLUSTER REPRESENTATIVES — completes the reps story
+    * across all three sketch families ([[minhashClusterReps]],
+    * [[simhashClusterReps]]): one FIXED-WIDTH row per verified
+    * ngram-Jaccard cluster (rep = min doc_id, member count, id sum/max
+    * for audit). [[dedupClusters]] reports the same components but
+    * renders each cluster's full membership as a CSV string — a row
+    * whose width is unbounded in cluster size (a 10⁵-member boilerplate
+    * cluster serializes a 10⁵-id string through one row); this is the
+    * emission a 100 TB dedup pass consumes instead. Candidate generation
+    * needs no chain trade here: the MaxDf-capped inverted index already
+    * emits only colliding pairs, and the closure runs over the MEMOIZED
+    * [[clusterLabels]] table, so this op shares every expensive stage
+    * with dedup_clusters / keep-best — the rollup itself is one bounded
+    * aggregate. */
+  def ngramClusterReps(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("id_sum"),
+        max(col("id")).as("max_id"))
+      .orderBy("rep_id")
+
   /** Memoized (id, label) near-dup cluster assignment: the pair graph
     * derives from the MEMOIZED [[pairStats]] (so the ngram pipeline runs
     * at most once per (session, dir) across the whole family), and the
@@ -1042,8 +1064,10 @@ object Dedup {
     * `md5_number_upper` on the DuckDB side (verified bit-identical).
     * Plan shape matches the production variant: the band join carries
     * only (band, bucket-key, doc_id); signatures stay narrow. */
-  def minhashSqlPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The (doc_id, band, key) band table of the SQL-parity pipeline —
+    * shared by [[minhashSqlPairs]] and tools/MinhashSqlProbe's
+    * output-identical plan variants. */
+  private[graft] def minhashSqlBands(spark: SparkSession, dir: String): DataFrame = {
     val toksExpr = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
     val base = Tables.documents(spark, dir)
       .selectExpr("doc_id", s"$toksExpr AS toks")
@@ -1067,9 +1091,13 @@ object Dedup {
       struct(lit(bd).as("band"),
         concat_ws("_", col(s"m${Rows * bd}"), col(s"m${Rows * bd + 1}")).as("key"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def minhashSqlPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashSqlBands(spark, dir)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
