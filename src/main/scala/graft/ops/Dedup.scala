@@ -161,7 +161,7 @@ object Dedup {
   private[graft] def cappedBuckets(rows: DataFrame, keys: Seq[String],
                                    idCol: String, lo: Int, hi: Int): DataFrame =
     rows.groupBy(keys.map(col): _*)
-      .agg(graft.functions.CappedCollect.cappedIdSet(lo, hi)(col(idCol)).as("ids"))
+      .agg(graft.functions.CappedCollect.cappedIdSet(lo, hi, col(idCol)).as("ids"))
       .filter(size(col("ids")) > 0)
 
   /** Candidate (doc_a, doc_b) pairs → signature-estimate gate (≥ 0.25) →
