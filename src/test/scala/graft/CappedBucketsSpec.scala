@@ -104,6 +104,33 @@ class CappedBucketsSpec extends SparkSpec {
       s"capped exchange $cappedBytes B not ≪ collect_set exchange $setBytes B")
   }
 
+  test("end-to-end: 100k identical docs (boilerplate mega-bucket) cannot stall minhash") {
+    // the adversarial corpus the cap exists for: 100k IDENTICAL documents
+    // put 100k ids into every one of their 16 band buckets — far past the
+    // 1000 cap, so the whole cluster must be DROPPED by the skew gate
+    // without ever materializing a 100k-member list; two planted textual
+    // near-dups ride along to prove normal buckets still pair up
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = spark.range(0, 100000)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate footer text repeated on every page of the crawl " +
+          "with enough tokens to shingle").as("text"))
+    val pairDocs = Seq(
+      (200000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (200001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.minhashPairsDf(boiler.union(pairDocs)).collect()
+    // every boiler bucket is over-cap: no boiler doc may appear in ANY pair
+    assert(out.forall(r => r.getAs[Long]("doc_a") >= 200000L &&
+      r.getAs[Long]("doc_b") >= 200000L),
+      s"mega-bucket members leaked into pairs: ${out.take(3).mkString}")
+    // the planted near-dup pair survives (normal buckets unaffected)
+    assert(out.exists(r => r.getAs[Long]("doc_a") == 200000L &&
+      r.getAs[Long]("doc_b") == 200001L), "planted near-dup pair lost")
+  }
+
   test("plan shape: partial/final ObjectHashAggregate with the cap inside") {
     val rows = bucketRows(Seq((1L, 3), (2L, 5)), parts = 2)
     val df = Dedup.cappedBuckets(rows, Seq("key"), "doc_id", 2, 100)
