@@ -42,13 +42,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * CONTRACT: input rows must be duplicate-free per group — (key, id)
   * pairs appear once — so count(*) ≡ count(DISTINCT id) and the
-  * collected list IS the member set. All four callers satisfy it
-  * structurally: a doc contributes one row per MinHash band / SimHash
-  * chunk, `TextKernels.shingles` emits DISTINCT shingles per doc, and
-  * an embedding contributes one row per LSH table. Groups whose count
-  * falls outside [lo, hi] emit an EMPTY array (callers filter
-  * `size(ids) > 0`; lo ≥ 1 always, so empty is unambiguous). NULL ids
-  * are skipped, as `collect_set` skips them.
+  * collected list IS the member set (unlike `collect_set`, duplicates
+  * are NOT absorbed). Three callers satisfy it structurally: a doc
+  * contributes one row per MinHash band / SimHash chunk, and an
+  * embedding contributes one row per LSH table. The n-gram posting
+  * caller satisfies it modulo xxhash64: `TextKernels.shingles` emits
+  * DISTINCT strings per doc, but the postings group by the HASHED
+  * shingle, so an intra-doc hash collision (~k²/2⁶⁵ per ~300-shingle
+  * doc ≈ 10⁻⁶⁰) would duplicate a (key, id) row that collect_set used
+  * to absorb — the same accepted collision class already documented on
+  * the family's hashed shingle space, and any occurrence surfaces as a
+  * DuckDB oracle mismatch. Groups whose count falls outside [lo, hi]
+  * emit an EMPTY array (callers filter `size(ids) > 0`; lo ≥ 1 always,
+  * so empty is unambiguous). NULL ids are skipped, as `collect_set`
+  * skips them.
   *
   * Member order is accumulation order (nondeterministic across runs,
   * like `collect_set`) — every consumer sorts (`sort_array` /

@@ -1054,16 +1054,6 @@ object Dedup {
   }
   val SqlPrime: Long = graft.functions.TextKernels.SqlPrime
 
-  /** MinHash banding with EVERY step expressible in ANSI-ish SQL, so the
-    * whole sketch pipeline — shingling, hashing, 32 permutations, 16×2
-    * banding, bucket join — hash-checks against DuckDB (the production
-    * [[minhashPairs]] uses the codegen xxhash64 kernel + bucket caps,
-    * which no second engine can replay; THIS variant trades those for
-    * cross-engine reproducibility). The shingle hash is the top 32 bits
-    * of md5 — `conv(substring(md5, 1, 8), 16, 10)` here, a byte-swap of
-    * `md5_number_upper` on the DuckDB side (verified bit-identical).
-    * Plan shape matches the production variant: the band join carries
-    * only (band, bucket-key, doc_id); signatures stay narrow. */
   /** The (doc_id, band, key) band table of the SQL-parity pipeline —
     * shared by [[minhashSqlPairs]] and tools/MinhashSqlProbe's
     * output-identical plan variants. */
@@ -1096,6 +1086,20 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** MinHash banding with EVERY step expressible in ANSI-ish SQL, so the
+    * whole sketch pipeline — shingling, hashing, 32 permutations, 16×2
+    * banding, bucket join — hash-checks against DuckDB (the production
+    * [[minhashPairs]] uses the codegen xxhash64 kernel + bucket caps,
+    * which no second engine can replay; THIS variant trades those for
+    * cross-engine reproducibility). The shingle hash is the top 32 bits
+    * of md5 — `conv(substring(md5, 1, 8), 16, 10)` here, a byte-swap of
+    * `md5_number_upper` on the DuckDB side (verified bit-identical).
+    * Plan shape matches the production variant: the band join carries
+    * only (band, bucket-key, doc_id); signatures stay narrow. The
+    * cap-less band self-join is deliberate at scale too: it streams
+    * C(k,2) pairs through a spillable sort without materializing any
+    * bucket's membership — the robust shape for cap-less semantics
+    * (tools/MinhashSqlProbe A/B, docs/BENCH_NOTES round 14). */
   def minhashSqlPairs(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashSqlBands(spark, dir)
     bands.as("x").join(bands.as("y"),

@@ -171,10 +171,11 @@ object Multimodal {
 
   /** Ingest-bucket width (docs per bucket) for [[manifestPlan]]'s running
     * sum — deliberately small (128) so the driver SFs (500-5000 docs)
-    * exercise multi-bucket prefix reconstruction per mime; at 100 TB size
-    * it so a bucket's metadata rows fit one window task (~10⁵-10⁶ docs)
-    * while per-mime bucket COUNT stays window-able (the bucket-base pass
-    * runs over one aggregated row per bucket). */
+    * exercise multi-bucket prefix reconstruction per mime. At 100 TB this
+    * is the knob to retune: pick it so one bucket's metadata rows
+    * (~10⁵-10⁶ docs × ~100 B) fit a single window task, while the
+    * per-mime bucket COUNT stays single-task-window-able in the
+    * bucket-base pass (which runs over one aggregated row per bucket). */
   val ManifestBucketDocs: Long = 128L
 
   /** Blob-manifest planning — the at-scale media layout this file's
@@ -208,25 +209,35 @@ object Multimodal {
                    targetBytes: Long = BlobTargetBytes,
                    bucketDocs: Long = ManifestBucketDocs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = mediaTable(spark, dir)
+    // materialize the narrow metadata projection ONCE (truncate =
+    // reliable checkpoint when configured): the window side and the
+    // bucket-total side below would otherwise each re-scan the payload
+    // column to compute n_bytes — at the 100 TB design point that is the
+    // dominant cost paid twice for a ~100 B/row metadata table
+    val rows = graft.ops.Dedup.truncate(mediaTable(spark, dir)
       .select(col("doc_id"), col("meta.mime").as("mime"),
         length(col("payload")).cast("long").as("n_bytes"))
-      .withColumn("bucket", floor(col("doc_id") / bucketDocs))
+      .withColumn("bucket", floor(col("doc_id") / bucketDocs)))
     val localBefore = Window.partitionBy(col("mime"), col("bucket"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketsBefore = Window.partitionBy(col("mime")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe base attach: a NULL mime (absent metadata) groups into a
+    // NULL-key base row, and the window plan kept such rows — an
+    // equi-join would silently drop them from the manifest
     val bases = rows
-      .groupBy(col("mime"), col("bucket"))
+      .groupBy(col("mime").as("b_mime"), col("bucket").as("b_bucket"))
       .agg(sum(col("n_bytes")).as("bucket_bytes"))
       .withColumn("bucket_base",
-        coalesce(sum(col("bucket_bytes")).over(bucketsBefore), lit(0L)))
-      .select(col("mime"), col("bucket"), col("bucket_base"))
+        coalesce(sum(col("bucket_bytes")).over(
+          Window.partitionBy(col("b_mime")).orderBy(col("b_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b_mime"), col("b_bucket"), col("bucket_base"))
     val placed = rows
       .withColumn("local_before",
         coalesce(sum(col("n_bytes")).over(localBefore), lit(0L)))
-      .join(bases, Seq("mime", "bucket"))
+      .join(bases, col("mime") <=> col("b_mime") &&
+        col("bucket") <=> col("b_bucket"))
+      .drop("b_mime", "b_bucket")
       .withColumn("bytes_before", col("bucket_base") + col("local_before"))
       .withColumn("file_seq", floor(col("bytes_before") / targetBytes))
     // byte_start is relative to the file: subtract the file's first

@@ -271,7 +271,21 @@ object DedupStream {
     * union-find (or [[graft.ops.Dedup.connectedComponents]] on the
     * collected edges) for the cluster rollup; edges may repeat across
     * bands/batches — duplicates are harmless to union-find, exactly as
-    * in the batch reps pipelines. */
+    * in the batch reps pipelines.
+    *
+    * Verification contract (same as pair mode, sharper consequence):
+    * edges are ESTIMATE-gated only — batch [[graft.ops.Dedup
+    * .minhashClusterReps]] additionally exact-Jaccard-verifies each
+    * chain link. A sketch false-positive (est ≥ 0.25, true Jaccard
+    * < 0.2) therefore welds two clusters a downstream union-find cannot
+    * un-weld, and a consumer that instead exact-verifies edges (est_sim
+    * rides on every row for exactly this) drops that visit's only
+    * linkage edge — the same lost-link trade batch chain emission
+    * documents. Pair mode has the identical est-only contract but emits
+    * ALL matches, so post-hoc verification loses nothing; choosing reps
+    * mode is choosing linear output over that recoverability, which is
+    * the right trade exactly when replicas dominate (feeds where the
+    * estimate is near 1 and false welds are vanishing). */
   def streamingNearDupReps(spark: SparkSession, docs: DataFrame,
                            ttl: Option[java.time.Duration] = None): DataFrame =
     streamingLsh(spark, docs, ttl, repEmission = true)

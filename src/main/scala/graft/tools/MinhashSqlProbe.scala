@@ -94,6 +94,8 @@ object MinhashSqlProbe {
           .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
           .agg(count(lit(1)).as("n_shared_bands"))
           .orderBy("doc_a", "doc_b")
+      case other =>
+        sys.error(s"unknown variant '$other' (expected join|gate|kernel)")
     }
 
     // one-time output-identity check across the requested variants
@@ -101,7 +103,9 @@ object MinhashSqlProbe {
       val r = df.select(xxhash64(col("doc_a"), col("doc_b"),
           col("n_shared_bands")).as("h"))
         .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
-      (r.getLong(0), r.getLong(1))
+      // bit_xor over zero rows is NULL — a no-collision corpus is a
+      // legitimate (0, 0) checksum, not an NPE
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val sums = variants.map(v => v -> checksum(build(v))).toMap
     require(sums.values.toSet.size == 1,

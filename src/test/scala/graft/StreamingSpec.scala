@@ -399,7 +399,10 @@ class StreamingSpec extends SparkSpec {
     val edges = spark2.table("lsh_reps_test")
 
     // linearity contract: reps mode emits at most ONE edge per
-    // (member, band) arrival visit — never one per registered match
+    // (member, band) arrival visit — never one per registered match.
+    // (member = max-id endpoint identifies the ARRIVAL only because this
+    // corpus delivers lower-id bases in the earlier micro-batch — the
+    // planted layout, not a general property of the edge schema.)
     val maxPerVisit = edges.groupBy(col("member"), col("band"))
       .count().agg(max(col("count"))).collect()(0).getLong(0)
     assert(maxPerVisit == 1L, s"reps mode emitted $maxPerVisit edges in one bucket visit")
