@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * instances, commit) from per-row work, which the full bench cannot.
   *
   * Usage: tools/runmain.sh graft.tools.StreamProbe <sfDir> [parts] [reps] [pipeline]
-  *   pipeline: neardup (default) | dedup
+  *   pipeline: neardup (default) | neardup_reps | dedup | sigonly | baseline
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -73,6 +73,15 @@ object StreamProbe {
           val ev = graft.streaming.EventStream.readEvents(s2, sfDir)
           graft.streaming.EventStream.runToCompletionNoop(
             graft.streaming.EventStream.streamingDedup(ev), OutputMode.Append())
+        case "neardup_reps" => // cluster-linkage emission (round 14)
+          val docPath = new java.io.File(s"$sfDir/documents.parquet")
+          val reader = s2.readStream.schema("doc_id LONG, text STRING")
+          val docs =
+            if (docPath.isDirectory) reader.parquet(docPath.toString)
+            else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          graft.streaming.EventStream.runToCompletionNoop(
+            graft.streaming.DedupStream.streamingNearDupReps(s2, docs),
+            OutputMode.Append())
         case _ =>
           val docPath = new java.io.File(s"$sfDir/documents.parquet")
           val reader = s2.readStream.schema("doc_id LONG, text STRING")
