@@ -209,15 +209,19 @@ object Multimodal {
                    targetBytes: Long = BlobTargetBytes,
                    bucketDocs: Long = ManifestBucketDocs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialize the narrow metadata projection ONCE (truncate =
-    // reliable checkpoint when configured): the window side and the
-    // bucket-total side below would otherwise each re-scan the payload
-    // column to compute n_bytes — at the 100 TB design point that is the
-    // dominant cost paid twice for a ~100 B/row metadata table
-    val rows = graft.ops.Dedup.truncate(mediaTable(spark, dir)
+    // the window side and the bucket-total side below each evaluate this
+    // narrow projection — two scans of the source. Kept deliberately: a
+    // measured truncate (localCheckpoint) of the projection cost MORE
+    // than the second scan at every tier (sf10: 8.9 s vs 2.6 s — the
+    // materialization write dwarfs re-reading one column), and at blob-
+    // manifest scale the payload lives OUT of the row (the header's
+    // (uri, byte_range) layout), so the re-scanned table is already
+    // metadata-narrow. If payloads ever ride inline AND huge, wrap this
+    // in Dedup.truncate to trade one materialization for the scan.
+    val rows = mediaTable(spark, dir)
       .select(col("doc_id"), col("meta.mime").as("mime"),
         length(col("payload")).cast("long").as("n_bytes"))
-      .withColumn("bucket", floor(col("doc_id") / bucketDocs)))
+      .withColumn("bucket", floor(col("doc_id") / bucketDocs))
     val localBefore = Window.partitionBy(col("mime"), col("bucket"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
