@@ -534,4 +534,58 @@ class StreamingSpec extends SparkSpec {
       assert(!expired.contains((i.toLong, (100 + i).toLong)),
         s"pair ($i, ${100 + i}) found across an expired horizon: $expired"))
   }
+
+  test("reps mode honors the TTL horizon through the same registry") {
+    import graft.streaming.DedupStream
+    import java.nio.file.{Files => JFiles}
+    // the TTL filter runs before emission in BOTH modes (shared
+    // handleInputRows prefix); this pins the reps-mode combination —
+    // an aged base must neither link nor act as a cluster rep
+    def run(ttl: java.time.Duration, gapMs: Long): Set[(Long, Long)] = {
+      val spark2 = spark.newSession()
+      spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark2.conf.set("spark.sql.shuffle.partitions", "4")
+      import spark2.implicits._
+      val rng = new scala.util.Random(17)
+      val vocab = Array.tabulate(400)(i => s"v$i")
+      val bases = Array.tabulate(3)(_ => Array.fill(60)(vocab(rng.nextInt(vocab.length))))
+      val watch = JFiles.createTempDirectory("graftrepsttl")
+      val ckpt = JFiles.createTempDirectory("graftrepsttlckpt").toString
+      val outDir = JFiles.createTempDirectory("graftrepsttlout").toString
+      def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        val stage = JFiles.createTempDirectory(name).resolve("out").toString
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        JFiles.copy(part.toPath, watch.resolve(name + ".parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = spark2.readStream.schema("doc_id LONG, text STRING")
+          .parquet(watch.toString)
+        val q = DedupStream.streamingNearDupReps(spark2, stream, Some(ttl)).writeStream
+          .format("parquet").option("path", outDir)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(15000); q.stop()
+      }
+      writeBatch("a", bases.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
+      runOnce()
+      Thread.sleep(gapMs)
+      writeBatch("b", (0 until 3).map(i => ((100 + i).toLong, bases(i).mkString(" "))))
+      runOnce()
+      spark2.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("rep"), r.getAs[Long]("member"))).toSet
+    }
+    val within = run(java.time.Duration.ofMinutes(10), gapMs = 100)
+    (0 until 3).foreach(i =>
+      assert(within.contains((i.toLong, (100 + i).toLong)),
+        s"within-horizon edge ($i, ${100 + i}) missing: $within"))
+    val expired = run(java.time.Duration.ofSeconds(1), gapMs = 3000)
+    (0 until 3).foreach(i =>
+      assert(!expired.contains((i.toLong, (100 + i).toLong)),
+        s"edge ($i, ${100 + i}) emitted across an expired horizon: $expired"))
+  }
 }
