@@ -72,6 +72,9 @@ object CappedCollect {
     * iff the group size lands in [lo, hi], else an empty array. */
   def cappedIdSet(lo: Int, hi: Int, id: Column): Column = {
     require(lo >= 1 && hi >= lo, s"capped_id_set bounds [$lo, $hi]")
+    // explicit ceiling: past 2^30 the growth doubling in update() could
+    // overflow to a negative capacity — fail loudly at plan time instead
+    require(hi <= (1 << 30), s"capped_id_set cap $hi exceeds 2^30")
     bridge.column(
       CappedCollectLong(bridge.expression(id), lo, hi).toAggregateExpression())
   }

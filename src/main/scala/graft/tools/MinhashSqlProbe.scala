@@ -118,7 +118,9 @@ object MinhashSqlProbe {
       val t0 = System.nanoTime()
       build(v).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the listener bus drain task-end events
+      // deterministic listener-bus drain: a fixed sleep can attribute late
+      // task-end events to the NEXT rep on a loaded host
+      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
       println(f"""{"probe":"minhash_sql","variant":"$v","rep":$r,"sec":$sec%.2f,""" +
         s""""mem_spill_mb":${memSpill.get / 1048576},"disk_spill_mb":${diskSpill.get / 1048576},""" +
         s""""shuffle_write_mb":${shufWrite.get / 1048576},"sf":"$sfDir"}""")

@@ -44,6 +44,13 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Block until the listener bus has delivered every queued event — the
+    * deterministic drain probes use between reps so late task-end events
+    * can't be attributed to the next rep's metrics (`listenerBus` is
+    * `private[spark]`, hence the bridge hop). */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a SQL function on an ALREADY-RUNNING session (extensions
     * only apply at builder time). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

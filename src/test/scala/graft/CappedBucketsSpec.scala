@@ -69,6 +69,8 @@ class CappedBucketsSpec extends SparkSpec {
     * (AQE off so the plan is a plain tree; the only shuffle is the
     * aggregation's partial→final exchange). */
   private def aggExchangeDataSize(build: => DataFrame): Long = {
+    // restore whatever value the shared session had, not a hardcoded one
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = build
@@ -78,7 +80,10 @@ class CappedBucketsSpec extends SparkSpec {
       }
       assert(exchanges.size == 1, s"expected 1 exchange, got ${exchanges.size}")
       exchanges.head.metrics("dataSize").value
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("mega-bucket: membership never materializes or ships past the cap") {

@@ -171,10 +171,11 @@ def main(sf_dir, verify_out):
     oracle = json.load(open(f"{verify_out}/oracle_sql.json"))
     skip = set(filter(None, os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("GRAFT_ORACLE_ONLY", "").split(",")))
-    n_pass = n_fail = n_typefail = 0
+    n_pass = n_fail = n_typefail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skip or (only and name not in only):
             print(f"SKIP {name}")
+            n_skip += 1
             continue
         try:
             o = con.execute(sql)
@@ -227,7 +228,9 @@ def main(sf_dir, verify_out):
             except Exception as e:
                 print(f"FAIL {name}: unreadable: {e}")
                 n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_typefail} type-fail")
+    # n_skip rides in the summary so a tail excerpt from a SKIP/ONLY run
+    # can never read as full-coverage green
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_typefail} type-fail, {n_skip} skipped")
     return 1 if (n_fail or n_typefail) else 0
 
 
