@@ -189,7 +189,7 @@ object Bench {
       if (only.isDefined) 0L
       else try spark.read.parquet(s"$sfDir/documents.parquet").count()
       catch { case e: Throwable => System.err.println(s"[bench] doc rows: $e"); 0L }
-    val streamNearDup = timeStream("stream_neardup") {
+    def docStream(run: (SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -205,8 +205,17 @@ object Bench {
         if (docPath.isDirectory) reader.parquet(docPath.toString)
         else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
       graft.streaming.EventStream.runToCompletionNoop(
-        graft.streaming.DedupStream.streamingNearDup(s2, docs),
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        run(s2, docs), org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    val streamNearDup = timeStream("stream_neardup") {
+      docStream(graft.streaming.DedupStream.streamingNearDup(_, _))
+    }
+    // (4) the same LSH registry in REPS emission — one union-find linkage
+    // edge per bucket visit instead of one candidate per registered match:
+    // the linear-output emission the 100 TB story recommends, benched so
+    // round-over-round drift is tracked automatically, not just in probes
+    val streamNearDupReps = timeStream("stream_neardup_reps") {
+      docStream(graft.streaming.DedupStream.streamingNearDupReps(_, _))
     }
 
     val total = results.map(_._2).sum
@@ -218,7 +227,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val detailJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_neardup":$streamNearDup%.3f,"stream_rows":$streamRows,"stream_doc_rows":$streamDocRows,"queries":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_neardup":$streamNearDup%.3f,"stream_neardup_reps":$streamNearDupReps%.3f,"stream_rows":$streamRows,"stream_doc_rows":$streamDocRows,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailJson) finally w.close()
@@ -226,7 +235,8 @@ object Bench {
     for ((metric, q, t, rows) <- Seq(
       ("stream_total", "sliding_counts", streamTotal, streamRows),
       ("stream_dedup", "dropDuplicatesWithinWatermark", streamDedup, streamRows),
-      ("stream_neardup", "minhash_lsh_transformWithState", streamNearDup, streamDocRows)))
+      ("stream_neardup", "minhash_lsh_transformWithState", streamNearDup, streamDocRows),
+      ("stream_neardup_reps", "minhash_lsh_reps_emission", streamNearDupReps, streamDocRows)))
       println(streamLine(metric, q, t, rows, sfDir))
     println(compactLine(results, sfDir, streamTotal))
     spark.stop()
@@ -247,9 +257,9 @@ object Bench {
   def compactLine(results: Seq[(String, Double)], sfDir: String,
                   streamTotal: Double = 0.0): String = {
     val total = results.map(_._2).sum
-    // whole line + the THREE preceding stream_* lines (~160 chars each)
-    // must fit the 2000-char tail together
-    val budget = 1080
+    // whole line + the FOUR preceding stream_* lines (~170 chars each)
+    // must fit the 2000-char tail together (BenchLineSpec pins ≤ 1200)
+    val budget = 900
     val byCost = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0

@@ -28,8 +28,9 @@ object Explain {
         // ExistingRDD leaf — dump the inner subplan too for audit
         if (name == "graph_nbr_jaccard") {
           println(s"\n---------- $name (inner tagged+sorted wedge∪edge subplan) ----------")
-          try graft.ops.Graph.nbrTaggedSorted(
-            graft.ops.Graph.adjacency(spark, sfDir)).explain("formatted")
+          try graft.ops.Graph.nbrTaggedSortedParts(
+            graft.ops.Graph.cappedAdjacency(spark, sfDir),
+            graft.ops.Graph.edges(spark, sfDir)).explain("formatted")
           catch { case e: Throwable => println(s"explain failed: $e") }
         }
     }

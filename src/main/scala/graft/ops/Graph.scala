@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over derived edge sets — the Pregel-class
@@ -9,12 +10,20 @@ import org.apache.spark.sql.functions._
   * (beyond-reference; the reference has no iterative operators at all).
   *
   * Scale notes (the parts that must survive 100 TB):
-  *   - the edge list is the big, STATIC side: it is hash-partitioned on
-  *     the join key once and persisted, so every iteration re-shuffles
-  *     only the small rank table, never the edges;
-  *   - each iteration is one equi-join + one aggregation — contributions
-  *     partial-aggregate map-side, so the per-iteration shuffle carries
-  *     one (dst, partial sum) row per partition, not one row per edge;
+  *   - the family's base artifact is the DISTINCT directed edge list
+  *     ([[edges]]) — a ROW-level dedup with no per-key state at all —
+  *     plus a count-aggregate degree table ([[degrees]], constant-size
+  *     buffers) and a degree-CAPPED adjacency ([[cappedAdjacency]],
+  *     bounded buffers via [[graft.functions.CappedCollect]]);
+  *   - the only full-neighbor-list aggregate left ([[adjacency]]) is
+  *     PageRank's, which semantically requires every hub's complete
+  *     list — and it sits behind a max-degree gate ([[MaxListDegreeKey]]):
+  *     past the ceiling, [[pagerankTop]] switches to an edge-native
+  *     power iteration that never builds a list;
+  *   - each PageRank iteration is one equi-join + one aggregation —
+  *     contributions partial-aggregate map-side, so the per-iteration
+  *     shuffle carries one (dst, partial sum) row per partition, not one
+  *     row per edge;
   *   - lineage is truncated every `checkpointEvery` iterations
   *     (localCheckpoint by default; durable `checkpoint()` when
   *     `spark.graft.checkpointDir` is set — same fault-tolerance switch
@@ -39,8 +48,7 @@ object Graph {
     * undirected edge. The dedup shuffle runs HERE, on m canonical rows:
     * [[coPurchaseEdges]] then mirrors the already-distinct halves (a
     * canonical set unioned with its swap is distinct by construction), so
-    * nothing ever distincts the doubled edge list. Triangle counting
-    * consumes this form directly and never materializes both directions. */
+    * nothing ever distincts the doubled edge list. */
   def coPurchaseOnce(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     val li = Tables.lineitem(spark, dir)
@@ -56,7 +64,7 @@ object Graph {
   }
 
   /** Target sort rows per partition of the wedge∪edge shuffle
-    * ([[nbrTaggedSorted]]): ~8M rows ≈ 300 MB of external-sorter
+    * ([[nbrTaggedSortedParts]]): ~8M rows ≈ 300 MB of external-sorter
     * footprint — small enough that a full complement of concurrent
     * sorters fits executor memory with room to spill, large enough that
     * the sf0.1/sf1 plans keep their historical core-count partitioning
@@ -64,10 +72,8 @@ object Graph {
   private val WedgeRowsPerPartition = 8000000L
 
   /** Directed co-purchase pairs, BOTH directions in one explode pass,
-    * duplicate rows across orders allowed — the feed for the
-    * adjacency-aggregate operators ([[pageRankAdj]] via [[pagerankTop]],
-    * [[triangleCounts]], [[neighborJaccard]]), whose `collect_set` dedups
-    * inside the aggregate so no standalone distinct shuffle ever runs. */
+    * duplicate rows across orders allowed — the raw feed the [[edges]]
+    * memo dedups once for the whole family. */
   private def coPurchaseDirected(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.pairsCol
     val li = Tables.lineitem(spark, dir)
@@ -82,31 +88,112 @@ object Graph {
       .select(col("p.a").as("src"), col("p.b").as("dst"))
   }
 
-  /** The (src, ids) collect_set adjacency over `directed` — the one
-    * aggregate every adjacency-form operator starts from. */
+  /** Memoized DISTINCT directed edge list (src, dst) — the graph family's
+    * base artifact, and the scale-safest shape a graph can take: the
+    * dedup is ROW-level (no per-key membership buffer of any kind), so no
+    * input skew, hub, or mega-degree node can concentrate state anywhere.
+    * Every other family artifact ([[degrees]], [[cappedAdjacency]], the
+    * PageRank-only [[adjacency]]) derives from this flat scan.
+    *
+    * Shape: ONE hash exchange on src (an explicit numPartitions
+    * repartition AQE cannot coalesce — same block-count reasoning as the
+    * old adjacency memo: consumers inherit block count as task count), an
+    * in-partition (src, dst) sort, and a lag-window duplicate drop that
+    * reuses that exact partitioning + ordering — Catalyst inserts no
+    * second exchange or sort (PlanShapeSpec pins it). The src-clustered,
+    * sorted PHYSICAL layout survives the checkpoint (Catalyst forgets the
+    * partitioning metadata across a LogicalRDD, so downstream aggregates
+    * still plan an exchange over the already-clustered rows — small and
+    * one-time per memoized artifact), and the edge-native dense PageRank
+    * reads the blocks directly, run-caching its per-src dictionary
+    * lookup off the preserved sort order. */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.getOrBuild(spark, dir, "graph.edges") {
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      distinctEdgesDf(coPurchaseDirected(spark, dir), n)
+    }
+
+  /** The [[edges]] memo's build body over any duplicate-bearing directed
+    * feed: one explicit hash exchange on src, one in-partition (src, dst)
+    * sort, then a lag-window duplicate drop that REUSES that exact
+    * partitioning + ordering — Catalyst inserts no second exchange or
+    * sort for the window (PlanShapeSpec pins one exchange, one sort). */
+  private[graft] def distinctEdgesDf(directed: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    directed
+      .repartition(n, col("src"))
+      .sortWithinPartitions("src", "dst")
+      .withColumn("prev", lag(col("dst"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** Memoized degree table (node, deg) over [[edges]] — a COUNT
+    * aggregate, so the per-group state is one counter regardless of
+    * degree (contrast a list aggregate, whose buffer grows with the hub).
+    * Feeds [[degreeDistribution]], the orientation joins of
+    * [[triangleCounts]], and [[pagerankTop]]'s max-degree gate. */
+  def degrees(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.getOrBuild(spark, dir, "graph.degrees") {
+      edges(spark, dir).groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+    }
+
+  /** Memoized degree-CAPPED adjacency (src, ids): only nodes with degree
+    * ≤ maxDeg carry a row, and the cap is enforced INSIDE the aggregation
+    * ([[graft.functions.CappedCollect]] via [[Dedup.cappedBuckets]]) — a
+    * mega-degree hub never materializes its membership in any buffer, on
+    * any partition, at any phase; its partial buffers free themselves the
+    * moment the count crosses maxDeg. This is the adjacency the QUADRATIC
+    * consumer ([[neighborJaccard]]'s C(d,2) wedge kernel) reads — its
+    * > maxDeg hubs were always excluded semantically; now they are
+    * excluded before a buffer exists, the same round-14 rule as the LSH
+    * bucket families. [[edges]] is duplicate-free by construction, which
+    * is exactly the CappedCollect input contract. */
+  def cappedAdjacency(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame =
+    PlanMemo.getOrBuild(spark, dir, s"graph.adjacency.capped.$maxDeg") {
+      // pinned at shuffle-partition count (an explicit numPartitions
+      // repartition AQE cannot override): the adjacency is tiny BY BYTES,
+      // so AQE's size-based coalesce would checkpoint it as ~3 blocks —
+      // and the C(d,2) pair kernel of [[neighborJaccard]] inherits block
+      // count as task count, capping a quadratic compute stage at 3 of 32
+      // cores. Partition the COMPUTE a row fans out to, not its bytes.
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      cappedAdjacencyDf(edges(spark, dir), maxDeg).repartition(n, col("src"))
+    }
+
+  /** Df-level [[cappedAdjacency]] builder over any duplicate-free directed
+    * edge list (plan pins + planted mega-hub specs run here). */
+  private[graft] def cappedAdjacencyDf(edges: DataFrame, maxDeg: Int): DataFrame =
+    Dedup.cappedBuckets(edges, Seq("src"), "dst", lo = 1, hi = maxDeg)
+
+  /** The (src, ids) collect_set adjacency over a raw directed feed
+    * (duplicates absorbed) — the Df-level helper behind
+    * [[triangleCountsDf]] / [[neighborJaccardDf]], which accept arbitrary
+    * duplicate-bearing edge lists. Driver paths never come through here;
+    * they read the memoized [[edges]]-derived artifacts. */
   private def aggAdjacency(directed: DataFrame): DataFrame =
     directed.groupBy(col("src")).agg(collect_set(col("dst")).as("ids"))
 
-  /** Memoized co-purchase adjacency (src, ids) for the graph family:
-    * pagerank, triangles and neighbor-Jaccard all consume the SAME
-    * aggregate, and before the memo each of the three rebuilt the whole
-    * lineitem-scan → order-group → pair-explode → collect_set subplan
-    * (~1.5-2 s of identical work per query at sf0.1, 3× per bench run).
-    * Materialization, validity self-healing and release live in
-    * [[PlanMemo]].
-    *
-    * The materialized blocks are pinned at shuffle-partition count (an
-    * explicit numPartitions repartition AQE cannot override): the
-    * adjacency is tiny BY BYTES, so AQE's size-based coalesce would
-    * checkpoint it as ~3 blocks — and every map-side consumer of the memo
-    * (the C(d,2) pair kernels of [[neighborJaccard]] and
-    * [[triangleCounts]]) inherits block count as task count, capping a
-    * quadratic compute stage at 3 of 32 cores. Partition the COMPUTE a
-    * row fans out to, not its bytes. */
+  /** Memoized FULL co-purchase adjacency (src, ids) — [[pageRankAdj]]'s
+    * input, and deliberately the engine's one uncapped list aggregate:
+    * PageRank semantically requires every hub's complete neighbor list
+    * (capping would change rank mass), so the buffer is bounded by TRUE
+    * graph degree, not by input skew. The quadratic consumers no longer
+    * read it (they read [[cappedAdjacency]] / [[degrees]]), and
+    * [[pagerankTop]] gates it behind [[MaxListDegreeKey]] — past the
+    * ceiling the full list never materializes anywhere and PageRank runs
+    * edge-native. Built over the [[edges]] memo (input pre-deduped, so
+    * collect_list ≡ collect_set — no per-buffer membership probing). */
   def adjacency(spark: SparkSession, dir: String): DataFrame =
     PlanMemo.getOrBuild(spark, dir, "graph.adjacency") {
+      // block count pinned for the dense PageRank's per-partition pass
+      // (same AQE-coalesce reasoning as [[cappedAdjacency]])
       val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      aggAdjacency(coPurchaseDirected(spark, dir)).repartition(n, col("src"))
+      edges(spark, dir).groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("ids"))
+        .repartition(n, col("src"))
     }
 
   /** Drop all memoized adjacencies (long-lived sessions / tests). */
@@ -114,6 +201,16 @@ object Graph {
 
   /** Block-storage ids of the live memo entries — see [[PlanMemo.rddIds]]. */
   def memoizedRddIds: Set[Int] = PlanMemo.rddIds
+
+  /** Degree ceiling for PageRank's full-list adjacency
+    * ([[pagerankTop]]'s gate). Below it (default 10⁷ — a 10⁷-long list
+    * is an 80 MB buffer, the documented edge of sane) the memoized
+    * [[adjacency]] path runs; above it PageRank goes edge-native and no
+    * full neighbor list ever materializes. */
+  val MaxListDegreeKey = "spark.graft.graph.maxListDegree"
+
+  private def maxListDegree(spark: SparkSession): Long =
+    spark.conf.getOption(MaxListDegreeKey).map(_.toLong).getOrElse(10000000L)
 
   /** Simplified PageRank (uniform teleport, unnormalized: r' = (1−d) +
     * d·Σ_in r/outdeg — the textbook power-iteration form) over the nodes
@@ -255,6 +352,78 @@ object Graph {
       .toDF("node", "rank")
   }
 
+  /** [[pageRankDense]] re-expressed over the DISTINCT EDGE LIST — the
+    * escape hatch [[pagerankTop]] takes when a degree exceeds
+    * [[MaxListDegreeKey]]: identical update rule, identical per-node
+    * contribution multiset (each (src, dst) row adds rank(src)/deg(src)
+    * to dst — exactly the rows the adjacency form expands to), but NO
+    * neighbor list is ever aggregated anywhere; per-partition state is
+    * the fixed dense accumulator. deg comes from the broadcast degree
+    * dictionary instead of a list size. The [[edges]] memo is clustered
+    * and sorted by src, so the per-src (rank/deg) lookup run-caches to
+    * ~one binary search per distinct src per partition — the same search
+    * count as the adjacency form. Summation order differs; absorbed by
+    * the caller's rounding (GraphSpec pins 1e-9 relative parity). */
+  private[graft] def pageRankDenseEdges(edges: DataFrame, degrees: DataFrame,
+                                        iters: Int = 6, d: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    // sorted (node, deg) dictionary — reached only under the |V| dense
+    // ceiling gate, so the collect is pre-bounded like pageRankDense's
+    val dict = degrees.select(col("node"), col("deg")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val nV = dict.length
+    val nodes = new Array[Long](nV)
+    val degs = new Array[Long](nV)
+    var k = 0
+    while (k < nV) { nodes(k) = dict(k)._1; degs(k) = dict(k)._2; k += 1 }
+    val nodesB = sc.broadcast(nodes)
+    val degsB = sc.broadcast(degs)
+    val base = org.apache.spark.sql.graft.bridge.toInternalRdd(
+      edges.select(col("src"), col("dst")))
+    var ranks = Array.fill(nV)(1.0)
+    var i = 0
+    while (i < iters) {
+      val ranksB = sc.broadcast(ranks)
+      val msum = base.mapPartitions { it =>
+        val ns = nodesB.value
+        val dg = degsB.value
+        val rk = ranksB.value
+        val acc = new Array[Double](ns.length)
+        var lastSrc = 0L
+        var lastC = 0.0
+        var cached = false
+        while (it.hasNext) {
+          val r = it.next()
+          val s = r.getLong(0)
+          if (!cached || s != lastSrc) {
+            val si = java.util.Arrays.binarySearch(ns, s)
+            lastC = rk(si) / dg(si)
+            lastSrc = s
+            cached = true
+          }
+          val t = java.util.Arrays.binarySearch(ns, r.getLong(1))
+          if (t >= 0) acc(t) += lastC
+        }
+        Iterator.single(acc)
+      }.treeReduce({ (a, b) =>
+        var j = 0; while (j < a.length) { a(j) += b(j); j += 1 }; a
+      }, depth = 2)
+      ranksB.unpersist(blocking = false)
+      val next = new Array[Double](nV)
+      var j = 0
+      while (j < nV) { next(j) = (1.0 - d) + d * msum(j); j += 1 }
+      ranks = next
+      i += 1
+    }
+    val finalB = sc.broadcast(ranks)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.createDataFrame(
+      sc.parallelize(nodes.indices, math.min(n, math.max(1, nV)))
+        .map(j => (nodesB.value(j), finalB.value(j))))
+      .toDF("node", "rank")
+  }
+
   /** The shared power-iteration loop. outdeg rides INSIDE the rank table
     * (node, outdeg, rank): contributions become a pure map-side
     * projection and the only per-round joins are the big e⋈contribs
@@ -293,15 +462,15 @@ object Graph {
   /** Degree distribution of the co-purchase graph in log2 buckets — the
     * first thing anyone profiles before picking caps (the 256-degree
     * wedge cap of [[neighborJaccard]] was sized from exactly this view).
-    * Consumes the SHARED memoized adjacency (degree = its set size — no
-    * edge re-scan), so the marginal cost is one ≤|V|-row aggregate.
-    * Buckets come from the binary-string length of the degree —
-    * floor(log2(d)) computed in EXACT integer space, because FP log2 of
-    * a power of two can land an ulp below the integer and flip the
-    * bucket differently per engine. */
+    * Consumes the memoized [[degrees]] COUNT table — no neighbor list is
+    * built or scanned anywhere in this plan, so the marginal cost is one
+    * ≤|V|-row aggregate over constant-size buffers. Buckets come from the
+    * binary-string length of the degree — floor(log2(d)) computed in
+    * EXACT integer space, because FP log2 of a power of two can land an
+    * ulp below the integer and flip the bucket differently per engine. */
   def degreeDistribution(spark: SparkSession, dir: String): DataFrame =
-    adjacency(spark, dir)
-      .select(size(col("ids")).cast("long").as("deg"))
+    degrees(spark, dir)
+      .select(col("deg"))
       .withColumn("bucket", (length(conv(col("deg"), 10, 2)) - 1).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_nodes"),
@@ -312,12 +481,31 @@ object Graph {
 
   /** Driver query: top 25 parts by co-purchase PageRank. Ordered by the
     * ROUNDED rank (ties broken by part id) so the top-k cut line never
-    * depends on a last-ulp summation difference between engines. */
-  def pagerankTop(spark: SparkSession, dir: String): DataFrame =
-    pageRankAdj(adjacency(spark, dir))
+    * depends on a last-ulp summation difference between engines.
+    *
+    * Path choice (all three produce the same contribution multiset —
+    * GraphSpec pins rounded-output identity):
+    *   1. max degree ≤ [[MaxListDegreeKey]] (the structural norm): the
+    *      memoized full [[adjacency]] through [[pageRankAdj]] — its own
+    *      |V| gate picks dense vs declarative-loop;
+    *   2. past the degree ceiling but |V| within the dense ceiling:
+    *      [[pageRankDenseEdges]] — no neighbor list ever aggregates;
+    *   3. past both: the declarative edge-list [[pageRank]] loop, which
+    *      scales with partitions and holds no per-node list either.
+    * The gate costs one max() over the memoized [[degrees]] flat scan. */
+  def pagerankTop(spark: SparkSession, dir: String): DataFrame = {
+    val degs = degrees(spark, dir)
+    val row = degs.agg(max(col("deg"))).first()
+    val dmax = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val ranks =
+      if (dmax <= maxListDegree(spark)) pageRankAdj(adjacency(spark, dir))
+      else if (Dedup.withinDenseCeiling(degs)) pageRankDenseEdges(edges(spark, dir), degs)
+      else pageRank(edges(spark, dir))
+    ranks
       .select(col("node").as("part_id"), round(col("rank"), 4).as("rank"))
       .orderBy(desc("rank"), col("part_id"))
       .limit(25)
+  }
 
   /** Link prediction — top 50 NON-adjacent part pairs by neighbor-set
     * Jaccard |N(u)∩N(v)| / |N(u)∪N(v)| (the classic common-neighbors
@@ -331,27 +519,31 @@ object Graph {
     * static call per adjacency row; the HOF pairsCol evaluates its
     * lambdas interpreted, measured ~2× slower on these ~maxDeg-element
     * rows, and a self-join on w emits twice the rows), with intermediates
-    * above `maxDeg` excluded BEFORE the quadratic step (a hub's d² wedge
-    * explosion is the scale killer; excluding it mirrors MaxDf — the
-    * score is exact over the retained feature space, and restricted
-    * degrees use the same retained space so the ratio stays consistent).
-    * Existing edges are excluded inside the wedge count's run-length pass
-    * (see [[neighborJaccardPlan]]); the cut is by ROUNDED score with id
-    * tie-breaks (cross-engine-stable line). */
+    * above `maxDeg` excluded INSIDE the adjacency aggregation itself
+    * ([[cappedAdjacency]] — a hub's d² wedge explosion is the scale
+    * killer; excluding it mirrors MaxDf, and since round 15 its
+    * membership never even buffers). Existing edges are excluded inside
+    * the wedge count's run-length pass (tagged straight off the [[edges]]
+    * memo); the cut is by ROUNDED score with id tie-breaks
+    * (cross-engine-stable line). */
   def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame =
-    neighborJaccardAdj(adjacency(spark, dir), maxDeg)
+    Dedup.truncate(neighborJaccardPartsPlan(
+      cappedAdjacency(spark, dir, maxDeg),
+      edges(spark, dir),
+      degrees(spark, dir), maxDeg))
 
   /** Core of [[neighborJaccard]] over any directed edge list covering both
     * directions of each undirected edge (self-loop-free; duplicate rows
     * allowed — they collapse inside the adjacency aggregate). Builds and
     * eagerly materializes its own adjacency; driver queries go through the
-    * shared memo ([[adjacency]]) instead. */
+    * memoized capped artifacts instead. */
   def neighborJaccardDf(directed: DataFrame, maxDeg: Int = 256): DataFrame =
     neighborJaccardAdj(Dedup.truncate(aggAdjacency(directed)), maxDeg)
 
-  /** [[neighborJaccard]] over a MATERIALIZED (src, ids) adjacency (the
-    * memo / a truncate()d aggregate — consumed by three derivations, so
-    * the input must be a flat block scan, not live lineage).
+  /** [[neighborJaccard]] over a MATERIALIZED FULL (src, ids) adjacency —
+    * the wrapper form for Df-level callers and parity specs: the kept
+    * lists, the tag edges and the gate all derive from `adj`. Driver
+    * queries use the parts form directly with the capped memo.
     *
     * `dictAttach` picks how restricted degrees re-attach to the scored
     * pair table:
@@ -374,35 +566,29 @@ object Graph {
     // ^ EAGER: materializes at construction so downstream consumers plan
     //   against a flat scan (PlanShapeSpec pins the pre-truncate shape)
 
-  /** The un-truncated [[neighborJaccardAdj]] plan — for plan-shape
-    * assertions; operator callers get the eager form above.
-    *
-    * Physical shape of the wedge count (the operator's cost center): at
-    * sf1 the capped pair expansion emits ~1.1×10⁸ packed wedges of which
-    * ~1.05×10⁸ are DISTINCT pairs — a reduction factor of ~1.07, so a
-    * hash aggregate is almost pure overhead: its map-side partial phase
-    * builds multi-million-entry maps that reduce nothing, and the final
-    * phase needs O(groups) memory (spill-prone; measured 12-28 s at sf1
-    * with cold-heap GC churn dominating). Replaced by the sort-based
-    * aggregation Spark's planner lacks for this case: ONE shuffle of
-    * fixed 12-byte rows hash-partitioned on the packed key, an
-    * in-partition RADIX sort (single int64 sort column), and a streaming
-    * run-length count — O(1) state regardless of group count, the shape
-    * that still stands when the pair space hits 10¹⁰ at cluster scale.
-    * The existing-edge exclusion rides the SAME shuffle: edge rows enter
-    * the union tagged 0, wedge rows tagged 1, and the run-length pass
-    * suppresses any run that contains an edge row — the former 10⁸-row
-    * anti-join stage disappears entirely (measured: 27.9 s → ~8 s at
-    * sf1). The mapPartitions hop is deliberate: it IS the aggregation,
-    * on a primitive key the planner would otherwise hash; rows leave
-    * Tungsten once, as (Long, Int), and re-enter as (Long, Long). */
+  /** The un-truncated [[neighborJaccardAdj]] plan over a FULL adjacency —
+    * for plan-shape assertions and the Df-level wrapper; derives the
+    * three parts (kept lists, tag edges, gate) and delegates. */
+  private[graft] def neighborJaccardPlan(adj: DataFrame, maxDeg: Int = 256,
+                                         dictAttach: Boolean = true): DataFrame =
+    neighborJaccardPartsPlan(
+      adj.filter(size(col("ids")) <= maxDeg),
+      adj.select(col("src"), explode(col("ids")).as("dst")),
+      adj, maxDeg, dictAttach)
+
   /** Restricted degrees over the retained feature space: sz(u) = number of
     * KEPT intermediates adjacent to u (explode kept adjacency, count by the
-    * exploded neighbor — Σ_kept d_x rows partial-aggregated map-side). */
-  private[graft] def nbrSizes(adj: DataFrame, maxDeg: Int): DataFrame =
-    adj.filter(size(col("ids")) <= maxDeg)
+    * exploded neighbor — Σ_kept d_x rows partial-aggregated map-side).
+    * `keptAdj` rows are already degree-capped (memoized capped adjacency,
+    * or the wrapper's size filter). */
+  private[graft] def nbrSizesKept(keptAdj: DataFrame): DataFrame =
+    keptAdj
       .select(explode(col("ids")).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("sz"))
+
+  /** [[nbrSizesKept]] over a full adjacency (probe/back-compat form). */
+  private[graft] def nbrSizes(adj: DataFrame, maxDeg: Int): DataFrame =
+    nbrSizesKept(adj.filter(size(col("ids")) <= maxDeg))
 
   /** NOTE on eagerness: the dictionary path runs TWO jobs at
     * plan-CONSTRUCTION time — the |V| gate's count and the sizes
@@ -411,17 +597,20 @@ object Graph {
     * entry immediately truncate-materializes anyway, so query execution
     * pays nothing extra. Each call's broadcast lives until the
     * ContextCleaner collects the unreferenced plan (CacheHygieneSpec
-    * pins that nothing persisted survives). */
-  private[graft] def neighborJaccardPlan(adj: DataFrame, maxDeg: Int = 256,
-                                         dictAttach: Boolean = true): DataFrame = {
-    // ONE adjacency feeds everything — the capped pair expansion, the
-    // restricted degrees, and the edge rows that gate the run-length pass.
-    // The dictionary fast path is gated AUTOMATICALLY on |V| (adjacency
-    // rows, a superset of the dictionary's nodes since the adjacency is
-    // symmetric) against Dedup.DenseMaxNodesKey — above the ceiling the
-    // two-equi-join fallback engages by data, no flag to flip.
-    val sizes = nbrSizes(adj, maxDeg)
-    if (dictAttach && Dedup.withinDenseCeiling(adj)) {
+    * pins that nothing persisted survives).
+    *
+    * Parts contract: `keptAdj` = (src, ids) rows for degree-≤-maxDeg
+    * nodes ONLY; `edges` = ALL distinct directed edges (hub edges
+    * included — they tag existing pairs in the run-length pass, so a
+    * hub-adjacent candidate pair is still suppressed correctly); `gate`
+    * = a ~|V|-row table whose count gates the broadcast-dictionary path
+    * (the memoized [[degrees]] for driver calls — a stable instance, so
+    * the gate count caches; the full adjacency for wrapper calls). */
+  private[graft] def neighborJaccardPartsPlan(keptAdj: DataFrame, edges: DataFrame,
+                                              gate: DataFrame, maxDeg: Int = 256,
+                                              dictAttach: Boolean = true): DataFrame = {
+    val sizes = nbrSizesKept(keptAdj)
+    if (dictAttach && Dedup.withinDenseCeiling(gate)) {
       // Dictionary path (default): the ~|V|-row sizes table becomes two
       // sorted primitive arrays broadcast into the run-length pass, which
       // scores each surviving run IN PLACE and keeps a per-partition
@@ -439,14 +628,14 @@ object Graph {
       // two-equi-join path beyond. Broadcast blocks are reclaimed by
       // the ContextCleaner once the plan is unreferenced
       // (CacheHygieneSpec pins that nothing persisted survives).
-      val spark = adj.sparkSession
+      val spark = keptAdj.sparkSession
       val pairs = sizes.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val dict = spark.sparkContext.broadcast((pairs.map(_._1), pairs.map(_._2)))
-      rleWedgeTopK(nbrTaggedSorted(adj, maxDeg), dict, 50)
+      rleWedgeTopK(nbrTaggedSortedParts(keptAdj, edges), dict, 50)
         .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
         .limit(50) // merge of the ≤ nPart·50 partition survivors
     } else {
-      val commons = rleWedgeCount(nbrTaggedSorted(adj, maxDeg))
+      val commons = rleWedgeCount(nbrTaggedSortedParts(keptAdj, edges))
         .select(shiftrightunsigned(col("uv"), 32).as("u"),
           col("uv").bitwiseAND(lit(4294967295L)).as("v"), col("common"))
       commons
@@ -460,16 +649,27 @@ object Graph {
     }
   }
 
+  /** [[nbrTaggedSortedParts]] over a full adjacency — probe/plan-dump
+    * convenience (derives the kept lists and the tag edges from `adj`). */
+  private[graft] def nbrTaggedSorted(adj: DataFrame, maxDeg: Int = 256): DataFrame =
+    nbrTaggedSortedParts(
+      adj.filter(size(col("ids")) <= maxDeg),
+      adj.select(col("src"), explode(col("ids")).as("dst")))
+
   /** The tagged, shuffled, sorted wedge∪edge stream that feeds
     * [[rleWedgeCount]] — exposed separately because the run-length hop
     * crosses into RDD space, so this subplan runs as its own query
     * execution and the OUTER query's plan shows only its `ExistingRDD`
     * leaf. Plan-shape pins (and PLANS.md) read this DataFrame to audit
     * the interesting half: kernel explosion, union, one hash exchange on
-    * the packed key, in-partition radix sort. */
-  private[graft] def nbrTaggedSorted(adj: DataFrame, maxDeg: Int = 256): DataFrame = {
+    * the packed key, in-partition radix sort.
+    *
+    * `keptAdj` rows are pre-capped (no size filter runs here since round
+    * 15 — the cap lives inside the adjacency aggregation); `edges` is the
+    * full distinct directed edge list, tagged w=0. */
+  private[graft] def nbrTaggedSortedParts(keptAdj: DataFrame,
+                                          edges: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsPackedKernel
-    val kept = adj.filter(size(col("ids")) <= maxDeg)
     // per-intermediate pair explosion via the PACKED JVM pair kernel: one
     // static call per adjacency row emits its C(d,2) pairs as single
     // int64s (u << 32 | v) — no per-pair struct allocation, and the
@@ -477,11 +677,11 @@ object Graph {
     // pair. Requires ids < 2³² — holds for part keys at any TPC-H scale;
     // 64-bit id spaces would swap in sortedLongPairsKernel and a
     // two-column key (the kernel throws rather than corrupt).
-    val wedges = kept
+    val wedges = keptAdj
       .select(explode(sortedLongPairsPackedKernel(col("ids"))).as("uv"),
         lit(1).as("w"))
-    val und = adj.select(col("src"), explode(col("ids")).as("v"))
-      .select(shiftleft(col("src"), 32).bitwiseOR(col("v")).as("uv"),
+    val und = edges
+      .select(shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("uv"),
         lit(0).as("w"))
     // explicit partition count, VOLUME-SCALED: AQE's size-based coalesce
     // would fold the ~12-byte-row shuffle into a handful of partitions
@@ -491,27 +691,25 @@ object Graph {
     // sort rows into each of 32 CONCURRENT external sorters and the
     // stage died with UNABLE_TO_ACQUIRE_MEMORY (round-12 finding). The
     // row count is exactly predictable before the shuffle — Σ C(d,2)
-    // wedges + Σ d edge tags over the kept adjacency, one cheap
-    // map-side aggregate on the memoized input — so partition the
-    // COMPUTE a row fans out to: ≤ ~8M sort rows (~300 MB sorter
+    // wedges over the kept adjacency + one edge tag per distinct
+    // directed edge, two cheap jobs on memoized inputs — so partition
+    // the COMPUTE a row fans out to: ≤ ~8M sort rows (~300 MB sorter
     // footprint) per partition, floor at the core count, capped at 4096
     // (at 10⁹ rows that is ~125 partitions; at sf0.1/sf1 the floor
     // keeps the historical 32-partition plans bit-identical).
-    val spark = adj.sparkSession
+    val spark = keptAdj.sparkSession
     val cores = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // kept nodes contribute C(d,2) wedges + d edge tags = d(d+1)/2 rows;
-    // degree-capped nodes still ship their d edge tags
-    val estRow = adj
-      .select(sum(expr(
-        // BIGINT before multiplying: with int arithmetic a caller-supplied
-        // maxDeg ≥ 46341 lets d*(d+1) overflow negative, the summed
-        // estimate goes negative, and nPart silently collapses to the
-        // core floor — defeating the volume scaling.
-        s"CASE WHEN size(ids) <= $maxDeg " +
-          "THEN CAST(size(ids) AS BIGINT) * (size(ids) + 1) / 2 " +
-          "ELSE CAST(size(ids) AS BIGINT) END")).cast("long"))
-      .first()
-    val estRows = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    // degree-capped hubs still ship their edge tags — counted via the
+    // edge total (hub tags = |E| − Σ_kept d). BIGINT before multiplying:
+    // with int arithmetic a caller-supplied maxDeg ≥ 46341 lets d*(d+1)
+    // overflow negative and nPart silently collapse to the core floor.
+    val kr = keptAdj.select(
+      sum(expr("CAST(size(ids) AS BIGINT) * (size(ids) + 1) / 2")).cast("long"),
+      sum(size(col("ids")).cast("bigint")).cast("long")).first()
+    val keptRows = if (kr.isNullAt(0)) 0L else kr.getLong(0)
+    val keptDeg = if (kr.isNullAt(1)) 0L else kr.getLong(1)
+    val estRows = keptRows + (edges.count() - keptDeg)
     val nPart = math.max(cores,
       math.min(4096L, (estRows + WedgeRowsPerPartition - 1) / WedgeRowsPerPartition).toInt)
     wedges.union(und)
@@ -695,44 +893,76 @@ object Graph {
     * endpoint to its higher one, making the orientation a total order
     * (acyclic), so every triangle is enumerated exactly once as
     * a→b, b→c, a→c, and the wedge fan-out at a hub is bounded by its
-    * ORIENTED out-degree (≈√m) instead of its raw degree. An id-only
-    * orientation would funnel every wedge through the hubs — the
-    * difference between O(m^1.5) and O(m·d_max) at 100 TB. Entirely
-    * integer arithmetic, so the DuckDB oracle matches bit-for-bit. */
+    * ORIENTED out-degree (≤ √(2m) — a hub's neighbors must each have
+    * degree ≥ its out-degree, so 2m ≥ outdeg²) instead of its raw degree.
+    * An id-only orientation would funnel every wedge through the hubs —
+    * the difference between O(m^1.5) and O(m·d_max) at 100 TB. Entirely
+    * integer arithmetic, so the DuckDB oracle matches bit-for-bit.
+    *
+    * The driver path consumes the [[edges]] memo + [[degrees]] count
+    * table — NO full neighbor list is aggregated anywhere in its plan
+    * (capping would change which triangles exist, so instead of a cap the
+    * full-list input is gone entirely): the only list aggregate is the
+    * ORIENTED adjacency, whose width the orientation theorem bounds at
+    * √(2m) regardless of input skew — a structural guarantee where the
+    * LSH families need a configured cap. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame =
-    triangleCountsAdj(adjacency(spark, dir))
+    triangleCountsEdges(edges(spark, dir), degrees(spark, dir))
+
+  /** [[triangleCounts]] over an explicit (distinct directed edges, degree
+    * table) pair — the planted mega-hub spec runs here. Two broadcast-size
+    * joins attach endpoint degrees for the (degree, id) orientation; the
+    * tail is shared with the adjacency form. */
+  private[graft] def triangleCountsEdges(edges: DataFrame,
+                                         degrees: DataFrame): DataFrame = {
+    val oriented = orientedEdges(edges, degrees)
+    triangleCountsOriented(oriented)
+  }
+
+  /** Degree-oriented edges u→v where (deg, id) of u < (deg, id) of v —
+    * pure joins + filter, no aggregate of any kind (spec-pinned). */
+  private[graft] def orientedEdges(edges: DataFrame, degrees: DataFrame): DataFrame =
+    edges.select(col("src").as("u"), col("dst").as("v"))
+      .join(degrees.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(degrees.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
 
   /** Core of [[triangleCounts]] over any directed edge list covering both
     * directions of each undirected edge (self-loop-free; duplicate rows
     * allowed — they collapse inside the adjacency aggregate). Builds and
     * eagerly materializes its own adjacency; driver queries go through the
-    * shared memo ([[adjacency]]) instead.
-    *
-    * Shape: ONE collect_set aggregate builds the adjacency (degree = list
-    * size, free — no separate degree shuffle, no standalone distinct), one
-    * equi-join attaches neighbor degrees for the (degree, id) orientation,
-    * one more aggregate builds the ORIENTED adjacency, and the closing join
-    * intersects oriented out-lists per edge — every common w closes
-    * u→v, u→w, v→w exactly once. Intersection cost per edge is bounded by
-    * the oriented out-degrees (≈√m), keeping the O(m^1.5) bound, and the
-    * quadratic wedge set is never shuffled (the wedge self-join shape
-    * shuffled one row per wedge — Σ outdeg²). The adjacency sides are O(m)
-    * total payload: AQE broadcasts them at bench scale, and beyond
-    * broadcast size they degrade to ordinary shuffled equi-joins. */
+    * memoized edge/degree artifacts instead. */
   def triangleCountsDf(directed: DataFrame): DataFrame =
     triangleCountsAdj(Dedup.truncate(aggAdjacency(directed)))
 
-  /** [[triangleCounts]] over a MATERIALIZED (src, ids) adjacency (memo or
-    * truncate()d aggregate — consumed by both the explode side and the
-    * degree join side, so the input must be a flat block scan). */
+  /** [[triangleCounts]] over a MATERIALIZED FULL (src, ids) adjacency
+    * (a truncate()d aggregate — consumed by both the explode side and the
+    * degree join side, so the input must be a flat block scan). Degree =
+    * list size, free — no separate degree shuffle. */
   def triangleCountsAdj(adjIn: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val adj = adjIn.select(col("src").as("node"), col("ids").as("nbrs"),
       size(col("ids")).cast("long").as("deg"))
     val oriented = adj
       .select(col("node").as("u"), col("deg").as("du"), explode(col("nbrs")).as("v"))
       .join(adj.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+    triangleCountsOriented(oriented)
+  }
+
+  /** Shared tail of the triangle count: ONE aggregate builds the ORIENTED
+    * adjacency (width ≤ √(2m) by the orientation bound), and the closing
+    * join intersects oriented out-lists per oriented edge — every common
+    * w closes u→v, u→w, v→w exactly once. Intersection cost per edge is
+    * bounded by the oriented out-degrees (≈√m), keeping the O(m^1.5)
+    * bound, and the quadratic wedge set is never shuffled (the wedge
+    * self-join shape shuffled one row per wedge — Σ outdeg²). The
+    * adjacency sides are O(m) total payload: AQE broadcasts them at bench
+    * scale, and beyond broadcast size they degrade to ordinary shuffled
+    * equi-joins. */
+  private def triangleCountsOriented(oriented: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     // oriented adjacency: consumed by the explode side AND the close join
     val oadj = oriented.groupBy(col("u"))
       .agg(collect_list(col("v")).as("on"))

@@ -291,6 +291,34 @@ object DedupStream {
     streamingLsh(spark, docs, ttl, repEmission = true)
       .toDF("rep", "member", "band", "est_sim")
 
+  /** The worked batch consumer of the [[streamingNearDupReps]] edge
+    * stream — closes the reps story from linkage edges to a usable
+    * (doc → cluster rep) table: fold the COLLECTED edges (a parquet sink,
+    * an in-memory table, any DataFrame carrying rep/member/est_sim)
+    * through the shared [[graft.ops.Dedup.connectedComponents]] and emit
+    * one (doc_id, rep_id) assignment per LINKED document — rep_id = the
+    * minimum doc_id in its cluster, the identical rep contract as batch
+    * [[graft.ops.Dedup.minhashClusterReps]]. Cluster reps map to
+    * themselves (doc_id == rep_id), so `filter(doc_id =!= rep_id)` is
+    * the drop-list and `filter(doc_id === rep_id)` the keep-list;
+    * singletons (docs that never linked) carry no row — recover them
+    * with a left_anti join of the corpus against `member`, exactly like
+    * the batch keep-best pipelines (worked end-to-end in OPERATORS.md).
+    *
+    * Duplicate edges across bands / micro-batches collapse inside CC's
+    * first neighbor aggregate — re-running on a grown edge sink is
+    * idempotent over the prefix. `minEst` optionally drops edges below
+    * an estimate floor first (est_sim rides on every edge for exactly
+    * this) — the documented weld-resistance trade: a dropped edge was
+    * that visit's ONLY linkage, so raising the floor can split a true
+    * cluster, while est-only edges can weld sketch false-positives. */
+  def repsAssignments(edges: DataFrame, minEst: Double = 0.0): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+      edges.filter(col("est_sim") >= minEst)
+        .select(col("rep"), col("member")),
+      "rep", "member")
+      .select(col("id").as("doc_id"), col("label").as("rep_id"))
+
   private def streamingLsh(spark: SparkSession, docs: DataFrame,
                            ttl: Option[java.time.Duration],
                            repEmission: Boolean): DataFrame = {

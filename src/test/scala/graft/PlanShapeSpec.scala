@@ -134,6 +134,39 @@ class PlanShapeSpec extends SparkSpec {
     } finally release()
   }
 
+  test("graph memos: distinct-edge build is ONE exchange + ONE sort; the " +
+    "capped adjacency carries the cap inside its aggregate") {
+    // the window-lag dedup must reuse the repartition's partitioning and
+    // the sortWithinPartitions' ordering — a second exchange or sort here
+    // means Catalyst stopped recognizing them and the memo build doubled
+    val directed = Graph.adjacency(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("ids")).as("dst"))
+    val eb = Graph.distinctEdgesDf(directed, 4)
+    assert(shuffleCount(eb) == 1, eb.queryExecution.executedPlan.toString.take(3000))
+    val ep = eb.queryExecution.executedPlan.toString
+    assert("Sort \\[".r.findAllIn(ep).size == 1, ep.take(3000))
+    assert(ep.contains("Window"), ep.take(3000))
+
+    // quadratic-consumer adjacency: the skew cap lives INSIDE the
+    // aggregation (capped_id_set partial buffers are bounded), never a
+    // collect_set + post-hoc filter
+    val ca = Graph.cappedAdjacencyDf(Graph.edges(spark, sfDir), 256)
+    val cp = ca.queryExecution.executedPlan.toString
+    assert(cp.contains("partial_capped_id_set"), cp.take(3000))
+    assert(!cp.contains("collect_set"), cp.take(3000))
+
+    // and the driver-path wedge feed consumes the MEMOIZED capped
+    // adjacency — a flat scan, no size filter, no list aggregate
+    val inner = Graph.nbrTaggedSortedParts(
+      Graph.cappedAdjacency(spark, sfDir), Graph.edges(spark, sfDir))
+    val ip = inner.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(ip.contains("sortedLongPairsPacked"), ip.take(3000))
+    assert(!ip.contains("collect_"), ip.take(3000))
+    assert(!ip.contains("capped_id_set"), ip.take(3000)) // memoized: already materialized
+  }
+
   test("graph_nbr_jaccard: cap before pair kernel, one-shuffle RLE top-k, no joins at all") {
     val adj = Graph.adjacency(spark, sfDir)
     val df = Graph.neighborJaccardPlan(adj)

@@ -421,6 +421,25 @@ class StreamingSpec extends SparkSpec {
       s"planted corpus too weak — no multi-replica cluster: $batchClusters")
     assert(streamClusters == batchClusters,
       s"stream reps $streamClusters != batch reps $batchClusters")
+
+    // the CONSUMED output: the library consumer must turn the edge sink
+    // into per-member (doc_id, rep_id) assignments whose rollup equals
+    // the batch cluster-reps table — not just closure-equal edge sets
+    val assigned = DedupStream.repsAssignments(edges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_id")))
+    assert(assigned.map(_._1).distinct.length == assigned.length,
+      "every linked doc appears exactly once")
+    // reps map to themselves; every rep_id is the min doc of its cluster
+    val byRep = assigned.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min == rep, s"rep $rep is not its cluster min")
+      assert(members.exists(_._1 == rep), s"rep $rep missing its own row")
+    }
+    val rolledUp = byRep.map { case (rep, ms) =>
+      (rep, ms.length.toLong, ms.map(_._1).sum, ms.map(_._1).max)
+    }.toSet
+    assert(rolledUp == batchClusters,
+      s"consumed assignments $rolledUp != batch reps $batchClusters")
   }
 
   test("LSH near-dup state survives a checkpointed restart (dups found across deploys)") {
