@@ -235,7 +235,13 @@ object Text {
     * its own parquet partition and the manifest is the audit artifact
     * the training loader reads. */
   def shardManifest(spark: SparkSession, dir: String, nShards: Int = 64): DataFrame =
-    Tables.documents(spark, dir)
+    shardManifestDf(Tables.documents(spark, dir), nShards)
+
+  /** Core of [[shardManifest]] over any (doc_id, text, n_chars) corpus —
+    * the composition pipelines (PipelineRoundTripSpec) shard their
+    * incrementally-built corpora through the same plan. */
+  private[graft] def shardManifestDf(documents: DataFrame, nShards: Int = 64): DataFrame =
+    documents
       .select(col("doc_id"), col("n_chars"),
         pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
           lit(nShards.toLong)).as("shard_id"),
@@ -261,11 +267,15 @@ object Text {
     * double quotients (cross-engine bit-identical, the repo's ratio
     * discipline). */
   val CompactionTargetChars = 16384L
-  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionPlanDf(shardManifest(spark, dir))
+
+  /** Core of [[compactionPlan]] over any [[shardManifestDf]] output. */
+  private[graft] def compactionPlanDf(manifest: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val before = Window.orderBy(col("shard_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    shardManifest(spark, dir)
+    manifest
       .withColumn("chars_before", coalesce(sum(col("total_chars")).over(before), lit(0L)))
       .withColumn("file_id", floor(col("chars_before") / CompactionTargetChars))
       .groupBy(col("file_id"))
