@@ -526,11 +526,29 @@ object Graph {
     * the wedge count's run-length pass (tagged straight off the [[edges]]
     * memo); the cut is by ROUNDED score with id tie-breaks
     * (cross-engine-stable line). */
-  def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame =
+  def neighborJaccard(spark: SparkSession, dir: String, maxDeg: Int = 256): DataFrame = {
+    val degs = degrees(spark, dir)
     Dedup.truncate(neighborJaccardPartsPlan(
       cappedAdjacency(spark, dir, maxDeg),
       edges(spark, dir),
-      degrees(spark, dir), maxDeg))
+      degs,
+      // Σ deg over the materialized memo = |E| distinct directed — an
+      // O(|V|) flat-scan aggregate instead of an O(|E|) edges.count()
+      edgeTotal = Some(degreeSum(degs))))
+  }
+
+  /** Σ deg over a (node, deg) table = the distinct directed edge count. */
+  private def degreeSum(degs: DataFrame): Long = {
+    val r = degs.agg(sum(col("deg"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Σ size(ids) over a duplicate-free (src, ids) adjacency = the
+    * distinct directed edge count (wrapper-path [[degreeSum]]). */
+  private def adjDegreeSum(adj: DataFrame): Long = {
+    val r = adj.agg(sum(size(col("ids")).cast("bigint"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** Core of [[neighborJaccard]] over any directed edge list covering both
     * directions of each undirected edge (self-loop-free; duplicate rows
@@ -574,7 +592,10 @@ object Graph {
     neighborJaccardPartsPlan(
       adj.filter(size(col("ids")) <= maxDeg),
       adj.select(col("src"), explode(col("ids")).as("dst")),
-      adj, maxDeg, dictAttach)
+      adj, dictAttach,
+      // Σ size(ids) over the set-valued adjacency = the distinct edge
+      // count, without re-executing the explode the `edges` arg carries
+      edgeTotal = Some(adjDegreeSum(adj)))
 
   /** Restricted degrees over the retained feature space: sz(u) = number of
     * KEPT intermediates adjacent to u (explode kept adjacency, count by the
@@ -590,10 +611,12 @@ object Graph {
   private[graft] def nbrSizes(adj: DataFrame, maxDeg: Int): DataFrame =
     nbrSizesKept(adj.filter(size(col("ids")) <= maxDeg))
 
-  /** NOTE on eagerness: the dictionary path runs TWO jobs at
-    * plan-CONSTRUCTION time — the |V| gate's count and the sizes
-    * collect+broadcast — so building this DataFrame (explain, plan
-    * dumps, tests) already executes the degree aggregate; the driver
+  /** NOTE on eagerness: plan CONSTRUCTION runs small eager jobs — the
+    * |V| gate's count, the sizes collect+broadcast (dictionary path),
+    * the kept-adjacency row/degree stats, and the edge total (an O(|V|)
+    * sum the callers supply via `edgeTotal`; the `edges.count()`
+    * fallback is O(|E|)) — so building this DataFrame (explain, plan
+    * dumps, tests) already executes those aggregates; the driver
     * entry immediately truncate-materializes anyway, so query execution
     * pays nothing extra. Each call's broadcast lives until the
     * ContextCleaner collects the unreferenced plan (CacheHygieneSpec
@@ -607,8 +630,9 @@ object Graph {
     * (the memoized [[degrees]] for driver calls — a stable instance, so
     * the gate count caches; the full adjacency for wrapper calls). */
   private[graft] def neighborJaccardPartsPlan(keptAdj: DataFrame, edges: DataFrame,
-                                              gate: DataFrame, maxDeg: Int = 256,
-                                              dictAttach: Boolean = true): DataFrame = {
+                                              gate: DataFrame,
+                                              dictAttach: Boolean = true,
+                                              edgeTotal: Option[Long] = None): DataFrame = {
     val sizes = nbrSizesKept(keptAdj)
     if (dictAttach && Dedup.withinDenseCeiling(gate)) {
       // Dictionary path (default): the ~|V|-row sizes table becomes two
@@ -631,11 +655,11 @@ object Graph {
       val spark = keptAdj.sparkSession
       val pairs = sizes.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val dict = spark.sparkContext.broadcast((pairs.map(_._1), pairs.map(_._2)))
-      rleWedgeTopK(nbrTaggedSortedParts(keptAdj, edges), dict, 50)
+      rleWedgeTopK(nbrTaggedSortedParts(keptAdj, edges, edgeTotal), dict, 50)
         .orderBy(desc("nbr_jaccard"), col("part_a"), col("part_b"))
         .limit(50) // merge of the ≤ nPart·50 partition survivors
     } else {
-      val commons = rleWedgeCount(nbrTaggedSortedParts(keptAdj, edges))
+      val commons = rleWedgeCount(nbrTaggedSortedParts(keptAdj, edges, edgeTotal))
         .select(shiftrightunsigned(col("uv"), 32).as("u"),
           col("uv").bitwiseAND(lit(4294967295L)).as("v"), col("common"))
       commons
@@ -654,7 +678,8 @@ object Graph {
   private[graft] def nbrTaggedSorted(adj: DataFrame, maxDeg: Int = 256): DataFrame =
     nbrTaggedSortedParts(
       adj.filter(size(col("ids")) <= maxDeg),
-      adj.select(col("src"), explode(col("ids")).as("dst")))
+      adj.select(col("src"), explode(col("ids")).as("dst")),
+      Some(adjDegreeSum(adj)))
 
   /** The tagged, shuffled, sorted wedge∪edge stream that feeds
     * [[rleWedgeCount]] — exposed separately because the run-length hop
@@ -668,7 +693,8 @@ object Graph {
     * 15 — the cap lives inside the adjacency aggregation); `edges` is the
     * full distinct directed edge list, tagged w=0. */
   private[graft] def nbrTaggedSortedParts(keptAdj: DataFrame,
-                                          edges: DataFrame): DataFrame = {
+                                          edges: DataFrame,
+                                          edgeTotal: Option[Long] = None): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsPackedKernel
     // per-intermediate pair explosion via the PACKED JVM pair kernel: one
     // static call per adjacency row emits its C(d,2) pairs as single
@@ -709,7 +735,10 @@ object Graph {
       sum(size(col("ids")).cast("bigint")).cast("long")).first()
     val keptRows = if (kr.isNullAt(0)) 0L else kr.getLong(0)
     val keptDeg = if (kr.isNullAt(1)) 0L else kr.getLong(1)
-    val estRows = keptRows + (edges.count() - keptDeg)
+    // hub tags = |E| − Σ_kept d; callers pass the edge total as an
+    // O(|V|) degree sum over tables they already hold — the count()
+    // fallback (direct parts-level callers) is O(|E|)
+    val estRows = keptRows + (edgeTotal.getOrElse(edges.count()) - keptDeg)
     val nPart = math.max(cores,
       math.min(4096L, (estRows + WedgeRowsPerPartition - 1) / WedgeRowsPerPartition).toInt)
     wedges.union(und)

@@ -47,9 +47,19 @@ object bridge {
   /** Block until the listener bus has delivered every queued event — the
     * deterministic drain probes use between reps so late task-end events
     * can't be attributed to the next rep's metrics (`listenerBus` is
-    * `private[spark]`, hence the bridge hop). */
-  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    * `private[spark]`, hence the bridge hop). The no-arg
+    * `waitUntilEmpty()` THROWS TimeoutException after a fixed 10 s if
+    * the bus hasn't drained, so retry within `maxWaitMs` and then give
+    * up quietly: a still-backlogged bus degrades to the old fixed-sleep
+    * behavior (a few mis-attributed metrics), never a killed probe run. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession,
+                       maxWaitMs: Long = 60000L): Unit = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var drained = false
+    while (!drained && System.nanoTime() < deadline)
+      try { spark.sparkContext.listenerBus.waitUntilEmpty(); drained = true }
+      catch { case _: java.util.concurrent.TimeoutException => () }
+  }
 
   /** Register a SQL function on an ALREADY-RUNNING session (extensions
     * only apply at builder time). */

@@ -60,7 +60,7 @@ class GraphHubSpec extends SparkSpec {
     val maxDeg = 8
     val degs = hubDegrees(hubEdges)
     val parts = graft.ops.Dedup.truncate(Graph.neighborJaccardPartsPlan(
-      Graph.cappedAdjacencyDf(hubEdges, maxDeg), hubEdges, degs, maxDeg))
+      Graph.cappedAdjacencyDf(hubEdges, maxDeg), hubEdges, degs))
       .collect().map(_.toSeq).toSeq
     val legacy = Graph.neighborJaccardDf(hubEdges, maxDeg)
       .collect().map(_.toSeq).toSeq
