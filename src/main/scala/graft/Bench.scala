@@ -21,6 +21,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   final val GcEvery = 15
   final val RerunThresholdSec = 1.0
+  /** Fixed control query timed at sweep head and tail — the host-band
+    * self-report. q1 is the classic pricing-summary scan+agg: pure
+    * codegen'd map-side work whose task metrics never change round to
+    * round, so a head/tail disagreement measures the HOST, not the code. */
+  final val ControlQuery = "q1_pricing_summary"
 
   private def timeQuery(spark: SparkSession, sfDir: String, name: String,
                         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -79,6 +84,17 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
+    // Self-adjudicating host band: the same fixed control query timed at
+    // sweep head and tail. This host shows multi-minute windows where wall
+    // time inflates 2-4× while task metrics stay byte-constant; a sweep
+    // whose control pair disagrees was (partly) run inside such a window
+    // and its artifact says so itself — no post-hoc vmstat archaeology.
+    // The control is untimed work relative to the sweep (its own q1 line
+    // is still measured inside the sweep like every other query).
+    def controlTime(): Double =
+      SparkEntry.queries.get(ControlQuery)
+        .map(fn => timeQuery(spark, sfDir, ControlQuery, fn)).getOrElse(0.0)
+    val ctrlHead = if (only.isEmpty) controlTime() else 0.0
     val first = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % GcEvery == 0) System.gc() // bound cross-query GC debt
       name -> timeQuery(spark, sfDir, name, fn)
@@ -96,6 +112,15 @@ object Bench {
       } else name -> t1
     }
     val reran = first.count(_._2 > RerunThresholdSec)
+    // tail control AFTER the rerun pass so the pair brackets every timed
+    // second the artifact reports
+    val ctrlTail = if (only.isEmpty) { System.gc(); controlTime() } else 0.0
+    val hostBand =
+      if (only.isEmpty)
+        f""","host_band":{"control":"$ControlQuery","head_sec":$ctrlHead%.2f,"tail_sec":$ctrlTail%.2f,"ratio":${
+          if (math.min(ctrlHead, ctrlTail) > 0) math.max(ctrlHead, ctrlTail) / math.min(ctrlHead, ctrlTail) else 0.0
+        }%.2f}"""
+      else ""
 
     // streaming micro-bench, two lines: (1) watermarked sliding-window
     // counts — the stateless-ish agg path; (2) dropDuplicatesWithinWatermark
@@ -227,7 +252,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val detailJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_neardup":$streamNearDup%.3f,"stream_neardup_reps":$streamNearDupReps%.3f,"stream_rows":$streamRows,"stream_doc_rows":$streamDocRows,"queries":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_neardup":$streamNearDup%.3f,"stream_neardup_reps":$streamNearDupReps%.3f,"stream_rows":$streamRows,"stream_doc_rows":$streamDocRows$hostBand,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailJson) finally w.close()
@@ -238,7 +263,7 @@ object Bench {
       ("stream_neardup", "minhash_lsh_transformWithState", streamNearDup, streamDocRows),
       ("stream_neardup_reps", "minhash_lsh_reps_emission", streamNearDupReps, streamDocRows)))
       println(streamLine(metric, q, t, rows, sfDir))
-    println(compactLine(results, sfDir, streamTotal))
+    println(compactLine(results, sfDir, streamTotal, hostBand))
     spark.stop()
   }
 
@@ -255,11 +280,12 @@ object Bench {
     * most-expensive queries first under a char budget, the rest summed
     * into "other". */
   def compactLine(results: Seq[(String, Double)], sfDir: String,
-                  streamTotal: Double = 0.0): String = {
+                  streamTotal: Double = 0.0, hostBand: String = ""): String = {
     val total = results.map(_._2).sum
     // whole line + the FOUR preceding stream_* lines (~170 chars each)
-    // must fit the 2000-char tail together (BenchLineSpec pins ≤ 1200)
-    val budget = 900
+    // must fit the 2000-char tail together (BenchLineSpec pins ≤ 1200);
+    // the host_band object (~95 chars) comes out of the query budget
+    val budget = 900 - hostBand.length
     val byCost = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
@@ -273,6 +299,6 @@ object Bench {
     val other = results.collect { case (k, v) if !pickedSet.contains(k) => v }.sum
     val qs = picked.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"stream_total":$streamTotal%.2f,"queries":$qs,"other":$other%.2f,"detail":"bench_detail.json","sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"stream_total":$streamTotal%.2f$hostBand,"queries":$qs,"other":$other%.2f,"detail":"bench_detail.json","sf":"$sfDir"}"""
   }
 }

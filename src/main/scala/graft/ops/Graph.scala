@@ -737,8 +737,14 @@ object Graph {
     val keptDeg = if (kr.isNullAt(1)) 0L else kr.getLong(1)
     // hub tags = |E| − Σ_kept d; callers pass the edge total as an
     // O(|V|) degree sum over tables they already hold — the count()
-    // fallback (direct parts-level callers) is O(|E|)
-    val estRows = keptRows + (edgeTotal.getOrElse(edges.count()) - keptDeg)
+    // fallback (direct parts-level callers) is O(|E|). Clamp the hub
+    // term at 0: an inconsistent caller (edgeTotal < keptDeg on the
+    // private parts API) must not produce a negative term that silently
+    // collapses nPart to the core floor — that re-creates the exact
+    // UNABLE_TO_ACQUIRE_MEMORY failure this volume-scaled count exists
+    // to prevent.
+    val estRows =
+      keptRows + math.max(0L, edgeTotal.getOrElse(edges.count()) - keptDeg)
     val nPart = math.max(cores,
       math.min(4096L, (estRows + WedgeRowsPerPartition - 1) / WedgeRowsPerPartition).toInt)
     wedges.union(und)

@@ -119,11 +119,12 @@ object MinhashSqlProbe {
       build(v).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       // deterministic listener-bus drain: a fixed sleep can attribute late
-      // task-end events to the NEXT rep on a loaded host
-      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      // task-end events to the NEXT rep on a loaded host; record the
+      // drained flag so an undrained rep is visibly suspect in the JSONL
+      val drained = org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
       println(f"""{"probe":"minhash_sql","variant":"$v","rep":$r,"sec":$sec%.2f,""" +
         s""""mem_spill_mb":${memSpill.get / 1048576},"disk_spill_mb":${diskSpill.get / 1048576},""" +
-        s""""shuffle_write_mb":${shufWrite.get / 1048576},"sf":"$sfDir"}""")
+        s""""shuffle_write_mb":${shufWrite.get / 1048576},"bus_drained":$drained,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

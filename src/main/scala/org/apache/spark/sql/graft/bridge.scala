@@ -50,15 +50,24 @@ object bridge {
     * `private[spark]`, hence the bridge hop). The no-arg
     * `waitUntilEmpty()` THROWS TimeoutException after a fixed 10 s if
     * the bus hasn't drained, so retry within `maxWaitMs` and then give
-    * up quietly: a still-backlogged bus degrades to the old fixed-sleep
-    * behavior (a few mis-attributed metrics), never a killed probe run. */
+    * up: a still-backlogged bus degrades to the old fixed-sleep
+    * behavior (a few mis-attributed metrics), never a killed probe run.
+    * Returns whether the bus actually drained so probes can record the
+    * flag per rep — an undrained bus means that rep's attributed
+    * metrics are suspect, and that must be visible during adjudication,
+    * not silent. Also logs a warning on giving up. */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession,
-                       maxWaitMs: Long = 60000L): Unit = {
+                       maxWaitMs: Long = 60000L): Boolean = {
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
     var drained = false
     while (!drained && System.nanoTime() < deadline)
       try { spark.sparkContext.listenerBus.waitUntilEmpty(); drained = true }
       catch { case _: java.util.concurrent.TimeoutException => () }
+    if (!drained)
+      System.err.println(
+        s"[graft] WARN drainListenerBus: bus still backlogged after ${maxWaitMs} ms; " +
+        "per-rep metrics after this point may be mis-attributed")
+    drained
   }
 
   /** Register a SQL function on an ALREADY-RUNNING session (extensions

@@ -41,6 +41,23 @@ class BenchLineSpec extends AnyFunSuite {
       .contains("\"rows_per_sec\":0"))
   }
 
+  test("host_band rides the compact line without breaking the tail budget") {
+    val hb = ""","host_band":{"control":"q1_pricing_summary","head_sec":1.23,"tail_sec":4.56,"ratio":3.71}"""
+    // worst case: full query set AND the band object on the same line
+    val results = SparkEntry.queries.keys.toSeq.map(k => k -> 1.234)
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1", 5.0, hb)
+    assert(line.length <= maxLine, s"line is ${line.length} chars")
+    assert(line.contains("\"host_band\":{\"control\":\"q1_pricing_summary\""))
+    assert(line.contains("\"ratio\":3.71"))
+    // band must sit OUTSIDE the queries object (a driver jq picks it at
+    // the top level), and the line must stay one JSON object
+    assert(line.indexOf("\"host_band\"") < line.indexOf("\"queries\""))
+    // empty band (SPARK_GRAFT_ONLY path) leaves the line untouched
+    assert(!Bench.compactLine(results, "sf").contains("host_band"))
+    // the control query exists in the real query surface
+    assert(SparkEntry.queries.contains(Bench.ControlQuery))
+  }
+
   test("total and other account for every query (nothing silently dropped)") {
     val results = (1 to 300).map(i => s"q$i" -> 1.0)
     val line = Bench.compactLine(results, "sf")
