@@ -242,6 +242,56 @@ object Bench {
     val streamNearDupReps = timeStream("stream_neardup_reps") {
       docStream(graft.streaming.DedupStream.streamingNearDupReps(_, _))
     }
+    // (5) the in-stream union-find rollup consuming the reps edge
+    // stream (DedupStream.repsRollupStream): an UNTIMED setup pass
+    // re-runs the reps stream into a parquet edge sink, then the timed
+    // leg folds that edge stream into (doc_id, rep_id) deltas — the
+    // full no-batch-side-trip assignment path, benched so drift in the
+    // serial-reducer stage is tracked round over round
+    var rollupEdgeRows = 0L
+    val streamRepsRollup =
+      if (only.isDefined) 0.0
+      else {
+        val edgeDir = java.nio.file.Files.createTempDirectory("graft_bench_edges")
+        try {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          s2.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+          val docPath = new java.io.File(s"$sfDir/documents.parquet")
+          val reader = s2.readStream.schema("doc_id LONG, text STRING")
+          val docs =
+            if (docPath.isDirectory) reader.parquet(docPath.toString)
+            else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          val q = graft.streaming.DedupStream.streamingNearDupReps(s2, docs)
+            .writeStream.format("parquet").option("path", s"$edgeDir/edges")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .option("checkpointLocation", s"$edgeDir/ckpt").start()
+          q.processAllAvailable(); q.stop()
+          rollupEdgeRows = spark.read.parquet(s"$edgeDir/edges").count()
+          timeStream("stream_reps_rollup") {
+            val s3 = spark.newSession()
+            s3.conf.set("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+            s3.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+            val edges = s3.readStream
+              .schema("rep LONG, member LONG, band INT, est_sim DOUBLE")
+              .parquet(s"$edgeDir/edges")
+            graft.streaming.EventStream.runToCompletionNoop(
+              graft.streaming.DedupStream.repsRollupStream(s3, edges),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] stream_reps_rollup setup: $e"); 0.0
+        } finally {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          try Files.walk(edgeDir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          catch { case _: Throwable => () }
+        }
+      }
 
     val total = results.map(_._2).sum
     // Full per-query detail goes to a file: the driver captures only the
@@ -252,7 +302,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val detailJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_neardup":$streamNearDup%.3f,"stream_neardup_reps":$streamNearDupReps%.3f,"stream_rows":$streamRows,"stream_doc_rows":$streamDocRows$hostBand,"queries":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"reran":$reran,"stream_total":$streamTotal%.3f,"stream_dedup":$streamDedup%.3f,"stream_neardup":$streamNearDup%.3f,"stream_neardup_reps":$streamNearDupReps%.3f,"stream_reps_rollup":$streamRepsRollup%.3f,"rollup_edge_rows":$rollupEdgeRows,"stream_rows":$streamRows,"stream_doc_rows":$streamDocRows$hostBand,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailJson) finally w.close()
@@ -261,7 +311,8 @@ object Bench {
       ("stream_total", "sliding_counts", streamTotal, streamRows),
       ("stream_dedup", "dropDuplicatesWithinWatermark", streamDedup, streamRows),
       ("stream_neardup", "minhash_lsh_transformWithState", streamNearDup, streamDocRows),
-      ("stream_neardup_reps", "minhash_lsh_reps_emission", streamNearDupReps, streamDocRows)))
+      ("stream_neardup_reps", "minhash_lsh_reps_emission", streamNearDupReps, streamDocRows),
+      ("stream_reps_rollup", "unionfind_rollup_transformWithState", streamRepsRollup, rollupEdgeRows)))
       println(streamLine(metric, q, t, rows, sfDir))
     println(compactLine(results, sfDir, streamTotal, hostBand))
     spark.stop()
@@ -282,10 +333,11 @@ object Bench {
   def compactLine(results: Seq[(String, Double)], sfDir: String,
                   streamTotal: Double = 0.0, hostBand: String = ""): String = {
     val total = results.map(_._2).sum
-    // whole line + the FOUR preceding stream_* lines (~170 chars each)
-    // must fit the 2000-char tail together (BenchLineSpec pins ≤ 1200);
-    // the host_band object (~95 chars) comes out of the query budget
-    val budget = 900 - hostBand.length
+    // whole line + the FIVE preceding stream_* lines (~170 chars each,
+    // ~850 total) must fit the 2000-char tail together (BenchLineSpec
+    // pins the compact line ≤ 1200); the host_band object (~95 chars)
+    // comes out of the query budget too
+    val budget = 750 - hostBand.length
     val byCost = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0

@@ -10,9 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  // 2000-char tail minus the sbt success trailer minus the FOUR stream_*
-  // metric lines (~170 chars each) that print before the compact line
-  private val maxLine = 1200
+  // 2000-char tail minus the sbt success trailer minus the FIVE stream_*
+  // metric lines (~170 chars each incl. the [info] prefix, ~850 total)
+  // that print before the compact line
+  private val maxLine = 1080
 
   test("compact line fits the tail for today's query set") {
     val results = SparkEntry.queries.keys.toSeq.map(k => k -> 1.234)

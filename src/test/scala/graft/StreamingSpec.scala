@@ -440,6 +440,90 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(rolledUp == batchClusters,
       s"consumed assignments $rolledUp != batch reps $batchClusters")
+
+    // in-stream alternative to the batch side-trip above: replay the
+    // same edges through the union-find rollup stage and fold its
+    // deltas — must land on the identical assignment table
+    val edgeDir = java.nio.file.Files.createTempDirectory("graftrepsedges")
+    edges.select(col("rep"), col("member")).coalesce(1)
+      .write.mode("overwrite").parquet(edgeDir.toString)
+    val edgeStream = spark2.readStream.schema("rep LONG, member LONG")
+      .parquet(edgeDir.toString)
+    EventStream.runToCompletion(
+      DedupStream.repsRollupStream(spark2, edgeStream), "reps_rollup_test",
+      OutputMode.Append())
+    val streamedAssignments = DedupStream
+      .assignmentsFromDeltas(spark2.table("reps_rollup_test"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedAssignments == assigned.toSet,
+      s"in-stream rollup $streamedAssignments != batch repsAssignments ${assigned.toSet}")
+  }
+
+  test("in-stream reps rollup deltas fold to repsAssignments across a checkpointed restart") {
+    import graft.streaming.DedupStream
+    import java.nio.file.{Files => JFiles}
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark2.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark2.implicits._
+    // hand-built edge stream, chosen so the SECOND deploy merges two
+    // multi-member sets built in the first: the losing set's
+    // re-emission walk and the checkpoint-restored parent/next/tail
+    // maps are both on the hook — deploy 2's (5,1)(6,1)(7,1) rows can
+    // only exist if the restored state held set {5,6,7} intact
+    val watch = JFiles.createTempDirectory("graftrollup")
+    val ckpt = JFiles.createTempDirectory("graftrollupckpt").toString
+    val outDir = JFiles.createTempDirectory("graftrollupout").toString
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = JFiles.createTempDirectory(name).resolve("out").toString
+      rows.toDF("rep", "member").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      JFiles.copy(part.toPath, watch.resolve(name + ".parquet"))
+    }
+    def runOnce(): Unit = {
+      val stream = spark2.readStream.schema("rep LONG, member LONG")
+        .parquet(watch.toString)
+      val q = DedupStream.repsRollupStream(spark2, stream).writeStream
+        .format("parquet").option("path", outDir)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val batchA = Seq((5L, 6L), (5L, 7L), (10L, 11L))
+    val batchB = Seq((11L, 12L), (2L, 10L), (1L, 7L), (1L, 2L))
+    writeBatch("a", batchA)
+    runOnce() // deploy 1: sets {5,6,7} and {10,11}
+    writeBatch("b", batchB)
+    runOnce() // deploy 2 (same checkpoint): everything merges under 1
+    val deltas = spark2.read.parquet(outDir)
+    // exact delta multiset (processing sorts edges per batch, so the
+    // emission sequence is deterministic; deploy-2 edges sort to
+    // (1,2),(1,7),(2,10),(11,12))
+    val expected = Seq(
+      // deploy 1
+      (5L, 5L), (6L, 6L), (6L, 5L), (7L, 7L), (7L, 5L),
+      (10L, 10L), (11L, 11L), (11L, 10L),
+      // deploy 2
+      (1L, 1L), (2L, 2L), (2L, 1L),           // (1,2)
+      (5L, 1L), (6L, 1L), (7L, 1L),           // (1,7): set {5,6,7} loses
+      (10L, 1L), (11L, 1L),                   // (2,10): set {10,11} loses
+      (12L, 12L), (12L, 1L))                  // (11,12)
+    val got = deltas.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == expected.sorted,
+      s"delta multiset mismatch: got ${got.sorted} expected ${expected.sorted}")
+    // the consumption contract: min-per-doc fold == the batch CC rollup
+    // over the same edges — the table a consumer reads with NO batch
+    // connected-components side-trip
+    val folded = DedupStream.assignmentsFromDeltas(deltas).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCc = DedupStream.repsAssignments((batchA ++ batchB)
+        .toDF("rep", "member").withColumn("est_sim", lit(1.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == viaCc, s"fold $folded != repsAssignments $viaCc")
+    assert(folded == Set(1L, 2L, 5L, 6L, 7L, 10L, 11L, 12L).map(_ -> 1L))
   }
 
   test("LSH near-dup state survives a checkpointed restart (dups found across deploys)") {
