@@ -99,4 +99,98 @@ class PipelineRoundTripSpec extends SparkSpec {
     assert(plan.map(_.getAs[Long]("n_chars")).sum == kChars,
       "compaction files must cover every char exactly once")
   }
+
+  test("round-trip across a deploy: checkpointed restart between snapshot and " +
+    "delta still links pre-deploy near-dups; an aged-out registry entry does not") {
+    // The OPERATORS.md promise in pipeline form: the ingest stream STOPS
+    // after the snapshot (a deploy), the delta lands while it is down,
+    // and the restarted stream (same checkpoint) must still link the
+    // delta's near-dup to its PRE-deploy base — then the same pipeline
+    // with a 1 s TTL and a 3 s outage must NOT link it (the base aged
+    // out of the horizon), so the near-dup is KEPT as fresh content.
+    // Both runs exercise bloom gate → stream reps across restart →
+    // assignment rollup → keep/drop decision; no new oracle surface.
+    import java.nio.file.{Files => JFiles}
+    def run(ttl: java.time.Duration, gapMs: Long): (Map[Long, Long], Set[Long]) = {
+      val spark2 = spark.newSession()
+      spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark2.conf.set("spark.sql.shuffle.partitions", "4")
+      import spark2.implicits._
+      val rng = new scala.util.Random(7)
+      val vocab = Array.tabulate(800)(i => s"w$i")
+      def fresh(): Array[String] = Array.fill(70)(vocab(rng.nextInt(vocab.length)))
+      val baseTexts = Array.tabulate(6)(_ => fresh())
+      def mutate(t: Array[String]): String = {
+        val c = t.clone()
+        (0 until 2).foreach(_ => c(rng.nextInt(c.length)) = vocab(rng.nextInt(vocab.length)))
+        c.mkString(" ")
+      }
+      val snapshot = baseTexts.zipWithIndex.map { case (t, i) =>
+        ((2 * i).toLong, t.mkString(" "))
+      }.toSeq
+      val delta = Seq(
+        (101L, baseTexts(1).mkString(" ")), // exact dup of doc 2
+        (103L, mutate(baseTexts(2))),       // near dup of doc 4
+        (105L, fresh().mkString(" ")))      // new
+      // stage 1 (batch, deploy-independent): exact gate drops 101
+      val verdicts = Dedup.bloomDedupFromDocs(
+        (snapshot ++ delta).toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+      val exactSurvivors = delta.filter { case (id, _) => !verdicts(id) }
+      assert(exactSurvivors.map(_._1) == Seq(103L, 105L))
+      // stage 2: snapshot in deploy 1, STOP, delta in deploy 2 on the
+      // same checkpoint (file sink — a memory sink cannot recover)
+      val watch = JFiles.createTempDirectory("graftrtrestart")
+      val ckpt = JFiles.createTempDirectory("graftrtrestartckpt").toString
+      val outDir = JFiles.createTempDirectory("graftrtrestartout").toString
+      def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        val stage = JFiles.createTempDirectory(name).resolve("out").toString
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        JFiles.copy(part.toPath, watch.resolve(name + ".parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = spark2.readStream.schema("doc_id LONG, text STRING")
+          .parquet(watch.toString)
+        val q = DedupStream.streamingNearDupReps(spark2, stream, Some(ttl))
+          .writeStream.format("parquet").option("path", outDir)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(15000); q.stop()
+      }
+      writeBatch("a", snapshot)
+      runOnce() // deploy 1: registry holds the snapshot
+      Thread.sleep(gapMs) // the outage, relative to the TTL horizon
+      writeBatch("b", exactSurvivors)
+      runOnce() // deploy 2: same checkpoint
+      // stages 3-4: rollup + decision (schema given explicitly — the
+      // expired leg's sink may hold zero edge files)
+      val edges = spark2.read
+        .schema("rep LONG, member LONG, band INT, est_sim DOUBLE")
+        .parquet(outDir)
+      val assigned = DedupStream.repsAssignments(edges).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+      val dropIds = assigned.collect { case (id, rep) if id != rep => id }.toSet
+      val keptIds = (snapshot.map(_._1) ++
+        exactSurvivors.map(_._1).filterNot(dropIds)).toSet
+      (assigned, keptIds)
+    }
+    // within-horizon outage: the restored registry links the near-dup
+    // to its pre-deploy base — the deploy loses nothing
+    val (linked, keptA) = run(java.time.Duration.ofMinutes(10), gapMs = 100)
+    assert(linked.get(103L).contains(4L),
+      s"restart must preserve the snapshot registry: $linked")
+    assert(!linked.contains(105L), s"new doc must not link: $linked")
+    assert(keptA == Set(0L, 2L, 4L, 6L, 8L, 10L, 105L), s"kept $keptA")
+    // outage longer than the horizon: the base aged out, the near-dup
+    // correctly does NOT link and is kept as fresh content
+    val (aged, keptB) = run(java.time.Duration.ofSeconds(1), gapMs = 3000)
+    assert(!aged.contains(103L),
+      s"aged-out registry entry must not link: $aged")
+    assert(keptB == Set(0L, 2L, 4L, 6L, 8L, 10L, 103L, 105L), s"kept $keptB")
+  }
 }
