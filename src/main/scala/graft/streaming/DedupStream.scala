@@ -409,8 +409,16 @@ object DedupStream {
       val edges = rows.toArray
       java.util.Arrays.sort(edges, Ordering.Tuple2[Long, Long])
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      // the reps stream re-emits a pair once per matching band (≤ Bands
+      // copies); duplicates are union no-ops by definition, and the
+      // sort just put them adjacent — skip them before they cost state
+      // point-ops (sf10 bench feed: ~16× duplication, so this removes
+      // the bulk of the resolve traffic for free)
+      var prevA = Long.MinValue
+      var prevB = Long.MinValue
       edges.foreach { case (a, b) =>
-        if (a != b) {
+        if (a != b && (a != prevA || b != prevB)) {
+          prevA = a; prevB = b
           val ra = resolve(a, out)
           val rb = resolve(b, out)
           if (ra != rb) {

@@ -10,7 +10,12 @@ import org.apache.spark.sql.streaming.OutputMode
   * instances, commit) from per-row work, which the full bench cannot.
   *
   * Usage: tools/runmain.sh graft.tools.StreamProbe <sfDir> [parts] [reps] [pipeline]
-  *   pipeline: neardup (default) | neardup_reps | dedup | sigonly | baseline
+  *   pipeline: neardup (default) | neardup_reps | rollup | dedup | sigonly | baseline
+  *
+  * `rollup` (round 16): generates the reps edge sink ONCE (untimed,
+  * streamingNearDupReps → parquet), then each rep streams it through
+  * [[graft.streaming.DedupStream.repsRollupStream]] — the serial
+  * union-find stage in isolation; rows/s printed is EDGES/s here.
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -29,8 +34,31 @@ object StreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     // rows/s denominators: document pipelines stream documents.parquet,
     // the dedup pipeline streams events.parquet
+    // rollup: build the edge sink once, untimed — every rep then measures
+    // ONLY the union-find stage over the identical edge feed
+    val edgeDir =
+      if (which == "rollup") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_probe_edges")
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s2.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+        val docPath = new java.io.File(s"$sfDir/documents.parquet")
+        val reader = s2.readStream.schema("doc_id LONG, text STRING")
+        val docs =
+          if (docPath.isDirectory) reader.parquet(docPath.toString)
+          else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        val q = graft.streaming.DedupStream.streamingNearDupReps(s2, docs)
+          .writeStream.format("parquet").option("path", s"$dir/edges")
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        q.processAllAvailable(); q.stop()
+        Some(dir.toString)
+      } else None
     val docRows =
       if (which == "dedup") spark.read.parquet(s"$sfDir/events.parquet").count()
+      else if (which == "rollup") spark.read.parquet(s"${edgeDir.get}/edges").count()
       else spark.read.parquet(s"$sfDir/documents.parquet").count()
     for (r <- 1 to reps) {
       val s2 = spark.newSession()
@@ -73,6 +101,13 @@ object StreamProbe {
           val ev = graft.streaming.EventStream.readEvents(s2, sfDir)
           graft.streaming.EventStream.runToCompletionNoop(
             graft.streaming.EventStream.streamingDedup(ev), OutputMode.Append())
+        case "rollup" => // in-stream union-find over the prebuilt edge sink
+          val edges = s2.readStream
+            .schema("rep LONG, member LONG, band INT, est_sim DOUBLE")
+            .parquet(s"${edgeDir.get}/edges")
+          graft.streaming.EventStream.runToCompletionNoop(
+            graft.streaming.DedupStream.repsRollupStream(s2, edges),
+            OutputMode.Append())
         case "neardup_reps" => // cluster-linkage emission (round 14)
           val docPath = new java.io.File(s"$sfDir/documents.parquet")
           val reader = s2.readStream.schema("doc_id LONG, text STRING")
@@ -93,6 +128,13 @@ object StreamProbe {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] $which parts=$parts run=$r: $sec%.2f s  (${docRows / sec}%.0f rows/s)")
+    }
+    edgeDir.foreach { d =>
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      try Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
     }
     spark.stop()
   }
