@@ -526,6 +526,31 @@ class StreamingSpec extends SparkSpec {
     assert(folded == Set(1L, 2L, 5L, 6L, 7L, 10L, 11L, 12L).map(_ -> 1L))
   }
 
+  test("assignmentsFromDeltas runs as a live streaming aggregation over the delta stream") {
+    // the docstring's claim, executed: because rep_id only ever
+    // decreases per doc, the live assignment table is a plain min
+    // aggregation — here run as an actual STREAMING agg over the delta
+    // feed, so the whole chain (edges → rollup deltas → live table)
+    // contains no batch job at all
+    import graft.streaming.DedupStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdeltastream")
+    // two delta micro-batches as the rollup would emit them: singletons
+    // + a later merge that re-labels docs 5 and 6 under root 1
+    Seq((5L, 5L), (6L, 6L), (6L, 5L)).toDF("doc_id", "rep_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    Seq((1L, 1L), (5L, 1L), (6L, 1L)).toDF("doc_id", "rep_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val deltas = spark.readStream.schema("doc_id LONG, rep_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val live = DedupStream.assignmentsFromDeltas(deltas)
+    assert(live.isStreaming)
+    EventStream.runToCompletion(live, "delta_fold_test", OutputMode.Complete())
+    val got = spark.table("delta_fold_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 6L -> 1L), got.toString)
+  }
+
   test("LSH near-dup state survives a checkpointed restart (dups found across deploys)") {
     import graft.streaming.DedupStream
     import java.nio.file.{Files => JFiles}
