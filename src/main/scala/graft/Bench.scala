@@ -21,10 +21,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   final val GcEvery = 15
   final val RerunThresholdSec = 1.0
-  /** Fixed control query timed at sweep head and tail — the host-band
-    * self-report. q1 is the classic pricing-summary scan+agg: pure
-    * codegen'd map-side work whose task metrics never change round to
-    * round, so a head/tail disagreement measures the HOST, not the code. */
+  /** Fixed control query timed at sweep head, midpoint, and tail — the
+    * host-band self-report. q1 is the classic pricing-summary scan+agg:
+    * pure codegen'd map-side work whose task metrics never change round
+    * to round, so disagreement across the samples measures the HOST,
+    * not the code. Three samples, not two: this host's bursts are
+    * multi-minute windows that can land entirely between the endpoints
+    * (observed r16 — 30% total inflation under a 1.23 head/tail
+    * ratio). */
   final val ControlQuery = "q1_pricing_summary"
 
   private def timeQuery(spark: SparkSession, sfDir: String, name: String,
@@ -94,9 +98,19 @@ object Bench {
     def controlTime(): Double =
       SparkEntry.queries.get(ControlQuery)
         .map(fn => timeQuery(spark, sfDir, ControlQuery, fn)).getOrElse(0.0)
+    // warm the control itself once, untimed: the head sample otherwise
+    // carries q1's first-touch JIT/codegen cost (~2× at small SF) and
+    // reads as a phantom burst
+    if (only.isEmpty) controlTime()
     val ctrlHead = if (only.isEmpty) controlTime() else 0.0
+    // a MID-sweep sample too: the r16 session pair showed a 30% total
+    // inflation under a mild 1.23 head/tail ratio — the bursts landed in
+    // the middle, where an endpoint pair is blind
+    var ctrlMid = 0.0
+    val midAt = ordered.size / 2
     val first = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % GcEvery == 0) System.gc() // bound cross-query GC debt
+      if (only.isEmpty && i == midAt) ctrlMid = controlTime()
       name -> timeQuery(spark, sfDir, name, fn)
     }
     // min-of-2 for the expensive tail: strips transient host contention
@@ -116,11 +130,12 @@ object Bench {
     // second the artifact reports
     val ctrlTail = if (only.isEmpty) { System.gc(); controlTime() } else 0.0
     val hostBand =
-      if (only.isEmpty)
-        f""","host_band":{"control":"$ControlQuery","head_sec":$ctrlHead%.2f,"tail_sec":$ctrlTail%.2f,"ratio":${
-          if (math.min(ctrlHead, ctrlTail) > 0) math.max(ctrlHead, ctrlTail) / math.min(ctrlHead, ctrlTail) else 0.0
-        }%.2f}"""
-      else ""
+      if (only.isEmpty) {
+        val samples = Seq(ctrlHead, ctrlMid, ctrlTail).filter(_ > 0)
+        val ratio =
+          if (samples.nonEmpty && samples.min > 0) samples.max / samples.min else 0.0
+        f""","host_band":{"control":"$ControlQuery","head_sec":$ctrlHead%.2f,"mid_sec":$ctrlMid%.2f,"tail_sec":$ctrlTail%.2f,"ratio":$ratio%.2f}"""
+      } else ""
 
     // streaming micro-bench, two lines: (1) watermarked sliding-window
     // counts — the stateless-ish agg path; (2) dropDuplicatesWithinWatermark

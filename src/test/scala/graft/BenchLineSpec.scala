@@ -43,7 +43,7 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("host_band rides the compact line without breaking the tail budget") {
-    val hb = ""","host_band":{"control":"q1_pricing_summary","head_sec":1.23,"tail_sec":4.56,"ratio":3.71}"""
+    val hb = ""","host_band":{"control":"q1_pricing_summary","head_sec":1.23,"mid_sec":2.34,"tail_sec":4.56,"ratio":3.71}"""
     // worst case: full query set AND the band object on the same line
     val results = SparkEntry.queries.keys.toSeq.map(k => k -> 1.234)
     val line = Bench.compactLine(results, "/root/testdata/sf0.1", 5.0, hb)
