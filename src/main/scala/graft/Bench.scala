@@ -102,7 +102,10 @@ object Bench {
     // carries q1's first-touch JIT/codegen cost (~2× at small SF) and
     // reads as a phantom burst
     if (only.isEmpty) controlTime()
-    val ctrlHead = if (only.isEmpty) controlTime() else 0.0
+    // every control sample runs on a freshly-collected heap — the tail
+    // already did (it follows the rerun pass's gc); head and mid must too,
+    // or they absorb sweep GC debt and the band measures GC state, not host
+    val ctrlHead = if (only.isEmpty) { System.gc(); controlTime() } else 0.0
     // a MID-sweep sample too: the r16 session pair showed a 30% total
     // inflation under a mild 1.23 head/tail ratio — the bursts landed in
     // the middle, where an endpoint pair is blind
@@ -110,7 +113,7 @@ object Bench {
     val midAt = ordered.size / 2
     val first = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % GcEvery == 0) System.gc() // bound cross-query GC debt
-      if (only.isEmpty && i == midAt) ctrlMid = controlTime()
+      if (only.isEmpty && i == midAt) { System.gc(); ctrlMid = controlTime() }
       name -> timeQuery(spark, sfDir, name, fn)
     }
     // min-of-2 for the expensive tail: strips transient host contention

@@ -362,90 +362,50 @@ object DedupStream {
     *
     * `ttl` = the same horizon knob as the registry: map entries idle
     * past the duration are evicted by the store, so state tracks the
-    * active horizon, not the corpus. Reads are defensive (a missing
-    * parent re-enters as a singleton; a broken list link ends the
-    * walk), and entries REFRESH on write, so sets that keep merging
-    * stay exact; eviction at the horizon boundary is best-effort by
-    * design — the registry upstream already stopped linking expired
-    * docs, so a stale rollup entry can only describe a doc no new edge
-    * will reference. The parity spec runs unbounded (ttl = None). */
+    * active horizon, not the corpus. Entries REFRESH on write, so sets
+    * that keep merging stay exact; eviction at the horizon boundary is
+    * best-effort by design, and every read is defensive against it —
+    * a missing parent re-enters as a singleton, a broken list link
+    * ends the walk, and (the subtle case) a STALE parent left behind
+    * by an eviction-truncated walk is detected and repaired on touch
+    * by [[RollupCore.resolve]], so no emission ever re-points a live
+    * doc at a LARGER root; see [[RollupCore]] for the full TTL-mode
+    * contract. The union-find itself lives in [[RollupCore]] behind
+    * the [[LongKV]] point-op view, which is what makes those eviction
+    * corners unit-testable (RollupCoreSpec) — this class is only the
+    * MapState plumbing. The parity spec runs unbounded (ttl = None),
+    * where depth ≤ 1 holds and the verify path is never taken. */
   class RepsRollupProcessor(ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
 
-    @transient private var parent: MapState[Long, Long] = _
-    @transient private var next: MapState[Long, Long] = _
-    @transient private var tail: MapState[Long, Long] = _
+    @transient private var core: RollupCore = _
+
+    // doc ids may legitimately be 0 and getValue on a missing key
+    // returns the unboxed zero — every read goes through containsKey
+    private def kv(m: MapState[Long, Long]): LongKV = new LongKV {
+      def get(k: Long): Option[Long] =
+        if (m.containsKey(k)) Some(m.getValue(k)) else None
+      def put(k: Long, v: Long): Unit = m.updateValue(k, v)
+      def remove(k: Long): Unit = m.removeKey(k)
+    }
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val cfg = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
       // versioned like registry_v3: a layout change renames the vars so
       // a stale checkpoint fails loudly
-      parent = getHandle.getMapState[Long, Long](
+      val parent = getHandle.getMapState[Long, Long](
         "uf_parent_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
-      next = getHandle.getMapState[Long, Long](
+      val next = getHandle.getMapState[Long, Long](
         "uf_next_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
-      tail = getHandle.getMapState[Long, Long](
+      val tail = getHandle.getMapState[Long, Long](
         "uf_tail_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
+      core = new RollupCore(kv(parent), kv(next), kv(tail),
+        repairOrphans = ttl.isDefined)
     }
-
-    // doc ids may legitimately be 0 and getValue on a missing key
-    // returns the unboxed zero — every read goes through containsKey
-    private def get(m: MapState[Long, Long], k: Long): Option[Long] =
-      if (m.containsKey(k)) Some(m.getValue(k)) else None
-
-    /** Root of `d`, creating (and emitting) a fresh singleton if the
-      * doc is unseen — or expired, which re-enters identically. */
-    private def resolve(d: Long, out: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Long =
-      get(parent, d).getOrElse {
-        parent.updateValue(d, d)
-        tail.updateValue(d, d)
-        out += ((d, d))
-        d
-      }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
-                                 timers: TimerValues): Iterator[(Long, Long)] = {
-      // deterministic union order regardless of shuffle iterator order
-      val edges = rows.toArray
-      java.util.Arrays.sort(edges, Ordering.Tuple2[Long, Long])
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      // the reps stream re-emits a pair once per matching band (≤ Bands
-      // copies); duplicates are union no-ops by definition, and the
-      // sort just put them adjacent — skip them before they cost state
-      // point-ops (sf10 bench feed: ~16× duplication, so this removes
-      // the bulk of the resolve traffic for free)
-      var prevA = Long.MinValue
-      var prevB = Long.MinValue
-      edges.foreach { case (a, b) =>
-        if (a != b && (a != prevA || b != prevB)) {
-          prevA = a; prevB = b
-          val ra = resolve(a, out)
-          val rb = resolve(b, out)
-          if (ra != rb) {
-            val win = math.min(ra, rb)
-            val lose = math.max(ra, rb)
-            // walk the losing set (root = list head): re-point every
-            // member DIRECTLY at the winner and emit its delta
-            var d = lose
-            var more = true
-            while (more) {
-              parent.updateValue(d, win)
-              out += ((d, win))
-              get(next, d) match {
-                case Some(nd) => d = nd
-                case None     => more = false
-              }
-            }
-            // concat lists: winner's tail links to the losing head
-            val winTail = get(tail, win).getOrElse(win)
-            next.updateValue(winTail, lose)
-            tail.updateValue(win, get(tail, lose).getOrElse(d))
-            tail.removeKey(lose)
-          }
-        }
-      }
-      out.iterator
-    }
+                                 timers: TimerValues): Iterator[(Long, Long)] =
+      core.processEdges(rows.toArray).iterator
   }
 
   /** Run the rollup stage over a (streaming or replayed) reps edge

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal point-op view of a Long → Long map: the RocksDB-backed
+  * `MapState` in the streaming processor, a plain mutable map
+  * (optionally with simulated eviction) in specs. Absence is part of
+  * the contract — a TTL store can evict ANY key between calls, and
+  * [[RollupCore]] must stay safe when it does. */
+trait LongKV {
+  def get(k: Long): Option[Long]
+  def put(k: Long, v: Long): Unit
+  def remove(k: Long): Unit
+}
+
+/** The incremental union-find heart of
+  * [[DedupStream.RepsRollupProcessor]], pulled out behind [[LongKV]] so
+  * the TTL-eviction corner cases are unit-testable without a streaming
+  * harness (RollupCoreSpec) while the processor stays a thin state-
+  * plumbing shell.
+  *
+  * Structure (unchanged from the in-processor original): `parent` maps
+  * every seen doc DIRECTLY to its set's root (depth ≤ 1 — the losing
+  * side of every merge is fully re-pointed), `next`/`tail` thread each
+  * set's members into an intrusive list headed at the root so that
+  * losing walk is exactly the deltas owed, and roots are set minima so
+  * the emitted rep_id per doc is monotonically non-increasing — the
+  * contract [[DedupStream.assignmentsFromDeltas]] folds with `min`.
+  *
+  * TTL mode (`repairOrphans = true`): eviction can break both
+  * invariants — a missing `next` link truncates a losing walk, leaving
+  * the un-walked suffix pointed at the demoted root (depth 2), and a
+  * walk launched FROM such a stale root would re-point live docs to a
+  * LARGER root, violating monotonicity. So under TTL, [[resolve]]
+  * verifies the stored parent is a live root, following the demotion
+  * chain (parent values strictly decrease — a root is only ever
+  * re-pointed at a smaller winner — so the chain is acyclic and short)
+  * and repairing the touched doc on the spot: re-point it directly at
+  * the live root, emit the owed delta, sever its stale list link (the
+  * rest of the orphaned fragment repairs member-by-member on touch;
+  * re-threading it wholesale could splice into a live list and create
+  * a walk cycle), and append it to the live root's list so future
+  * walks reach it. A chain ending at an evicted entry revives that doc
+  * as a fresh root — the same fresh-singleton re-entry the TTL
+  * contract already documents for aged-out docs. Net: docs an eviction
+  * orphaned and no edge ever touches again stay stale (they are
+  * outside the active horizon by definition); any doc a new edge DOES
+  * reference is exact again from that touch, and no emission ever
+  * re-points a live doc to a larger root. `ttl = None` never takes the
+  * verify path: without eviction, depth ≤ 1 provably holds and the
+  * per-resolve cost stays one point read. */
+final class RollupCore(parent: LongKV, next: LongKV, tail: LongKV,
+                       repairOrphans: Boolean) {
+
+  /** Root of `d`, creating (and emitting) a fresh singleton if the doc
+    * is unseen — or expired, which re-enters identically. In TTL mode
+    * the result is verified to be a live root (see class doc). */
+  private def resolve(d: Long, out: ArrayBuffer[(Long, Long)]): Long =
+    parent.get(d) match {
+      case None =>
+        parent.put(d, d); tail.put(d, d); out += ((d, d)); d
+      case Some(p) if p == d           => d
+      case Some(p) if !repairOrphans   => p
+      case Some(p) =>
+        // follow the demotion chain to its live end
+        var r = p
+        var hop = parent.get(r)
+        while (hop.exists(_ != r)) { r = hop.get; hop = parent.get(r) }
+        val revived = hop.isEmpty
+        if (revived) {
+          // the chain end itself was evicted: revive as a fresh root
+          // with a fresh singleton list (its old fragment, if any,
+          // stays unreachable until touched — best-effort under TTL)
+          parent.put(r, r); tail.put(r, r); next.remove(r)
+          out += ((r, r))
+        }
+        if (r != p || revived) {
+          // d was orphaned (stale parent, or parent pointing at a just-
+          // revived root whose list no longer threads to d): re-attach.
+          // The severed `next` is NOT followed or re-linked wholesale —
+          // d's old fragment can thread into a live list, and splicing
+          // it could create a walk cycle; members repair on touch.
+          parent.put(d, r)
+          next.remove(d)
+          tail.get(r) match {
+            case Some(t) if t != d && next.get(t).isEmpty =>
+              next.put(t, d); tail.put(r, d)
+            case Some(_) => () // tail already d, or stale (its next is
+            // occupied): d keeps the correct parent but joins no
+            // walkable list until its next touch — best-effort
+            case None => tail.put(r, d) // tail evicted: adopt d so
+            // future appends chain after it
+          }
+          if (r != p) out += ((d, r))
+        }
+        r
+    }
+
+  /** Process one micro-batch slice of reps edges; returns the (doc_id,
+    * rep_id) deltas in emission order. Sorting makes the union order —
+    * hence the delta sequence — deterministic regardless of shuffle
+    * iterator order, and puts duplicate pairs adjacent so the ≤-Bands-
+    * fold re-emissions of the same pair skip before costing state
+    * point-ops (sf10 bench feed: ~16× duplication). */
+  def processEdges(edges: Array[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+    java.util.Arrays.sort(edges, Ordering.Tuple2[Long, Long])
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var prevA = Long.MinValue
+    var prevB = Long.MinValue
+    edges.foreach { case (a, b) =>
+      if (a != b && (a != prevA || b != prevB)) {
+        prevA = a; prevB = b
+        val ra = resolve(a, out)
+        val rb = resolve(b, out)
+        if (ra != rb) {
+          val win = math.min(ra, rb)
+          val lose = math.max(ra, rb)
+          // walk the losing set (root = list head): re-point every
+          // member DIRECTLY at the winner and emit its delta
+          var d = lose
+          var more = true
+          while (more) {
+            parent.put(d, win)
+            out += ((d, win))
+            next.get(d) match {
+              case Some(nd) => d = nd
+              case None     => more = false
+            }
+          }
+          // concat lists: winner's tail links to the losing head. The
+          // new tail is `d` — the last member the walk REACHED, which
+          // without eviction is exactly tail(lose) (the walk traverses
+          // the whole list), and under a TTL-truncated walk keeps the
+          // tail pointing at the last reachable member instead of into
+          // the severed fragment, so later appends heal the list
+          // rather than extend the unreachable part
+          val winTail = tail.get(win).getOrElse(win)
+          next.put(winTail, lose)
+          tail.put(win, d)
+          tail.remove(lose)
+        }
+      }
+    }
+    out
+  }
+}

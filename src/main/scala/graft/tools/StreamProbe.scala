@@ -56,6 +56,9 @@ object StreamProbe {
         q.processAllAvailable(); q.stop()
         Some(dir.toString)
       } else None
+    // rep loop under try/finally: an exception (or Ctrl-C) mid-rep must not
+    // strand a multi-GB edge sink + checkpoint in the system temp dir
+    try {
     val docRows =
       if (which == "dedup") spark.read.parquet(s"$sfDir/events.parquet").count()
       else if (which == "rollup") spark.read.parquet(s"${edgeDir.get}/edges").count()
@@ -129,7 +132,7 @@ object StreamProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] $which parts=$parts run=$r: $sec%.2f s  (${docRows / sec}%.0f rows/s)")
     }
-    edgeDir.foreach { d =>
+    } finally edgeDir.foreach { d =>
       import java.nio.file.{Files, Path, Paths}
       import java.util.Comparator
       try Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())

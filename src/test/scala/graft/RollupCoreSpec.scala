@@ -1,0 +1,123 @@
+package graft
+
+import graft.streaming.{LongKV, RollupCore}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** Unit coverage for the rollup union-find's TTL-eviction corners —
+  * the cases a streaming harness cannot produce deterministically
+  * (RocksDB TTL evicts on its own clock). [[LongKV]] lets a spec play
+  * the store and evict chosen keys between batches, reproducing the
+  * exact orphaning the advisor flagged: a `next`-link eviction
+  * truncates a losing-set walk, and a later merge launched from the
+  * stale root must NOT re-point live docs to a larger root. */
+class RollupCoreSpec extends AnyFunSuite {
+
+  private class MemKV extends LongKV {
+    val m = mutable.Map.empty[Long, Long]
+    def get(k: Long): Option[Long] = m.get(k)
+    def put(k: Long, v: Long): Unit = m(k) = v
+    def remove(k: Long): Unit = m.remove(k)
+  }
+
+  private class Harness(repair: Boolean) {
+    val parent = new MemKV; val next = new MemKV; val tail = new MemKV
+    val core = new RollupCore(parent, next, tail, repairOrphans = repair)
+    val deltas = mutable.ArrayBuffer.empty[(Long, Long)]
+    def batch(edges: (Long, Long)*): Seq[(Long, Long)] = {
+      val out = core.processEdges(edges.toArray).toSeq
+      deltas ++= out
+      out
+    }
+    def fold: Map[Long, Long] =
+      deltas.groupBy(_._1).map { case (d, ds) => d -> ds.map(_._2).min }
+    def assertMonotone(): Unit =
+      deltas.groupBy(_._1).foreach { case (d, ds) =>
+        val seq = ds.map(_._2)
+        assert(seq.zip(seq.tail).forall { case (a, b) => b <= a },
+          s"doc $d emitted a rep INCREASE: $seq")
+      }
+  }
+
+  /** Reference: plain eager union-find, component label = min member. */
+  private def referenceMinima(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val p = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val px = p.getOrElseUpdate(x, x)
+      if (px == x) x else { val r = find(px); p(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val w = math.min(ra, rb); p(math.max(ra, rb)) = w }
+    }
+    p.keys.map(d => d -> find(d)).toMap
+  }
+
+  test("no-eviction path: deltas fold to component minima, reps monotone") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val h = new Harness(repair = false)
+    edges.grouped(40).foreach(g => h.batch(g: _*))
+    h.assertMonotone()
+    assert(h.fold == referenceMinima(edges))
+  }
+
+  test("advisor scenario: next-link eviction must not emit an increasing rep") {
+    // set {10,11,12} (list 10→11→12), singleton 1. Evict next(11), then
+    // merge (1,10): the walk truncates after 11, orphaning 12 at the
+    // demoted root 10. A later edge (5,12) resolving 12 to the STALE 10
+    // would pick win=5 and walk 10's old list, re-pointing live docs
+    // 10,11 (root 1) up to 5 — the exact advisor bug. Repair must
+    // instead resolve 12 through the demotion chain to 1.
+    val h = new Harness(repair = true)
+    h.batch((10L, 11L), (10L, 12L))
+    h.next.remove(11L) // simulated TTL eviction
+    h.batch((1L, 10L)) // truncated walk: 12 never re-pointed
+    assert(h.parent.m(12L) == 10L, "precondition: 12 is orphaned at 10")
+    h.batch((5L, 12L))
+    h.assertMonotone()
+    assert(h.fold == Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+    // and 12 is walkable again: a smaller root arriving re-points it
+    h.batch((0L, 1L))
+    assert(h.fold.values.toSet == Set(0L))
+  }
+
+  test("evicted chain end revives as a fresh root; list re-threads") {
+    val h = new Harness(repair = true)
+    h.batch((1L, 2L))
+    h.parent.m.remove(1L) // root's own parent entry evicted
+    val out = h.batch((2L, 3L))
+    assert(out.contains((1L, 1L)), s"revive emission missing: $out")
+    h.assertMonotone()
+    assert(h.fold == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // the revived root's list reaches 2 and 3 again: a losing walk from
+    // 1 must re-emit all three
+    val out2 = h.batch((0L, 3L))
+    assert(out2.toSet == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L)), out2.toString)
+  }
+
+  test("randomized next/tail evictions: monotone always, exact after re-touch") {
+    val rng = new scala.util.Random(41)
+    val edges = Seq.fill(600)((rng.nextInt(150).toLong, rng.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val h = new Harness(repair = true)
+    edges.grouped(30).foreach { g =>
+      h.batch(g: _*)
+      // evict a few random list links between batches (never parent
+      // entries: those are the documented fresh-re-entry path, which
+      // MAY raise a rep; link evictions alone must never)
+      (1 to 5).foreach { _ =>
+        val k = rng.nextInt(150).toLong
+        if (rng.nextBoolean()) h.next.remove(k) else h.tail.remove(k)
+      }
+    }
+    h.assertMonotone()
+    // replay every edge once: each doc is touched, so repair-on-touch
+    // must restore the exact component-minimum assignment
+    edges.grouped(50).foreach(g => h.batch(g: _*))
+    h.assertMonotone()
+    assert(h.fold == referenceMinima(edges))
+  }
+}
