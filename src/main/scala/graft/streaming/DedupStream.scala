@@ -414,16 +414,32 @@ object DedupStream {
     * re-read as a stream. Output: `(doc_id, rep_id)` deltas; the live
     * table is `min(rep_id) GROUP BY doc_id` (see
     * [[RepsRollupProcessor]]). Single state key by design — see the
-    * processor's scale note. */
+    * processor's scale note — but its INPUT is first cut down in
+    * parallel by [[RollupCore.localForest]], a stateless per-partition
+    * per-micro-batch spanning forest (two-level connected components):
+    * each partition forwards only the edges that connected two locally
+    * new components, so the serial funnel receives O(distinct docs per
+    * slice) edges instead of the raw feed (which re-emits a pair once
+    * per matching band and is transitively dense inside clusters). The
+    * reduction is EXACT — the emitted delta sequence is identical with
+    * it on or off (see localForest's doc for the argument; StreamingSpec
+    * pins it on a redundancy-heavy corpus) — so it is on by default;
+    * `prereduce = false` exists for A/B probes. */
   def repsRollupStream(spark: SparkSession, edges: DataFrame,
-                       ttl: Option[java.time.Duration] = None): DataFrame = {
+                       ttl: Option[java.time.Duration] = None,
+                       prereduce: Boolean = true): DataFrame = {
     import spark.implicits._
     val timeMode = ttl match {
       case Some(_) => TimeMode.ProcessingTime()
       case None    => TimeMode.None()
     }
-    edges.select(col("rep").cast("long"), col("member").cast("long"))
+    val base = edges
+      .select(col("rep").cast("long"), col("member").cast("long"))
       .as[(Long, Long)]
+    val input =
+      if (prereduce) base.mapPartitions(it => RollupCore.localForest(it.toArray))
+      else base
+    input
       .groupByKey(_ => 0L)
       .transformWithState(new RepsRollupProcessor(ttl), timeMode,
         OutputMode.Append())

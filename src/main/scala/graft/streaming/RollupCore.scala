@@ -13,6 +13,62 @@ trait LongKV {
   def remove(k: Long): Unit
 }
 
+object RollupCore {
+
+  /** Partition-local spanning-forest reduction over one micro-batch
+    * slice — the distributed half of a classic two-level connected-
+    * components: each partition unions its own edges in memory and
+    * forwards ONLY the edges that connected two previously-unconnected
+    * components, bounding the serial rollup stage's input by
+    * (distinct docs per slice − local components) instead of raw edge
+    * count. On the LSH reps feed an edge is re-emitted once per
+    * matching band and clusters are dense, so most edges are
+    * transitively redundant; they are dropped here, in parallel,
+    * before the single-key shuffle.
+    *
+    * EXACTNESS, not just connectivity-equivalence: the slice is sorted
+    * with the SAME tuple ordering the serial [[RollupCore]] applies to
+    * the whole batch. A dropped edge is connected by kept edges that
+    * precede it in its slice's sorted order — and slice order is
+    * consistent with global order, so by the time the serial stage
+    * would reach that edge its endpoints are already connected (prior-
+    * batch state can only add connectivity) and it would be a no-op.
+    * Dropping no-ops changes no merge, so the serial stage emits the
+    * EXACT same delta sequence as it would for the full batch
+    * (RollupCoreSpec pins this; StreamingSpec pins the wired path). */
+  def localForest(edges: Array[(Long, Long)]): Iterator[(Long, Long)] = {
+    java.util.Arrays.sort(edges, Ordering.Tuple2[Long, Long])
+    val idx = new scala.collection.mutable.LongMap[Int](
+      math.max(16, math.min(edges.length * 2, 1 << 20)))
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val size = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def node(d: Long): Int = idx.getOrElseUpdate(d, {
+      parent += parent.length; size += 1; parent.length - 1
+    })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var prevA = Long.MinValue
+    var prevB = Long.MinValue
+    edges.foreach { case e @ (a, b) =>
+      if (a != b && (a != prevA || b != prevB)) {
+        prevA = a; prevB = b
+        val ra = find(node(a))
+        val rb = find(node(b))
+        if (ra != rb) {
+          if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+          else { parent(ra) = rb; size(rb) += size(ra) }
+          keep += e
+        }
+      }
+    }
+    keep.iterator
+  }
+}
+
 /** The incremental union-find heart of
   * [[DedupStream.RepsRollupProcessor]], pulled out behind [[LongKV]] so
   * the TTL-eviction corner cases are unit-testable without a streaming

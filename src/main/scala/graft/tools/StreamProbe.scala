@@ -10,12 +10,17 @@ import org.apache.spark.sql.streaming.OutputMode
   * instances, commit) from per-row work, which the full bench cannot.
   *
   * Usage: tools/runmain.sh graft.tools.StreamProbe <sfDir> [parts] [reps] [pipeline]
-  *   pipeline: neardup (default) | neardup_reps | rollup | dedup | sigonly | baseline
+  *   pipeline: neardup (default) | neardup_reps | rollup | rollup_raw |
+  *             dedup | sigonly | baseline
   *
   * `rollup` (round 16): generates the reps edge sink ONCE (untimed,
   * streamingNearDupReps → parquet), then each rep streams it through
   * [[graft.streaming.DedupStream.repsRollupStream]] — the serial
   * union-find stage in isolation; rows/s printed is EDGES/s here.
+  * `rollup_raw` (round 17) is the same with the localForest
+  * pre-reduction OFF — the A/B for how much the two-level-CC stage
+  * cuts the serial funnel's input and wall time. `rollup` also prints
+  * the raw → forest edge counts once (batch-computed on the sink).
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -37,7 +42,7 @@ object StreamProbe {
     // rollup: build the edge sink once, untimed — every rep then measures
     // ONLY the union-find stage over the identical edge feed
     val edgeDir =
-      if (which == "rollup") {
+      if (which == "rollup" || which == "rollup_raw") {
         val dir = java.nio.file.Files.createTempDirectory("graft_probe_edges")
         val s2 = spark.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -61,8 +66,18 @@ object StreamProbe {
     try {
     val docRows =
       if (which == "dedup") spark.read.parquet(s"$sfDir/events.parquet").count()
-      else if (which == "rollup") spark.read.parquet(s"${edgeDir.get}/edges").count()
+      else if (which.startsWith("rollup")) spark.read.parquet(s"${edgeDir.get}/edges").count()
       else spark.read.parquet(s"$sfDir/documents.parquet").count()
+    if (which == "rollup") { // serial-funnel input A/B, batch-computed once
+      import spark.implicits._
+      val kept = spark.read.parquet(s"${edgeDir.get}/edges")
+        .selectExpr("cast(rep as long) as rep", "cast(member as long) as member")
+        .as[(Long, Long)]
+        .mapPartitions(it => graft.streaming.RollupCore.localForest(it.toArray))
+        .count()
+      println(f"[probe] rollup prereduce: $docRows raw edges -> $kept forest edges " +
+        f"(${kept * 100.0 / math.max(1, docRows)}%.1f%% reach the serial stage)")
+    }
     for (r <- 1 to reps) {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -104,12 +119,13 @@ object StreamProbe {
           val ev = graft.streaming.EventStream.readEvents(s2, sfDir)
           graft.streaming.EventStream.runToCompletionNoop(
             graft.streaming.EventStream.streamingDedup(ev), OutputMode.Append())
-        case "rollup" => // in-stream union-find over the prebuilt edge sink
+        case "rollup" | "rollup_raw" => // in-stream union-find over the prebuilt edge sink
           val edges = s2.readStream
             .schema("rep LONG, member LONG, band INT, est_sim DOUBLE")
             .parquet(s"${edgeDir.get}/edges")
           graft.streaming.EventStream.runToCompletionNoop(
-            graft.streaming.DedupStream.repsRollupStream(s2, edges),
+            graft.streaming.DedupStream.repsRollupStream(s2, edges,
+              prereduce = which == "rollup"),
             OutputMode.Append())
         case "neardup_reps" => // cluster-linkage emission (round 14)
           val docPath = new java.io.File(s"$sfDir/documents.parquet")

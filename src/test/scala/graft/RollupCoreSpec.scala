@@ -98,6 +98,40 @@ class RollupCoreSpec extends AnyFunSuite {
     assert(out2.toSet == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L)), out2.toString)
   }
 
+  test("localForest pre-reduction preserves the serial delta sequence exactly") {
+    // redundancy-heavy feed: dense clusters, each pair re-emitted
+    // several times (the ≤-Bands fold), split across simulated
+    // partition slices — the serial stage must emit the IDENTICAL
+    // delta sequence whether it sees the raw batches or each slice's
+    // spanning forest, across multiple stateful batches
+    val rng = new scala.util.Random(13)
+    def cluster(base: Long, n: Int): Seq[(Long, Long)] =
+      for { i <- 0 until n; j <- i + 1 until n; _ <- 0 until 1 + rng.nextInt(3) }
+        yield (base + i, base + j)
+    val batches = Seq(
+      rng.shuffle(cluster(100, 6) ++ cluster(200, 4) ++ Seq((100L, 100L))),
+      rng.shuffle(cluster(100, 8) ++ cluster(200, 7) ++ Seq((100L, 200L), (205L, 103L))))
+    val raw = new Harness(repair = false)
+    val reduced = new Harness(repair = false)
+    var rawEdges = 0
+    var keptEdges = 0
+    batches.foreach { b =>
+      raw.batch(b: _*)
+      // simulate 3 partition slices: reduce each independently
+      val slices = b.zipWithIndex.groupBy(_._2 % 3).values.map(_.map(_._1))
+      val kept = slices.flatMap(s =>
+        graft.streaming.RollupCore.localForest(s.toArray)).toSeq
+      rawEdges += b.size
+      keptEdges += kept.size
+      reduced.batch(kept: _*)
+    }
+    assert(raw.deltas == reduced.deltas,
+      s"delta sequence diverged:\nraw     ${raw.deltas}\nreduced ${reduced.deltas}")
+    assert(keptEdges < rawEdges / 2,
+      s"pre-reduction too weak on a dense feed: $keptEdges of $rawEdges kept")
+    assert(raw.fold == referenceMinima(batches.flatten))
+  }
+
   test("randomized next/tail evictions: monotone always, exact after re-touch") {
     val rng = new scala.util.Random(41)
     val edges = Seq.fill(600)((rng.nextInt(150).toLong, rng.nextInt(150).toLong))

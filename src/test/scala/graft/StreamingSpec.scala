@@ -526,6 +526,43 @@ class StreamingSpec extends SparkSpec {
     assert(folded == Set(1L, 2L, 5L, 6L, 7L, 10L, 11L, 12L).map(_ -> 1L))
   }
 
+  test("rollup pre-reduction is exact in the wired stream: deltas match prereduce=false") {
+    // the two-level-CC stage (RollupCore.localForest via mapPartitions)
+    // must not change WHAT the serial stage emits — only how many edges
+    // reach it. Replay a redundancy-heavy edge corpus through both
+    // paths and require the identical delta multiset.
+    import graft.streaming.DedupStream
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark2.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark2.implicits._
+    val rng = new scala.util.Random(29)
+    val edges = rng.shuffle(for {
+      c <- 0 until 5; i <- 0 until 6; j <- i + 1 until 6
+      _ <- 0 until 3 // band-fold style re-emission
+    } yield (c * 50L + i, c * 50L + j))
+    val dir = java.nio.file.Files.createTempDirectory("graftprereduce")
+    edges.toDF("rep", "member").repartition(6)
+      .write.mode("overwrite").parquet(dir.toString)
+    def run(prereduce: Boolean, table: String): Seq[(Long, Long)] = {
+      val stream = spark2.readStream.schema("rep LONG, member LONG")
+        .parquet(dir.toString)
+      EventStream.runToCompletion(
+        DedupStream.repsRollupStream(spark2, stream, prereduce = prereduce),
+        table, OutputMode.Append())
+      spark2.table(table).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val reduced = run(prereduce = true, "prereduce_on")
+    val raw = run(prereduce = false, "prereduce_off")
+    assert(reduced.sorted == raw.sorted,
+      s"pre-reduction changed the delta multiset: ${reduced.sorted} vs ${raw.sorted}")
+    // sanity that the stage actually cuts the serial input on this feed
+    val keptCount = graft.streaming.RollupCore.localForest(edges.toArray).size
+    assert(keptCount * 2 < edges.size,
+      s"expected a big cut on a dense feed: $keptCount of ${edges.size}")
+  }
+
   test("assignmentsFromDeltas runs as a live streaming aggregation over the delta stream") {
     // the docstring's claim, executed: because rep_id only ever
     // decreases per doc, the live assignment table is a plain min
