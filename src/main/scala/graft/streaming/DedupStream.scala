@@ -379,6 +379,7 @@ object DedupStream {
       extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
 
     @transient private var core: RollupCore = _
+    @transient private var overlays: Seq[BatchedLongKV] = _
 
     // doc ids may legitimately be 0 and getValue on a missing key
     // returns the unboxed zero — every read goes through containsKey
@@ -399,13 +400,18 @@ object DedupStream {
         "uf_next_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
       val tail = getHandle.getMapState[Long, Long](
         "uf_tail_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
-      core = new RollupCore(kv(parent), kv(next), kv(tail),
+      overlays = Seq(parent, next, tail).map(m => new BatchedLongKV(kv(m)))
+      core = new RollupCore(overlays(0), overlays(1), overlays(2),
         repairOrphans = ttl.isDefined)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
-                                 timers: TimerValues): Iterator[(Long, Long)] =
-      core.processEdges(rows.toArray).iterator
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val out = core.processEdges(rows.toArray)
+      overlays.foreach(_.flush()) // net writes reach MapState BEFORE the
+      // batch's rows are returned; Spark commits state after that
+      out.iterator
+    }
   }
 
   /** Run the rollup stage over a (streaming or replayed) reps edge
@@ -436,8 +442,18 @@ object DedupStream {
     val base = edges
       .select(col("rep").cast("long"), col("member").cast("long"))
       .as[(Long, Long)]
+    // hash-distribute by rep BEFORE the local forest: a pair's ≤-Bands
+    // copies (and the per-band parallel trees of a dense cluster) are
+    // emitted under DIFFERENT bucket keys, so on source partitioning
+    // they never meet and the local pass cuts only ~19% (sf10 probe);
+    // co-located by rep it removes the band fold wholesale. The extra
+    // exchange is parallel and replaces byte movement that otherwise
+    // all flows through the single-key shuffle below. Exactness is
+    // partitioning-independent (see localForest doc), so this only
+    // changes WHICH redundant edges drop, never the emitted deltas.
     val input =
-      if (prereduce) base.mapPartitions(it => RollupCore.localForest(it.toArray))
+      if (prereduce) base.repartition(col("rep"))
+        .mapPartitions(it => RollupCore.localForest(it.toArray))
       else base
     input
       .groupByKey(_ => 0L)

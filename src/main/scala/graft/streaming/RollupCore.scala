@@ -69,6 +69,53 @@ object RollupCore {
   }
 }
 
+/** Per-micro-batch read-through / write-behind overlay on a [[LongKV]]:
+  * every key is read from the backing store at most ONCE per batch and
+  * written at most once (the LAST value wins — walk chains re-point the
+  * same parent entries repeatedly while a batch's merges cascade, and
+  * only the final value needs to reach RocksDB). Point-op serde is the
+  * serial rollup stage's floor once the edge feed is pre-reduced, so
+  * collapsing repeated ops per (key, batch) is the remaining lever.
+  * Semantics are identical to direct ops: the overlay serves its own
+  * pending writes, `flush()` runs before the processor returns the
+  * batch's rows, and Spark commits state strictly after that — crash
+  * recovery replays the batch against the same committed prior state
+  * either way. Memory is O(distinct keys touched per batch), the same
+  * bound as the edge array the processor already materializes. TTL
+  * note: idle-based eviction acts BETWEEN batches (flush refreshes at
+  * batch end rather than mid-batch — an entry's idle clock only ever
+  * restarts later than with direct writes, so nothing expires sooner).
+  */
+final class BatchedLongKV(store: LongKV) extends LongKV {
+  // boxed values; null marks a known-absent key (read miss or remove)
+  private val mem = new scala.collection.mutable.LongMap[java.lang.Long]()
+  private val dirty = new scala.collection.mutable.LongMap[Boolean]()
+
+  def get(k: Long): Option[Long] =
+    mem.get(k) match {
+      case Some(v) => Option(v).map(_.longValue)
+      case None =>
+        val r = store.get(k)
+        mem(k) = r.map(java.lang.Long.valueOf).orNull
+        r
+    }
+  def put(k: Long, v: Long): Unit = { mem(k) = v; dirty(k) = true }
+  def remove(k: Long): Unit = { mem(k) = null; dirty(k) = true }
+
+  /** Push the batch's net writes to the store and reset (the cache is
+    * dropped too: between batches the store may evict under TTL, and
+    * holding clean reads across batches would both mask that and grow
+    * without bound). */
+  def flush(): Unit = {
+    dirty.foreachKey { k =>
+      val v = mem(k)
+      if (v == null) store.remove(k) else store.put(k, v.longValue)
+    }
+    mem.clear()
+    dirty.clear()
+  }
+}
+
 /** The incremental union-find heart of
   * [[DedupStream.RepsRollupProcessor]], pulled out behind [[LongKV]] so
   * the TTL-eviction corner cases are unit-testable without a streaming

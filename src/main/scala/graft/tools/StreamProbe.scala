@@ -73,6 +73,7 @@ object StreamProbe {
       val kept = spark.read.parquet(s"${edgeDir.get}/edges")
         .selectExpr("cast(rep as long) as rep", "cast(member as long) as member")
         .as[(Long, Long)]
+        .repartition(org.apache.spark.sql.functions.col("rep"))
         .mapPartitions(it => graft.streaming.RollupCore.localForest(it.toArray))
         .count()
       println(f"[probe] rollup prereduce: $docRows raw edges -> $kept forest edges " +
@@ -85,7 +86,10 @@ object StreamProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       if (sys.env.contains("PROBE_CHANGELOG"))
         s2.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      if (sys.env.contains("PROBE_NOTRACK"))
+      // default OFF to match Bench's streaming sessions (the metrics-only
+      // row counter cost the sf10 rollup rep ~2.2×: 31→14 s, round 17);
+      // PROBE_TRACK=1 re-enables it for metric-fidelity runs
+      if (!sys.env.contains("PROBE_TRACK"))
         s2.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       if (sys.env.contains("PROBE_NOCOMPRESS"))
         s2.conf.set("spark.sql.streaming.stateStore.rocksdb.compression", "none")

@@ -132,6 +132,36 @@ class RollupCoreSpec extends AnyFunSuite {
     assert(raw.fold == referenceMinima(batches.flatten))
   }
 
+  test("BatchedLongKV overlay: identical deltas and identical store state vs direct ops") {
+    import graft.streaming.BatchedLongKV
+    val rng = new scala.util.Random(59)
+    val batches = Seq.fill(8)(Seq.fill(80)(
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong)).filter(p => p._1 != p._2))
+    // direct: core writes straight to the store maps
+    val direct = new Harness(repair = true)
+    // batched: same logic behind the per-batch overlay, flushed like the
+    // processor does; evictions hit the UNDERLYING store between batches
+    // in both runs (same keys, same points in the schedule)
+    val bp = new MemKV; val bn = new MemKV; val bt = new MemKV
+    val overlays = Seq(new BatchedLongKV(bp), new BatchedLongKV(bn), new BatchedLongKV(bt))
+    val bCore = new RollupCore(overlays(0), overlays(1), overlays(2), repairOrphans = true)
+    val bDeltas = mutable.ArrayBuffer.empty[(Long, Long)]
+    batches.foreach { b =>
+      direct.batch(b: _*)
+      bDeltas ++= bCore.processEdges(b.toArray)
+      overlays.foreach(_.flush())
+      // identical eviction schedule against both stores
+      (1 to 3).foreach { _ =>
+        val k = rng.nextInt(60).toLong
+        if (rng.nextBoolean()) { direct.next.remove(k); bn.remove(k) }
+        else { direct.tail.remove(k); bt.remove(k) }
+      }
+    }
+    assert(direct.deltas == bDeltas, "overlay changed the delta sequence")
+    assert(direct.parent.m == bp.m && direct.next.m == bn.m && direct.tail.m == bt.m,
+      "overlay changed the committed store state")
+  }
+
   test("randomized next/tail evictions: monotone always, exact after re-touch") {
     val rng = new scala.util.Random(41)
     val edges = Seq.fill(600)((rng.nextInt(150).toLong, rng.nextInt(150).toLong))
