@@ -430,7 +430,14 @@ object DedupStream {
     * reduction is EXACT — the emitted delta sequence is identical with
     * it on or off (see localForest's doc for the argument; StreamingSpec
     * pins it on a redundancy-heavy corpus) — so it is on by default;
-    * `prereduce = false` exists for A/B probes. */
+    * `prereduce = false` exists for A/B probes.
+    *
+    * Operational note: with `ttl` set the query runs in processing-time
+    * mode and the TTL'd state schedules maintenance work, so replay
+    * drivers should use `Trigger.AvailableNow()` + `awaitTermination`
+    * rather than the default trigger + `processAllAvailable` (which may
+    * never observe the no-new-data quiescent point). The unbounded path
+    * (`ttl = None`) has no clock machinery and settles under either. */
   def repsRollupStream(spark: SparkSession, edges: DataFrame,
                        ttl: Option[java.time.Duration] = None,
                        prereduce: Boolean = true): DataFrame = {

@@ -563,6 +563,54 @@ class StreamingSpec extends SparkSpec {
       s"expected a big cut on a dense feed: $keptCount of ${edges.size}")
   }
 
+  test("rollup TTL mode (repair path live) matches the unbounded run when nothing expires") {
+    // ttl=Some(...) flips the processor into ProcessingTime mode with
+    // TTLConfig'd MapStates AND routes every resolve through the
+    // verified-root/repair path (RollupCore.repairOrphans). With a
+    // horizon far beyond the test's runtime nothing evicts, so the
+    // deltas must equal the unbounded run's exactly — pinning the
+    // TTL-mode wiring and the repair path against real RocksDB state,
+    // deterministically (evictions themselves are pinned in
+    // RollupCoreSpec with a simulated store).
+    import graft.streaming.DedupStream
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark2.conf.set("spark.sql.shuffle.partitions", "4")
+    import spark2.implicits._
+    val rng = new scala.util.Random(31)
+    val edges = rng.shuffle(for {
+      c <- 0 until 4; i <- 0 until 5; j <- i + 1 until 5; _ <- 0 until 2
+    } yield (c * 40L + i, c * 40L + j))
+    val dir = java.nio.file.Files.createTempDirectory("graftrollupttl")
+    edges.toDF("rep", "member").repartition(3)
+      .write.mode("overwrite").parquet(dir.toString)
+    // TTL mode runs in processing-time mode, so drive it with
+    // AvailableNow (the repo-wide pattern for TTL queries — under the
+    // default trigger, TTL maintenance batches keep the query busy and
+    // processAllAvailable never settles; see repsRollupStream's doc)
+    def run(ttl: Option[java.time.Duration], tag: String): Seq[(Long, Long)] = {
+      val out = java.nio.file.Files.createTempDirectory(s"graftrollupttl_$tag").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graftrollupttlck_$tag").toString
+      val stream = spark2.readStream.schema("rep LONG, member LONG")
+        .parquet(dir.toString)
+      val q = DedupStream.repsRollupStream(spark2, stream, ttl = ttl)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+      spark2.read.schema("doc_id LONG, rep_id LONG").parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val ttlRun = run(Some(java.time.Duration.ofMinutes(30)), "on")
+    val unbounded = run(None, "off")
+    assert(ttlRun.sorted == unbounded.sorted,
+      s"TTL-mode deltas diverged: ${ttlRun.sorted} vs ${unbounded.sorted}")
+    assert(ttlRun.nonEmpty)
+  }
+
   test("assignmentsFromDeltas runs as a live streaming aggregation over the delta stream") {
     // the docstring's claim, executed: because rep_id only ever
     // decreases per doc, the live assignment table is a plain min
