@@ -219,13 +219,24 @@ final class RollupCore(parent: LongKV, next: LongKV, tail: LongKV,
           val win = math.min(ra, rb)
           val lose = math.max(ra, rb)
           // walk the losing set (root = list head): re-point every
-          // member DIRECTLY at the winner and emit its delta
+          // member DIRECTLY at the winner and emit its delta. In TTL
+          // mode the walk carries a visited guard: stale links left by
+          // eviction-era concats can, in principle, thread fragments
+          // into a next-cycle, and an unguarded walk would spin — on a
+          // revisit the walk stops and severs the closing link so the
+          // cycle cannot re-form (without TTL, next links are provably
+          // acyclic and the guard is never allocated)
+          val visited =
+            if (repairOrphans) new java.util.HashSet[java.lang.Long]() else null
           var d = lose
           var more = true
           while (more) {
+            if (visited != null) visited.add(d)
             parent.put(d, win)
             out += ((d, win))
             next.get(d) match {
+              case Some(nd) if visited != null && visited.contains(nd) =>
+                next.remove(d); more = false
               case Some(nd) => d = nd
               case None     => more = false
             }

@@ -132,6 +132,23 @@ class RollupCoreSpec extends AnyFunSuite {
     assert(raw.fold == referenceMinima(batches.flatten))
   }
 
+  test("TTL walk survives a stale next-cycle: terminates, severs the closing link") {
+    // eviction-era concats can leave stale links that thread fragments
+    // into a next-CYCLE (constructible only through a long eviction
+    // dance; planted directly here). The losing walk must terminate,
+    // emit each member once, and sever the closing link.
+    val h = new Harness(repair = true)
+    // set rooted at 5 whose list physically cycles: 5→6→7→5
+    h.parent.m ++= Map(5L -> 5L, 6L -> 5L, 7L -> 5L)
+    h.next.m ++= Map(5L -> 6L, 6L -> 7L, 7L -> 5L)
+    h.tail.m ++= Map(5L -> 7L)
+    val out = h.batch((1L, 5L)) // 1 wins; walk 5's cyclic list
+    assert(out.toSet == Set((1L, 1L), (5L, 1L), (6L, 1L), (7L, 1L)), out.toString)
+    assert(out.size == 4, s"revisit emitted duplicates: $out")
+    assert(!h.next.m.contains(7L), "closing link must be severed")
+    h.assertMonotone()
+  }
+
   test("BatchedLongKV overlay: identical deltas and identical store state vs direct ops") {
     import graft.streaming.BatchedLongKV
     val rng = new scala.util.Random(59)
