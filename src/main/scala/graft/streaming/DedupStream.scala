@@ -458,8 +458,29 @@ object DedupStream {
     // all flows through the single-key shuffle below. Exactness is
     // partitioning-independent (see localForest doc), so this only
     // changes WHICH redundant edges drop, never the emitted deltas.
+    // Heap bound (advisor r17): `it.toArray` materializes one
+    // partition's micro-batch slice (plus the forest's LongMap/parent/
+    // size arrays, ~24 B/edge total) on the executor heap, and
+    // repartition(rep) can concentrate a hot rep key in one task. The
+    // slice is bounded by edges-per-trigger / shuffle-partitions times
+    // skew — at the sf10 feed's worst (7.5 M edges, one trigger, 32
+    // partitions) a fully-skewed slice is ~180 MB, fine; if an
+    // sf100-class feed shows a hotter key, salt the key (e.g.
+    // `repartition(col("rep"), pmod(col("member"), lit(16)))`) —
+    // exactness is partitioning-independent, so salting is safe and
+    // only changes WHICH redundant edges drop.
+    // Width is pinned to defaultParallelism (total cores), NOT the
+    // session's shuffle-partition conf: the downstream stateful stage
+    // has ONE non-empty key, so its session should run with a SMALL
+    // `spark.sql.shuffle.partitions` (ideally 1 — transformWithState
+    // opens/commits a state-store instance per shuffle partition per
+    // micro-batch, 32 commits for one key otherwise; round-17 A/B put
+    // the stage's floor at 0.61 s vs 14.13 s measured), while the
+    // forest pass wants full parallelism. Pinning here decouples the
+    // two so callers narrow the conf without narrowing the reduction.
     val input =
-      if (prereduce) base.repartition(col("rep"))
+      if (prereduce) base
+        .repartition(spark.sparkContext.defaultParallelism, col("rep"))
         .mapPartitions(it => RollupCore.localForest(it.toArray))
       else base
     input

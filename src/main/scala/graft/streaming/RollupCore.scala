@@ -161,6 +161,13 @@ final class RollupCore(parent: LongKV, next: LongKV, tail: LongKV,
   private def resolve(d: Long, out: ArrayBuffer[(Long, Long)]): Long =
     parent.get(d) match {
       case None =>
+        // TTL: the doc's parent entry can expire while its `next` link
+        // survives (parent is rewritten on every re-point, next is not).
+        // A fresh re-entry must sever that stale link, or a losing walk
+        // later launched from this root would traverse it into a live
+        // list and re-point live docs to a larger root — the same
+        // hazard the revival branch below handles with next.remove(r).
+        if (repairOrphans) next.remove(d)
         parent.put(d, d); tail.put(d, d); out += ((d, d)); d
       case Some(p) if p == d           => d
       case Some(p) if !repairOrphans   => p

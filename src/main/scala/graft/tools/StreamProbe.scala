@@ -45,7 +45,12 @@ object StreamProbe {
       if (which == "rollup" || which == "rollup_raw") {
         val dir = java.nio.file.Files.createTempDirectory("graft_probe_edges")
         val s2 = spark.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        // untimed generation always runs wide — `parts` is the A/B knob
+        // for the TIMED rollup session only (round 18: with the
+        // prereduce width pinned in repsRollupStream, `parts` now
+        // purely sets the stateful stage's store-instance count)
+        s2.conf.set("spark.sql.shuffle.partitions",
+          spark.sparkContext.defaultParallelism.toString)
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         s2.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")

@@ -84,6 +84,31 @@ class RollupCoreSpec extends AnyFunSuite {
     assert(h.fold.values.toSet == Set(0L))
   }
 
+  test("fresh re-entry severs a stale surviving next link (advisor r17)") {
+    // set {1,10,11} with list 1→10→11, so next(10) exists. Evict ONLY
+    // parent(10) — parent is rewritten on every re-point, next is not,
+    // so this split eviction is reachable under TTL. 10 then re-enters
+    // as a fresh root via resolve's None branch and immediately LOSES
+    // to 5: the walk launches from 10, and without severing the stale
+    // link it would traverse next(10)=11 into root 1's live list and
+    // re-point live doc 11 up to 5 — a monotonicity violation on a doc
+    // eviction never touched.
+    val h = new Harness(repair = true)
+    h.batch((1L, 10L), (1L, 11L))
+    assert(h.next.m(10L) == 11L, "precondition: 10's next link exists")
+    h.parent.m.remove(10L) // evict only the parent entry
+    val out = h.batch((5L, 10L)) // 10 re-enters fresh, then loses to 5
+    assert(out.toSet == Set((5L, 5L), (10L, 10L), (10L, 5L)), out.toString)
+    assert(h.parent.m(11L) == 1L, "live doc 11 must keep its live root")
+    // 10's own re-entry may raise its rep (documented fresh-singleton
+    // contract); every OTHER doc must stay monotone
+    h.deltas.groupBy(_._1).filter(_._1 != 10L).foreach { case (d, ds) =>
+      val seq = ds.map(_._2)
+      assert(seq.zip(seq.tail).forall { case (a, b) => b <= a },
+        s"doc $d emitted a rep INCREASE: $seq")
+    }
+  }
+
   test("evicted chain end revives as a fresh root; list re-threads") {
     val h = new Harness(repair = true)
     h.batch((1L, 2L))

@@ -589,7 +589,16 @@ class StreamingSpec extends SparkSpec {
     // AvailableNow (the repo-wide pattern for TTL queries — under the
     // default trigger, TTL maintenance batches keep the query busy and
     // processAllAvailable never settles; see repsRollupStream's doc)
-    def run(ttl: Option[java.time.Duration], tag: String): Seq[(Long, Long)] = {
+    // advisor r17: a plain bounded awaitTermination can read a partial
+    // sink (or let BOTH runs truncate identically and pass vacuously).
+    // The unbounded run settles, so its termination is ASSERTED and its
+    // row count is complete by construction; the TTL run (processing-
+    // time mode) legitimately idles on TTL maintenance past any fixed
+    // bound under AvailableNow, so instead of asserting termination it
+    // polls the sink up to the known-complete count before stopping —
+    // the multiset equality below then cannot compare two truncations.
+    def run(ttl: Option[java.time.Duration], tag: String,
+            expectRows: Option[Int]): Seq[(Long, Long)] = {
       val out = java.nio.file.Files.createTempDirectory(s"graftrollupttl_$tag").toString
       val ckpt = java.nio.file.Files.createTempDirectory(s"graftrollupttlck_$tag").toString
       val stream = spark2.readStream.schema("rep LONG, member LONG")
@@ -600,12 +609,27 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000); q.stop()
+      def sinkCount(): Long =
+        try spark2.read.schema("doc_id LONG, rep_id LONG").parquet(out).count()
+        catch { case _: Throwable => 0L }
+      expectRows match {
+        case None =>
+          assert(q.awaitTermination(120000),
+            s"unbounded rollup query ($tag) did not finish in 120s")
+        case Some(n) =>
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (sinkCount() < n && System.nanoTime() < deadline)
+            Thread.sleep(500)
+          assert(sinkCount() >= n,
+            s"TTL rollup sink ($tag) still partial after 120s: ${sinkCount()} of $n rows")
+      }
+      q.stop()
       spark2.read.schema("doc_id LONG, rep_id LONG").parquet(out)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
-    val ttlRun = run(Some(java.time.Duration.ofMinutes(30)), "on")
-    val unbounded = run(None, "off")
+    val unbounded = run(None, "off", expectRows = None)
+    val ttlRun = run(Some(java.time.Duration.ofMinutes(30)), "on",
+      expectRows = Some(unbounded.size))
     assert(ttlRun.sorted == unbounded.sorted,
       s"TTL-mode deltas diverged: ${ttlRun.sorted} vs ${unbounded.sorted}")
     assert(ttlRun.nonEmpty)
