@@ -352,7 +352,8 @@ object DedupStream {
     * edges per matched arrival (and 0 for the non-duplicate bulk of a
     * real feed); each edge costs O(1) amortized RocksDB point ops
     * (duplicate edges across bands/batches land on equal roots and
-    * no-op), and state is disk-backed, 3 map entries per linked doc.
+    * no-op), and state is disk-backed, one packed entry
+    * (parent/next/tail — [[UFEntry]]) per linked doc.
     * A late SMALL-id doc joining a size-k cluster re-labels k docs —
     * that cost is the delta CONTRACT's (any rollup would re-emit k
     * rows), not the structure's. At a throughput where one serial
@@ -370,7 +371,12 @@ object DedupStream {
     * by an eviction-truncated walk is detected and repaired on touch
     * by [[RollupCore.resolve]], so no emission ever re-points a live
     * doc at a LARGER root; see [[RollupCore]] for the full TTL-mode
-    * contract. The union-find itself lives in [[RollupCore]] behind
+    * contract. (Since the round-18 packing, production eviction is
+    * whole-entry — a doc's three fields live and die together — so the
+    * split-field corners can no longer arise from the store itself;
+    * the core keeps tolerating them because the [[LongKV]] seam still
+    * permits them and the specs still exercise them.)
+    * The union-find itself lives in [[RollupCore]] behind
     * the [[LongKV]] point-op view, which is what makes those eviction
     * corners unit-testable (RollupCoreSpec) — this class is only the
     * MapState plumbing. The parity spec runs unbounded (ttl = None),
@@ -379,36 +385,36 @@ object DedupStream {
       extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
 
     @transient private var core: RollupCore = _
-    @transient private var overlays: Seq[BatchedLongKV] = _
-
-    // doc ids may legitimately be 0 and getValue on a missing key
-    // returns the unboxed zero — every read goes through containsKey
-    private def kv(m: MapState[Long, Long]): LongKV = new LongKV {
-      def get(k: Long): Option[Long] =
-        if (m.containsKey(k)) Some(m.getValue(k)) else None
-      def put(k: Long, v: Long): Unit = m.updateValue(k, v)
-      def remove(k: Long): Unit = m.removeKey(k)
-    }
+    @transient private var overlay: PackedBatchedKV = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val cfg = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
-      // versioned like registry_v3: a layout change renames the vars so
-      // a stale checkpoint fails loudly
-      val parent = getHandle.getMapState[Long, Long](
-        "uf_parent_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
-      val next = getHandle.getMapState[Long, Long](
-        "uf_next_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
-      val tail = getHandle.getMapState[Long, Long](
-        "uf_tail_v1", Encoders.scalaLong, Encoders.scalaLong, cfg)
-      overlays = Seq(parent, next, tail).map(m => new BatchedLongKV(kv(m)))
-      core = new RollupCore(overlays(0), overlays(1), overlays(2),
+      // ONE packed map, not three: the stage's floor is RocksDB
+      // point-op serde (round-18 trace: addBatch ≈ the whole wall, and
+      // 32→1 state partitions moved it ~5%), so parent/next/tail share
+      // an entry and the PackedBatchedKV overlay issues ≤ 1 get + ≤ 1
+      // put per touched doc per batch. Versioned like registry_v3: a
+      // layout change renames the var so a stale checkpoint fails
+      // loudly. Reads use a single getValue (null on a missing key —
+      // the value is a case class, so no boxed-zero ambiguity), NOT
+      // containsKey + getValue: the overlay pays exactly one store
+      // read per touched doc per batch, and halving its JNI reads is
+      // measurable at the 495 k-edge sf10 feed.
+      val packed = getHandle.getMapState[Long, UFEntry](
+        "uf_packed_v1", Encoders.scalaLong, Encoders.product[UFEntry], cfg)
+      overlay = new PackedBatchedKV(new TripleKV {
+        def get(k: Long): Option[UFEntry] = Option(packed.getValue(k))
+        def put(k: Long, v: UFEntry): Unit = packed.updateValue(k, v)
+        def remove(k: Long): Unit = packed.removeKey(k)
+      })
+      core = new RollupCore(overlay.parent, overlay.next, overlay.tail,
         repairOrphans = ttl.isDefined)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
                                  timers: TimerValues): Iterator[(Long, Long)] = {
       val out = core.processEdges(rows.toArray)
-      overlays.foreach(_.flush()) // net writes reach MapState BEFORE the
+      overlay.flush() // net writes reach MapState BEFORE the
       // batch's rows are returned; Spark commits state after that
       out.iterator
     }

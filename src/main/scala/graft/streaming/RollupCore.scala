@@ -69,51 +69,113 @@ object RollupCore {
   }
 }
 
-/** Per-micro-batch read-through / write-behind overlay on a [[LongKV]]:
+/** A doc's three union-find fields packed into ONE store entry.
+  * Individual fields may be logically absent inside a present entry —
+  * [[PackedBatchedKV.Absent]] is the in-entry sentinel (doc ids are
+  * nonnegative in every feed; writes of the sentinel value are
+  * rejected loudly). Case class so `Encoders.product` gives it the
+  * fast unsafe-row codec as a RocksDB MapState value. */
+case class UFEntry(parent: Long, next: Long, tail: Long)
+
+/** Point-op view of the packed doc → [[UFEntry]] store (the RocksDB
+  * MapState in the processor, a plain map in specs). As with
+  * [[LongKV]], absence is part of the contract — TTL can evict any
+  * entry between batches. Eviction granularity is the WHOLE entry:
+  * a doc's parent/next/tail now live or die together, which
+  * eliminates the split-eviction hazards (stale surviving next links)
+  * in production — [[RollupCore]] still tolerates them because specs
+  * can produce per-field absence through the [[LongKV]] seam. */
+trait TripleKV {
+  def get(k: Long): Option[UFEntry]
+  def put(k: Long, v: UFEntry): Unit
+  def remove(k: Long): Unit
+}
+
+/** Per-micro-batch read-through / write-behind overlay on a
+  * [[TripleKV]], exposing the three per-field [[LongKV]] views
+  * [[RollupCore]] consumes. Two levers in one (point-op serde is the
+  * serial rollup stage's floor once the edge feed is pre-reduced):
   * every key is read from the backing store at most ONCE per batch and
-  * written at most once (the LAST value wins — walk chains re-point the
-  * same parent entries repeatedly while a batch's merges cascade, and
-  * only the final value needs to reach RocksDB). Point-op serde is the
-  * serial rollup stage's floor once the edge feed is pre-reduced, so
-  * collapsing repeated ops per (key, batch) is the remaining lever.
-  * Semantics are identical to direct ops: the overlay serves its own
-  * pending writes, `flush()` runs before the processor returns the
-  * batch's rows, and Spark commits state strictly after that — crash
-  * recovery replays the batch against the same committed prior state
-  * either way. Memory is O(distinct keys touched per batch), the same
-  * bound as the edge array the processor already materializes. TTL
-  * note: idle-based eviction acts BETWEEN batches (flush refreshes at
-  * batch end rather than mid-batch — an entry's idle clock only ever
-  * restarts later than with direct writes, so nothing expires sooner).
-  */
-final class BatchedLongKV(store: LongKV) extends LongKV {
-  // boxed values; null marks a known-absent key (read miss or remove)
-  private val mem = new scala.collection.mutable.LongMap[java.lang.Long]()
+  * written at most once (the LAST value wins — walk chains re-point
+  * the same parent entries repeatedly while a batch's merges cascade,
+  * and only the final value needs to reach RocksDB), and the three
+  * fields share that single read/write instead of paying one each —
+  * ≤ 1 get + ≤ 1 put/remove per touched doc per batch, down from ≤ 3
+  * of each with per-field maps (round 18; the A/B lives in
+  * StreamProbe's rollup pipeline).
+  *
+  * Semantics are identical to direct per-field ops: the overlay serves
+  * its own pending writes, `flush()` runs before the processor returns
+  * the batch's rows, and Spark commits state strictly after that —
+  * crash recovery replays the batch against the same committed prior
+  * state either way. Memory is O(distinct keys touched per batch), the
+  * same bound as the edge array the processor already materializes.
+  * TTL notes: idle-based eviction acts BETWEEN batches (flush
+  * refreshes at batch end rather than mid-batch — an entry's idle
+  * clock only ever restarts later than with direct writes, so nothing
+  * expires sooner), and a write to ANY field refreshes the whole
+  * entry, so fields only ever outlive their old per-field horizons —
+  * the active-horizon contract is unchanged. */
+final class PackedBatchedKV(store: TripleKV) {
+  import PackedBatchedKV.Absent
+  // mutable length-3 field arrays; null marks a known-absent entry
+  private val mem = new scala.collection.mutable.LongMap[Array[Long]]()
   private val dirty = new scala.collection.mutable.LongMap[Boolean]()
 
-  def get(k: Long): Option[Long] =
+  private def entry(k: Long): Array[Long] =
     mem.get(k) match {
-      case Some(v) => Option(v).map(_.longValue)
+      case Some(e) => e
       case None =>
-        val r = store.get(k)
-        mem(k) = r.map(java.lang.Long.valueOf).orNull
-        r
+        val e = store.get(k)
+          .map(v => Array(v.parent, v.next, v.tail)).orNull
+        mem(k) = e
+        e
     }
-  def put(k: Long, v: Long): Unit = { mem(k) = v; dirty(k) = true }
-  def remove(k: Long): Unit = { mem(k) = null; dirty(k) = true }
+
+  private final class FieldView(i: Int) extends LongKV {
+    def get(k: Long): Option[Long] = {
+      val e = entry(k)
+      if (e == null || e(i) == Absent) None else Some(e(i))
+    }
+    def put(k: Long, v: Long): Unit = {
+      require(v != Absent, s"UF field value collides with the Absent sentinel: $v")
+      var e = entry(k)
+      if (e == null) { e = Array(Absent, Absent, Absent); mem(k) = e }
+      e(i) = v
+      dirty(k) = true
+    }
+    def remove(k: Long): Unit = {
+      val e = entry(k)
+      if (e != null && e(i) != Absent) { e(i) = Absent; dirty(k) = true }
+    }
+  }
+
+  val parent: LongKV = new FieldView(0)
+  val next: LongKV = new FieldView(1)
+  val tail: LongKV = new FieldView(2)
 
   /** Push the batch's net writes to the store and reset (the cache is
     * dropped too: between batches the store may evict under TTL, and
     * holding clean reads across batches would both mask that and grow
-    * without bound). */
+    * without bound). An entry whose three fields are all absent is
+    * removed outright, so field-wise removes never strand empty
+    * entries in RocksDB. */
   def flush(): Unit = {
     dirty.foreachKey { k =>
-      val v = mem(k)
-      if (v == null) store.remove(k) else store.put(k, v.longValue)
+      val e = mem(k)
+      if (e == null || (e(0) == Absent && e(1) == Absent && e(2) == Absent))
+        store.remove(k)
+      else store.put(k, UFEntry(e(0), e(1), e(2)))
     }
     mem.clear()
     dirty.clear()
   }
+}
+
+object PackedBatchedKV {
+  /** In-entry absence sentinel. Doc ids are nonnegative in every feed
+    * (minhash reps, spec harnesses); [[FieldView.put]] rejects it. */
+  val Absent: Long = Long.MinValue
 }
 
 /** The incremental union-find heart of

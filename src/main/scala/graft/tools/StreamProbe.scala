@@ -42,7 +42,7 @@ object StreamProbe {
     // rollup: build the edge sink once, untimed — every rep then measures
     // ONLY the union-find stage over the identical edge feed
     val edgeDir =
-      if (which == "rollup" || which == "rollup_raw") {
+      if (which.startsWith("rollup")) {
         val dir = java.nio.file.Files.createTempDirectory("graft_probe_edges")
         val s2 = spark.newSession()
         // untimed generation always runs wide — `parts` is the A/B knob
@@ -128,13 +128,43 @@ object StreamProbe {
           val ev = graft.streaming.EventStream.readEvents(s2, sfDir)
           graft.streaming.EventStream.runToCompletionNoop(
             graft.streaming.EventStream.streamingDedup(ev), OutputMode.Append())
+        case "rollup_nostate" => // stateless prefix only: streaming scan +
+          // rep-exchange + local forest, no stateful stage — attributes
+          // the rollup wall between the prefix and the union-find
+          import s2.implicits._
+          val edges = s2.readStream
+            .schema("rep LONG, member LONG, band INT, est_sim DOUBLE")
+            .parquet(s"${edgeDir.get}/edges")
+            .select(org.apache.spark.sql.functions.col("rep").cast("long"),
+              org.apache.spark.sql.functions.col("member").cast("long"))
+            .as[(Long, Long)]
+            .repartition(spark.sparkContext.defaultParallelism,
+              org.apache.spark.sql.functions.col("rep"))
+            .mapPartitions(it => graft.streaming.RollupCore.localForest(it.toArray))
+          graft.streaming.EventStream.runToCompletionNoop(
+            edges.toDF("rep", "member"), OutputMode.Append())
         case "rollup" | "rollup_raw" => // in-stream union-find over the prebuilt edge sink
           val edges = s2.readStream
             .schema("rep LONG, member LONG, band INT, est_sim DOUBLE")
             .parquet(s"${edgeDir.get}/edges")
-          graft.streaming.EventStream.runToCompletionNoop(
-            graft.streaming.DedupStream.repsRollupStream(s2, edges,
-              prereduce = which == "rollup"),
+          val df = graft.streaming.DedupStream.repsRollupStream(s2, edges,
+            prereduce = which == "rollup")
+          if (sys.env.contains("PROBE_TRACE")) {
+            // one traced run: per-micro-batch duration breakdown, to see
+            // where the fixed seconds live (planning vs addBatch vs
+            // state commit vs walCommit)
+            val q = df.writeStream.format("noop")
+              .outputMode(OutputMode.Append()).start()
+            q.processAllAvailable(); q.stop()
+            q.recentProgress.foreach { p =>
+              println(s"[trace] batch=${p.batchId} rows=${p.numInputRows} " +
+                s"durationMs=${p.durationMs}")
+              p.stateOperators.foreach(s =>
+                println(s"[trace]   state=${s.operatorName} out=${s.numRowsUpdated}u/" +
+                  s"${s.numRowsRemoved}r commitMs=${s.commitTimeMs} " +
+                  s"procMs=${s.allUpdatesTimeMs}"))
+            }
+          } else graft.streaming.EventStream.runToCompletionNoop(df,
             OutputMode.Append())
         case "neardup_reps" => // cluster-linkage emission (round 14)
           val docPath = new java.io.File(s"$sfDir/documents.parquet")

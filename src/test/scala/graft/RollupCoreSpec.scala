@@ -174,34 +174,76 @@ class RollupCoreSpec extends AnyFunSuite {
     h.assertMonotone()
   }
 
-  test("BatchedLongKV overlay: identical deltas and identical store state vs direct ops") {
-    import graft.streaming.BatchedLongKV
+  test("PackedBatchedKV overlay: identical deltas and identical store state vs direct ops") {
+    import graft.streaming.{PackedBatchedKV, TripleKV, UFEntry}
     val rng = new scala.util.Random(59)
     val batches = Seq.fill(8)(Seq.fill(80)(
       (rng.nextInt(60).toLong, rng.nextInt(60).toLong)).filter(p => p._1 != p._2))
-    // direct: core writes straight to the store maps
+    // direct: core writes straight to three per-field store maps
     val direct = new Harness(repair = true)
-    // batched: same logic behind the per-batch overlay, flushed like the
-    // processor does; evictions hit the UNDERLYING store between batches
-    // in both runs (same keys, same points in the schedule)
-    val bp = new MemKV; val bn = new MemKV; val bt = new MemKV
-    val overlays = Seq(new BatchedLongKV(bp), new BatchedLongKV(bn), new BatchedLongKV(bt))
-    val bCore = new RollupCore(overlays(0), overlays(1), overlays(2), repairOrphans = true)
-    val bDeltas = mutable.ArrayBuffer.empty[(Long, Long)]
+    // packed: same logic behind the one-entry-per-doc overlay, flushed
+    // like the processor does; evictions hit the UNDERLYING stores
+    // between batches in both runs, WHOLE-ENTRY on both sides (packed
+    // eviction granularity is the entry, so the direct run drops the
+    // doc's three fields together to stay comparable)
+    val packedStore = mutable.Map.empty[Long, UFEntry]
+    val overlay = new PackedBatchedKV(new TripleKV {
+      def get(k: Long): Option[UFEntry] = packedStore.get(k)
+      def put(k: Long, v: UFEntry): Unit = packedStore(k) = v
+      def remove(k: Long): Unit = packedStore.remove(k)
+    })
+    val pCore = new RollupCore(overlay.parent, overlay.next, overlay.tail,
+      repairOrphans = true)
+    val pDeltas = mutable.ArrayBuffer.empty[(Long, Long)]
     batches.foreach { b =>
       direct.batch(b: _*)
-      bDeltas ++= bCore.processEdges(b.toArray)
-      overlays.foreach(_.flush())
-      // identical eviction schedule against both stores
+      pDeltas ++= pCore.processEdges(b.toArray)
+      overlay.flush()
       (1 to 3).foreach { _ =>
         val k = rng.nextInt(60).toLong
-        if (rng.nextBoolean()) { direct.next.remove(k); bn.remove(k) }
-        else { direct.tail.remove(k); bt.remove(k) }
+        direct.parent.m.remove(k); direct.next.m.remove(k); direct.tail.m.remove(k)
+        packedStore.remove(k)
       }
     }
-    assert(direct.deltas == bDeltas, "overlay changed the delta sequence")
-    assert(direct.parent.m == bp.m && direct.next.m == bn.m && direct.tail.m == bt.m,
-      "overlay changed the committed store state")
+    assert(direct.deltas == pDeltas, "overlay changed the delta sequence")
+    // unpack the packed store and compare field-by-field (absent
+    // sentinel fields must mirror missing per-field entries)
+    val A = PackedBatchedKV.Absent
+    def field(f: UFEntry => Long): Map[Long, Long] =
+      packedStore.collect { case (k, e) if f(e) != A => k -> f(e) }.toMap
+    assert(direct.parent.m.toMap == field(_.parent), "parent state diverged")
+    assert(direct.next.m.toMap == field(_.next), "next state diverged")
+    assert(direct.tail.m.toMap == field(_.tail), "tail state diverged")
+    assert(!packedStore.values.exists(e =>
+      e.parent == A && e.next == A && e.tail == A),
+      "flush must remove all-absent entries, not strand them")
+  }
+
+  test("PackedBatchedKV per-field removes: all-absent entries vanish at flush") {
+    import graft.streaming.{PackedBatchedKV, TripleKV, UFEntry}
+    val store = mutable.Map.empty[Long, UFEntry]
+    val kv = new PackedBatchedKV(new TripleKV {
+      def get(k: Long): Option[UFEntry] = store.get(k)
+      def put(k: Long, v: UFEntry): Unit = store(k) = v
+      def remove(k: Long): Unit = store.remove(k)
+    })
+    kv.parent.put(7L, 1L); kv.next.put(7L, 2L); kv.tail.put(7L, 3L)
+    kv.flush()
+    assert(store(7L) == UFEntry(1L, 2L, 3L))
+    // read-through sees the store; removing two fields keeps the third
+    assert(kv.next.get(7L).contains(2L))
+    kv.next.remove(7L); kv.tail.remove(7L)
+    kv.flush()
+    assert(store(7L) == UFEntry(1L, PackedBatchedKV.Absent, PackedBatchedKV.Absent))
+    assert(kv.next.get(7L).isEmpty && kv.parent.get(7L).contains(1L))
+    // removing the last live field removes the entry outright
+    kv.parent.remove(7L)
+    kv.flush()
+    assert(!store.contains(7L), s"expected entry gone, got ${store.get(7L)}")
+    // removes against an absent entry stay no-ops (no resurrection)
+    kv.tail.remove(7L)
+    kv.flush()
+    assert(!store.contains(7L))
   }
 
   test("randomized next/tail evictions: monotone always, exact after re-touch") {
