@@ -6,6 +6,25 @@ import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
 
+  /** Drain a query that cannot self-terminate (processing-time TTL keeps
+    * scheduling cleanup micro-batches, even under AvailableNow): wait
+    * until at least `minRows` INPUT rows have been committed — progress
+    * is reported after the batch's sink commit — then stop. Asserting on
+    * committed progress instead of a blind timed wait means a loaded
+    * host fails loudly rather than reading a truncated sink
+    * (advisor r17: the bare awaitTermination-ignoring-result hazard). */
+  private def drainAtLeast(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           minRows: Long, timeoutMs: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    def committed: Long = q.recentProgress.iterator.map(_.numInputRows).sum
+    while (committed < minRows && q.isActive &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(committed >= minRows,
+      s"query committed $committed < $minRows input rows within ${timeoutMs}ms")
+    q.stop()
+    assert(q.awaitTermination(30000), "query did not stop within 30s")
+  }
+
   test("streaming tumbling counts match the batch query totals") {
     val events = EventStream.readEvents(spark, sfDir)
     assert(events.isStreaming)
@@ -736,27 +755,26 @@ class StreamingSpec extends SparkSpec {
           .find(_.getName.endsWith(".parquet")).get
         JFiles.copy(part.toPath, watch.resolve(name + ".parquet"))
       }
-      def runOnce(): Unit = {
+      def runOnce(expectRows: Long): Unit = {
         val stream = spark2.readStream.schema("doc_id LONG, text STRING")
           .parquet(watch.toString)
-        // AvailableNow, not processAllAvailable: processing-time mode
-        // schedules recurring TTL-cleanup micro-batches, so a continuous
-        // trigger never drains. Even under AvailableNow those cleanup
-        // batches can trail the data batch, so bound the wait — the
-        // pending file lands in the first micro-batch, well inside it.
+        // AvailableNow, not processAllAvailable: processing-time TTL
+        // schedules recurring cleanup micro-batches, so the query never
+        // self-terminates — drain on COMMITTED input-row progress (the
+        // pending file lands in the first micro-batch) and then stop.
         val q = DedupStream.streamingNearDup(spark2, stream, Some(ttl)).writeStream
           .format("parquet").option("path", outDir)
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(15000); q.stop()
+        drainAtLeast(q, expectRows)
       }
       writeBatch("a", bases.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
-      runOnce()
+      runOnce(bases.length.toLong)
       Thread.sleep(gapMs) // age the registry entries relative to the TTL
       writeBatch("b", (0 until 4).map(i => ((100 + i).toLong, bases(i).mkString(" "))))
-      runOnce()
+      runOnce(4L)
       spark2.read.parquet(outDir).collect()
         .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
     }
@@ -797,7 +815,7 @@ class StreamingSpec extends SparkSpec {
           .find(_.getName.endsWith(".parquet")).get
         JFiles.copy(part.toPath, watch.resolve(name + ".parquet"))
       }
-      def runOnce(): Unit = {
+      def runOnce(expectRows: Long): Unit = {
         val stream = spark2.readStream.schema("doc_id LONG, text STRING")
           .parquet(watch.toString)
         val q = DedupStream.streamingNearDupReps(spark2, stream, Some(ttl)).writeStream
@@ -806,13 +824,13 @@ class StreamingSpec extends SparkSpec {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(15000); q.stop()
+        drainAtLeast(q, expectRows)
       }
       writeBatch("a", bases.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
-      runOnce()
+      runOnce(bases.length.toLong)
       Thread.sleep(gapMs)
       writeBatch("b", (0 until 3).map(i => ((100 + i).toLong, bases(i).mkString(" "))))
-      runOnce()
+      runOnce(3L)
       spark2.read.parquet(outDir).collect()
         .map(r => (r.getAs[Long]("rep"), r.getAs[Long]("member"))).toSet
     }
