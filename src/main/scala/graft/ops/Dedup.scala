@@ -97,10 +97,39 @@ object Dedup {
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    minhashVerified(pairs, docs, sigs)
+    minhashVerified(pairs, docs, sigs, bcastAttach = attachByBroadcast(docs))
       .select(col("doc_a"), col("doc_b"),
         round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Session conf key: corpus-size ceiling (in documents) under which the
+    * MinHash verify stages force-BROADCAST their sig/shingle attach
+    * tables instead of shuffle-joining them against the candidate-pair
+    * stream. The attach tables are O(corpus) — ~256 B/doc of signature
+    * and ~0.5 KB/doc of xxhash64 shingle set on the bench corpora — while
+    * the pair stream is the family's dominant row count, so below the
+    * ceiling the broadcast form deletes three SortMergeJoins' worth of
+    * pair-stream exchanges AND sorts (sf10 measured: 45.8M distinct
+    * candidates; isolated session-min 111.9 → 82.6 s, shuffle write
+    * 11.8 → 3.2 GB, spill 60 → 31 GB). Default 2·10⁶ docs ≈ 0.5-1 GB per broadcast
+    * relation at bench-like doc sizes — comfortable executor headroom;
+    * above it the sort-merge shape is the correct scale plan and is kept
+    * automatically (the data chooses, like [[DenseMaxNodesKey]]). */
+  val BcastAttachMaxDocsKey = "spark.graft.dedup.bcastAttachMaxDocs"
+
+  /** True iff `docs` is small enough to take the broadcast-attach fast
+    * path ([[BcastAttachMaxDocsKey]]); one count job per materialized
+    * docs instance (weakly memoized like [[withinDenseCeiling]]). */
+  private def attachByBroadcast(docs: DataFrame): Boolean = {
+    val limit = docs.sparkSession.conf.getOption(BcastAttachMaxDocsKey)
+      .map(_.toLong).getOrElse(2000000L)
+    val n = Option(gateCounts.get(docs)).map(_.longValue).getOrElse {
+      val c = docs.count()
+      gateCounts.put(docs, java.lang.Long.valueOf(c))
+      c
+    }
+    n <= limit
   }
 
   // ---- shared MinHash pipeline stages -----------------------------------
@@ -118,7 +147,7 @@ object Dedup {
     * per-document kernel passes must not re-run per consumer. Unlike a
     * bare .persist() the blocks are released by ContextCleaner as soon as
     * the result is unreferenced (CacheHygieneSpec pins it). */
-  private def minhashDocsSigs(documents: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def minhashDocsSigs(documents: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.TextKernels
     val docs = truncate(documents
       .select(col("doc_id"), TextKernels.shinglesKernel(col("text"), 3).as("shingles")))
@@ -136,7 +165,7 @@ object Dedup {
     * dedup signal) — enforced INSIDE the aggregation via
     * [[cappedBuckets]], so a mega-bucket never materializes its full
     * membership in one buffer before being dropped. */
-  private def minhashBuckets(sigs: DataFrame): DataFrame =
+  private[graft] def minhashBuckets(sigs: DataFrame): DataFrame =
     cappedBuckets(
       sigs.select(
           col("doc_id"),
@@ -178,19 +207,29 @@ object Dedup {
     * (~n²/2⁶⁴ per pair) trade the repo already documents for
     * dedup_ngram_jaccard's int64-hashed shingle space; the DuckDB oracle
     * stays in string space and has hash-matched every round. */
-  private def minhashVerified(pairs: DataFrame, docs: DataFrame,
-                              sigs: DataFrame): DataFrame = {
+  private[graft] def minhashVerified(pairs: DataFrame, docs: DataFrame,
+                                     sigs: DataFrame,
+                                     bcastAttach: Boolean = false): DataFrame = {
     val hashed = docs.select(col("doc_id"),
       transform(col("shingles"), s => xxhash64(s)).as("sh"))
+    // `bcastAttach` forces every attach side into a broadcast relation:
+    // sigs (~256 B/doc) and hashed shingle sets (~0.5 KB/doc) are
+    // O(corpus) while the candidate-pair stream they decorate is the
+    // family's dominant volume — at sf10 the shuffle-join form exchanges
+    // and SORTS the pair stream four times (3 SortMergeJoins), with the
+    // ~0.5 KB sh_a arrays riding the doc_b exchange. Callers gate on
+    // corpus size ([[attachByBroadcast]]); past the ceiling the
+    // sort-merge shape below is the correct scale plan and stays as-is.
+    def attach(df: DataFrame): DataFrame = if (bcastAttach) broadcast(df) else df
     pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .join(attach(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
+      .join(attach(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
           .cast("double") / NumPerms).as("est_sim"))
       .filter(col("est_sim") >= 0.25)
-      .join(hashed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(hashed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(attach(hashed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
+      .join(attach(hashed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -247,7 +286,8 @@ object Dedup {
         .as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    val verified = minhashVerified(chains, docs, sigs)
+    val verified = minhashVerified(chains, docs, sigs,
+        bcastAttach = attachByBroadcast(docs))
       .select(col("doc_a"), col("doc_b"))
     connectedComponents(verified, "doc_a", "doc_b")
       .groupBy(col("label").as("rep_id"))
@@ -391,8 +431,8 @@ object Dedup {
     * edges are harmless to union-find, and re-verifying a duplicate costs
     * two binary-search probes + one XOR — cheaper than a full distinct
     * shuffle over the candidate set). */
-  private def simhashVerifiedPairs(documents: DataFrame, dictAttach: Boolean,
-                                   uniquePairs: Boolean): DataFrame = {
+  private[graft] def simhashVerifiedPairs(documents: DataFrame, dictAttach: Boolean,
+                                          uniquePairs: Boolean): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsKernel
     // fingerprints feed the banding explode AND the scoring dictionary —
     // truncate-materialize once (checkpoint blocks, ContextCleaner-
@@ -403,9 +443,20 @@ object Dedup {
     val exploded = simhashBuckets(fp)
       .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    val cands = if (uniquePairs) exploded.distinct() else exploded
-    simhashHamming(cands, fp, dictAttach)
+    // VERIFY FIRST, distinct after (round 18): the hamming attach+filter
+    // is map-side and deterministic, so `distinct → verify ≡ verify →
+    // distinct` row-for-row — but the left order shuffles every raw
+    // candidate where the right order shuffles only survivors, and the
+    // ≤3 verify is brutally selective while chunk-bucket duplication is
+    // not (sf10 measured: 195M raw candidates, 183.6M distinct, 15.8M
+    // verified — the old distinct exchange spilled 47 GB; swapping the
+    // order took the isolated line 49.1 → 12.8 s with zero spill, and
+    // duplicate candidates only re-pay two O(log n) dictionary probes +
+    // one XOR each). RecallSpec's banded-vs-brute-force set-equality pin
+    // covers the swap (planted near-dup pairs collide in 3-4 chunks).
+    val verified = simhashHamming(exploded, fp, dictAttach)
       .filter(col("hamming") <= 3)
+    if (uniquePairs) verified.distinct() else verified
   }
 
   /** 4×16-bit pigeonhole chunk buckets → capped member lists
@@ -415,7 +466,7 @@ object Dedup {
     * exactness spec-pinned). The 2..1000 cap is enforced inside the
     * aggregation ([[cappedBuckets]]) so hot chunks never materialize
     * full membership. */
-  private def simhashBuckets(fp: DataFrame): DataFrame =
+  private[graft] def simhashBuckets(fp: DataFrame): DataFrame =
     cappedBuckets(
       fp.select(col("doc_id"),
           explode(array((0 until 4).map(c => struct(lit(c).as("c"),
@@ -430,8 +481,8 @@ object Dedup {
     * the dictionary broadcastable to ~10⁸ docs; past that ceiling flip
     * `dictAttach` off for the two-join fallback (same output —
     * spec-pinned), exactly like [[Graph.neighborJaccardAdj]]. */
-  private def simhashHamming(cands: DataFrame, fp: DataFrame,
-                             dictAttach: Boolean): DataFrame = {
+  private[graft] def simhashHamming(cands: DataFrame, fp: DataFrame,
+                                    dictAttach: Boolean): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongLookupKernel
     if (dictAttach) {
       val fpRow = fp
