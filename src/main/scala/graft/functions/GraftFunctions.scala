@@ -159,6 +159,60 @@ object GraftFunctions {
       inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), LongType),
       returnNullable = false))
 
+  /** First-surviving-collision test for banded-LSH all-pairs emission
+    * ([[graft.ops.Dedup.minbandPairs]]): true iff no band BELOW `band`
+    * both (a) collides on the two signature components shared by the
+    * docs and (b) escaped the bucket cap — i.e. `band` is where this
+    * pair surfaces for the FIRST time among surviving buckets, so each
+    * pair is emitted exactly once with NO distinct exchange. `rows` =
+    * signature components per band; `hot` = per-band sorted arrays of
+    * capped-away bucket keys packed as k0·prime + k1 (components are CW
+    * residues in [0, prime), prime = 2³¹−1, so the pack is an injective
+    * long). A tight ≤(band·rows)-long-comparison loop per call — lives
+    * here as a StaticInvoke kernel because the equivalent 16-branch
+    * Catalyst predicate tree over constant-indexed array reads measured
+    * 2.7× SLOWER end-to-end at sf1 (codegen bloat), vs ~free in this
+    * form. */
+  def minBandEmit(sigA: ArrayData, sigB: ArrayData, band: Int, rows: Int,
+                  hot: ArrayData): Boolean = {
+    val prime = 2147483647L // TextKernels.SqlPrime — the family's CW modulus
+    var j = 0
+    while (j < band) {
+      val k0 = sigA.getLong(j * rows)
+      val k1 = sigA.getLong(j * rows + 1)
+      if (k0 == sigB.getLong(j * rows) && k1 == sigB.getLong(j * rows + 1)) {
+        // lower band collides: emission there happened unless capped away
+        val hotJ = hot.getArray(j)
+        val key = k0 * prime + k1
+        var lo = 0
+        var hi = (if (hotJ == null) 0 else hotJ.numElements()) - 1
+        var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val k = hotJ.getLong(mid)
+          if (k == key) found = true
+          else if (k < key) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (!found) return false
+      }
+      j += 1
+    }
+    true
+  }
+
+  def minBandEmitKernel(sigA: Column, sigB: Column, band: Column, rows: Column,
+                        hot: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      BooleanType,
+      "minBandEmit",
+      Seq(bridge.expression(sigA), bridge.expression(sigB),
+        bridge.expression(band), bridge.expression(rows), bridge.expression(hot)),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), IntegerType,
+        IntegerType, ArrayType(ArrayType(LongType))),
+      returnNullable = false))
+
   /** Spark's `round(_, 4)` double semantics replayed in plain JVM code —
     * the Catalyst Round expression for DoubleType goes through
     * BigDecimal.valueOf → setScale(HALF_UP) → toDouble, and RDD-space

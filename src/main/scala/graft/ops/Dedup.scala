@@ -92,12 +92,19 @@ object Dedup {
   def minhashPairsDf(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsKernel
     val (docs, sigs) = minhashDocsSigs(documents)
-    // all-pairs emission: every C(k,2) pair of each capped bucket
-    val pairs = minhashBuckets(sigs)
-      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
-    minhashVerified(pairs, docs, sigs, bcastAttach = attachByBroadcast(docs))
+    val bcast = attachByBroadcast(docs)
+    // all-pairs emission: every C(k,2) pair of each capped bucket. Under
+    // the broadcast gate the map-side first-surviving-collision rule
+    // ([[minbandPairs]]) emits each pair exactly once — no distinct
+    // exchange; past the gate signatures are not broadcastable, so the
+    // explode keeps its distinct() (the scale shape).
+    val pairs =
+      if (bcast) minbandPairs(sigs)
+      else minhashBuckets(sigs)
+        .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
+    minhashVerified(pairs, docs, sigs, bcastAttach = bcast)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -166,14 +173,76 @@ object Dedup {
     * [[cappedBuckets]], so a mega-bucket never materializes its full
     * membership in one buffer before being dropped. */
   private[graft] def minhashBuckets(sigs: DataFrame): DataFrame =
-    cappedBuckets(
-      sigs.select(
-          col("doc_id"),
-          explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
-            col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.k0").as("k0"), col("bk.k1").as("k1")),
+    cappedBuckets(minhashBandRows(sigs),
       Seq("band", "k0", "k1"), "doc_id", lo = 2, hi = 1000)
+
+  /** The per-doc-per-band (doc_id, band, k0, k1) bucket-membership rows
+    * feeding [[minhashBuckets]] — split out so [[minbandPairs]] can run
+    * its capped-away-key aggregate over the identical row set. */
+  private[graft] def minhashBandRows(sigs: DataFrame): DataFrame =
+    sigs.select(
+        col("doc_id"),
+        explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
+          col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k0").as("k0"), col("bk.k1").as("k1"))
+
+  /** Duplicate-free all-pairs candidate emission WITHOUT the distinct
+    * exchange — the broadcast-path companion to `minhashBuckets → explode
+    * → distinct()`. A candidate pair surfaces once per band whose bucket
+    * contains both docs (sf10: 410M raw rows collapsing to 45.8M — the
+    * family's largest remaining shuffle after the attach joins went
+    * broadcast); but which bands collide is fully determined by the two
+    * SIGNATURES, so with sigs broadcastable (the caller's
+    * [[attachByBroadcast]] gate) each candidate can decide MAP-SIDE
+    * whether its own band is the pair's FIRST surviving collision and
+    * drop itself otherwise — no exchange, no aggregate.
+    *
+    * The one correctness wrinkle is the 2..1000 bucket cap: a pair whose
+    * first-colliding band sat in a capped-away (>1000) bucket is never
+    * emitted there, so the rule must not suppress its later emissions.
+    * Capped-away keys are RARE by the same skew argument that justifies
+    * the cap (boilerplate hot buckets), so they are aggregated once over
+    * the identical [[minhashBandRows]] set (count > hi — sub-`lo` groups
+    * cannot contain a pair), collected, and folded into the predicate as
+    * per-band packed-literal sets: emit at `band` iff for every lower
+    * band either the signatures disagree or that band's key is in the
+    * capped-away set. Output ≡ the distinct() form row-for-row
+    * (CappedBucketsSpec pins parity on a corpus WITH capped buckets;
+    * count+checksum parity also probe-pinned at sf1/sf10).
+    *
+    * Packing: components are CW residues in [0, 2³¹−1), so
+    * k0·SqlPrime + k1 < 2⁶² is an injective long key. */
+  private[graft] def minbandPairs(sigs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
+    val bandRows = minhashBandRows(sigs)
+    val hotByBand: Map[Int, Array[Long]] = bandRows
+      .groupBy(col("band"), col("k0"), col("k1"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1000)
+      .select(col("band"), col("k0"), col("k1"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) =>
+        b -> rows.map(r => r.getLong(1) * SqlPrime + r.getLong(2)).sorted
+      }
+    val cands = cappedBuckets(bandRows, Seq("band", "k0", "k1"), "doc_id",
+        lo = 2, hi = 1000)
+      .select(col("band"), explode(sortedLongPairsKernel(col("ids"))).as("p"))
+      .select(col("band"), col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val withSigs = cands
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
+    // first-surviving-collision test as a tight JVM kernel (a 16-branch
+    // Catalyst predicate tree measured 2.7× slower end-to-end at sf1 —
+    // codegen bloat); rows failing it are dropped before any projection
+    // materializes the 256 B signature arrays
+    val hotCol = array((0 until Bands).map(b =>
+      lit(hotByBand.getOrElse(b, Array.empty[Long]))): _*)
+    withSigs
+      .filter(graft.functions.GraftFunctions.minBandEmitKernel(
+        col("sig_a"), col("sig_b"), col("band"), lit(Rows), hotCol))
+      .select(col("doc_a"), col("doc_b"))
+  }
 
   /** Shared capped bucket-membership builder for every LSH family
     * (MinHash bands here, SimHash chunks, the n-gram posting index,

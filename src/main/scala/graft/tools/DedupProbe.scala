@@ -87,12 +87,14 @@ object DedupProbe {
     // ---- variant builders (each builds the FULL query plan fresh) ----
     import graft.functions.GraftFunctions.sortedLongPairsKernel
 
-    def mhPairs(bcast: Boolean): DataFrame = {
+    def mhPairs(bcast: Boolean, minband: Boolean = false): DataFrame = {
       val (docs, sigs) = Dedup.minhashDocsSigs(documents)
-      val pairs = Dedup.minhashBuckets(sigs)
-        .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .distinct()
+      val pairs =
+        if (minband) Dedup.minbandPairs(sigs)
+        else Dedup.minhashBuckets(sigs)
+          .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .distinct()
       Dedup.minhashVerified(pairs, docs, sigs, bcastAttach = bcast)
         .select(col("doc_a"), col("doc_b"),
           round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
@@ -137,8 +139,31 @@ object DedupProbe {
         val shVer = Dedup.simhashHamming(shDistinct, fp, dictAttach = true)
           .filter(col("hamming") <= 3)
         println(s"""{"counts":"simhash","raw_cands":${shRaw.count()},"distinct_cands":${shDistinct.count()},"verified":${shVer.count()}}""")
+      case "mh_stage_cands" =>
+        // bucket agg + pair explode, NO distinct — the pre-distinct stage
+        for (r <- 1 to reps) runTimed("mh_stage_cands", r) {
+          val (_, sigs) = Dedup.minhashDocsSigs(documents)
+          Dedup.minhashBuckets(sigs)
+            .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+            .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        }
+      case "mh_stage_distinct" =>
+        // same + the distinct — the delta vs mh_stage_cands IS the distinct
+        for (r <- 1 to reps) runTimed("mh_stage_distinct", r) {
+          val (_, sigs) = Dedup.minhashDocsSigs(documents)
+          Dedup.minhashBuckets(sigs)
+            .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+            .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+            .distinct()
+        }
       case "mh_cur"    => for (r <- 1 to reps) runTimed("mh_cur", r)(mhPairs(bcast = false))
       case "mh_bcast"  => for (r <- 1 to reps) runTimed("mh_bcast", r)(mhPairs(bcast = true))
+      case "mh_minband" =>
+        for (r <- 1 to reps) runTimed("mh_minband", r)(mhPairs(bcast = true, minband = true))
+      case "mh_minband_parity" =>
+        val a = checksum(mhPairs(bcast = true))
+        val b = checksum(mhPairs(bcast = true, minband = true))
+        println(s"""{"parity":"mh_minband","distinct":"$a","minband":"$b","equal":${a == b}}""")
       case "sh_cur"    => for (r <- 1 to reps) runTimed("sh_cur", r)(shPairs(verifyFirst = false))
       case "sh_vfirst" => for (r <- 1 to reps) runTimed("sh_vfirst", r)(shPairs(verifyFirst = true))
       case "parity" =>

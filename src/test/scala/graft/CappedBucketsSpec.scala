@@ -148,4 +148,52 @@ class CappedBucketsSpec extends SparkSpec {
     // filter is the empty-array drop
     assert(!plan.contains("collect_set"), plan.take(2000))
   }
+
+  test("minbandPairs ≡ explode+distinct, incl. a pair whose FIRST collision is capped away") {
+    // Synthetic signatures drive the exact hazard the hot-key fold
+    // exists for: docs 0..1200 share band-0 components (bucket size 1201
+    // > 1000 → capped away), and docs 0,1 additionally share band-1
+    // components in a 2-member surviving bucket. A signature-only
+    // min-band rule would suppress (0,1) at band 1 (band 0 collides);
+    // the capped-away fold must rescue it. Docs 5000/5001 collide at
+    // bands 0 AND 3 in small buckets — emitted exactly once.
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.GraftFunctions.sortedLongPairsKernel
+    val spark2 = spark
+    import spark2.implicits._
+    def sig(vals: (Int, Long)*): Array[Long] = {
+      val a = Array.tabulate(32)(i => 1000000L + i) // unique filler per position
+      vals.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    val rows =
+      // 1201 docs: band 0 (positions 0,1) identical → capped bucket;
+      // filler positions made unique PER DOC so nothing else collides
+      (0L until 1201L).map(d =>
+        (d, Array.tabulate(32)(i =>
+          if (i < 2) 7L + i else d * 100 + i + 2000000L))) ++ Seq(
+        // docs 0 and 1 also share band 1 (positions 2,3): overwrite
+        5000L -> sig((0, 77L), (1, 78L), (6, 991L), (7, 992L)),
+        5001L -> sig((0, 77L), (1, 78L), (6, 991L), (7, 992L)))
+    // rebuild docs 0,1 with the band-1 collision on top of the band-0 one
+    val fixed = rows.toMap ++ Map(
+      0L -> { val a = rows.toMap.apply(0L).clone(); a(2) = 55L; a(3) = 56L; a },
+      1L -> { val a = rows.toMap.apply(1L).clone(); a(2) = 55L; a(3) = 56L; a })
+    val sigs = Dedup.truncate(
+      fixed.toSeq.sortBy(_._1).toDF("doc_id", "sig"))
+    val viaDistinct = Dedup.minhashBuckets(sigs)
+      .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaMinband = Dedup.minbandPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaMinband.toSeq == viaDistinct.toSeq,
+      s"minband ${viaMinband.take(5).mkString(",")} (${viaMinband.length}) != " +
+        s"distinct ${viaDistinct.take(5).mkString(",")} (${viaDistinct.length})")
+    // the rescued pair is present exactly once, and no boiler pair leaked
+    assert(viaMinband.count(_ == (0L, 1L)) == 1, "capped-first-band pair lost or duplicated")
+    assert(viaMinband.count(_ == (5000L, 5001L)) == 1, "two-band pair not deduplicated")
+    assert(viaMinband.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 5000L, 5001L)) },
+      "capped-away bucket members leaked")
+  }
 }
