@@ -92,14 +92,18 @@ object Dedup {
   def minhashPairsDf(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.sortedLongPairsKernel
     val (docs, sigs) = minhashDocsSigs(documents)
-    val bcast = attachByBroadcast(docs)
-    // all-pairs emission: every C(k,2) pair of each capped bucket. Under
-    // the broadcast gate the map-side first-surviving-collision rule
+    val n = cachedCount(docs)
+    val bcast = n <= bcastAttachMaxDocs(docs.sparkSession)
+    // all-pairs emission: every C(k,2) pair of each capped bucket. In the
+    // min-band window the map-side first-surviving-collision rule
     // ([[minbandPairs]]) emits each pair exactly once — no distinct
-    // exchange; past the gate signatures are not broadcastable, so the
-    // explode keeps its distinct() (the scale shape).
+    // exchange. Below [[MinbandMinDocsKey]] the candidate distinct is
+    // small and min-band's extra capped-away-key job is pure fixed cost
+    // (sf0.1 measured: +0.7 s on a 1.5 s line); past the broadcast gate
+    // signatures are not map-side available. Both ends keep the
+    // explode + distinct() shape.
     val pairs =
-      if (bcast) minbandPairs(sigs)
+      if (bcast && n >= minbandMinDocs(docs.sparkSession)) minbandPairs(sigs)
       else minhashBuckets(sigs)
         .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
         .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -125,19 +129,37 @@ object Dedup {
     * automatically (the data chooses, like [[DenseMaxNodesKey]]). */
   val BcastAttachMaxDocsKey = "spark.graft.dedup.bcastAttachMaxDocs"
 
-  /** True iff `docs` is small enough to take the broadcast-attach fast
-    * path ([[BcastAttachMaxDocsKey]]); one count job per materialized
-    * docs instance (weakly memoized like [[withinDenseCeiling]]). */
-  private def attachByBroadcast(docs: DataFrame): Boolean = {
-    val limit = docs.sparkSession.conf.getOption(BcastAttachMaxDocsKey)
-      .map(_.toLong).getOrElse(2000000L)
-    val n = Option(gateCounts.get(docs)).map(_.longValue).getOrElse {
+  /** Session conf key: corpus-size FLOOR (in documents) above which the
+    * broadcast-gated all-pairs emission switches from explode+distinct to
+    * the map-side min-band rule ([[minbandPairs]]). Min-band pays one
+    * extra small job (the capped-away-key aggregate + collect) per query
+    * — pure fixed cost while the candidate distinct is small (sf0.1,
+    * 5k docs: +0.7 s on a 1.5 s line), the whole win once it is the wall
+    * (sf10, 500k docs: the distinct is ~29 s and 31 GB of spill). Default
+    * 10⁵ docs — the measured crossover sits between 5·10⁴ (wash) and
+    * 5·10⁵ (clear win). */
+  val MinbandMinDocsKey = "spark.graft.dedup.minbandMinDocs"
+
+  private def minbandMinDocs(spark: SparkSession): Long =
+    spark.conf.getOption(MinbandMinDocsKey).map(_.toLong).getOrElse(100000L)
+
+  private def bcastAttachMaxDocs(spark: SparkSession): Long =
+    spark.conf.getOption(BcastAttachMaxDocsKey).map(_.toLong).getOrElse(2000000L)
+
+  /** Weakly-memoized `docs.count()` (one count job per materialized docs
+    * instance, like [[withinDenseCeiling]]) — feeds the broadcast-attach
+    * and min-band gates. */
+  private def cachedCount(docs: DataFrame): Long =
+    Option(gateCounts.get(docs)).map(_.longValue).getOrElse {
       val c = docs.count()
       gateCounts.put(docs, java.lang.Long.valueOf(c))
       c
     }
-    n <= limit
-  }
+
+  /** True iff `docs` is small enough to take the broadcast-attach fast
+    * path ([[BcastAttachMaxDocsKey]]). */
+  private def attachByBroadcast(docs: DataFrame): Boolean =
+    cachedCount(docs) <= bcastAttachMaxDocs(docs.sparkSession)
 
   // ---- shared MinHash pipeline stages -----------------------------------
   // minhashPairsDf and minhashClusterRepsDf differ ONLY in how a bucket's
