@@ -213,6 +213,54 @@ object GraftFunctions {
         IntegerType, ArrayType(ArrayType(LongType))),
       returnNullable = false))
 
+  /** CAP-LESS sibling of [[minBandEmit]] fused with the shared-band count,
+    * for [[graft.ops.Dedup.minhashSqlPairs]]' map-side emission: returns
+    * the pair's total number of colliding bands (all `rows` signature
+    * components equal) iff `band` is the pair's FIRST colliding band, else
+    * 0 — so a `> 0` filter keeps exactly one row per candidate pair AND
+    * that row already carries `n_shared_bands`, replacing the
+    * groupBy(doc_a, doc_b).count() exchange over the banded-duplicate
+    * candidate stream with a ≤(Bands·rows)-long-comparison loop per row
+    * (early exit at the first lower-band collision, the common duplicate
+    * case). No bucket-cap wrinkle here: the SQL-parity pipeline is
+    * cap-less, so every colliding band yields a join row and "first
+    * collision" needs no hot-key rescue. */
+  def sharedBandsIfFirst(sigA: ArrayData, sigB: ArrayData, band: Int,
+                         rows: Int): Long = {
+    def collides(j: Int): Boolean = {
+      var r = 0
+      while (r < rows) {
+        if (sigA.getLong(j * rows + r) != sigB.getLong(j * rows + r)) return false
+        r += 1
+      }
+      true
+    }
+    var j = 0
+    while (j < band) {
+      if (collides(j)) return 0L // a lower band already emitted this pair
+      j += 1
+    }
+    val bands = sigA.numElements() / rows
+    var count = 0L
+    while (j < bands) {
+      if (collides(j)) count += 1
+      j += 1
+    }
+    count
+  }
+
+  def sharedBandsIfFirstKernel(sigA: Column, sigB: Column, band: Column,
+                               rows: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      LongType,
+      "sharedBandsIfFirst",
+      Seq(bridge.expression(sigA), bridge.expression(sigB),
+        bridge.expression(band), bridge.expression(rows)),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), IntegerType,
+        IntegerType),
+      returnNullable = false))
+
   /** Spark's `round(_, 4)` double semantics replayed in plain JVM code —
     * the Catalyst Round expression for DoubleType goes through
     * BigDecimal.valueOf → setScale(HALF_UP) → toDouble, and RDD-space

@@ -1196,10 +1196,13 @@ object Dedup {
   }
   val SqlPrime: Long = graft.functions.TextKernels.SqlPrime
 
-  /** The (doc_id, band, key) band table of the SQL-parity pipeline —
-    * shared by [[minhashSqlPairs]] and tools/MinhashSqlProbe's
-    * output-identical plan variants. */
-  private[graft] def minhashSqlBands(spark: SparkSession, dir: String): DataFrame = {
+  /** The wide (doc_id, m0..m31) signature table of the SQL-parity
+    * pipeline, truncate-materialized: it feeds the band explode (twice,
+    * via the self-join) and — under the broadcast gate — the two sig
+    * attaches of [[minhashSqlPairs]]' map-side emission, so the expensive
+    * shingle+md5+32-permutation pass must run once, not once per
+    * consumer. */
+  private[graft] def minhashSqlSigs(spark: SparkSession, dir: String): DataFrame = {
     val toksExpr = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
     val base = Tables.documents(spark, dir)
       .selectExpr("doc_id", s"$toksExpr AS toks")
@@ -1218,7 +1221,16 @@ object Dedup {
     val sigCols = SqlPerms.map { case (i, a, b) =>
       min((lit(a) * col("h") + lit(b)) % SqlPrime).as(s"m$i")
     }
-    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
+    truncate(hashed.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*))
+  }
+
+  /** The (doc_id, band, key) band table of the SQL-parity pipeline —
+    * shared by [[minhashSqlPairs]] and tools/MinhashSqlProbe's
+    * output-identical plan variants. */
+  private[graft] def minhashSqlBands(spark: SparkSession, dir: String): DataFrame =
+    minhashSqlBandsOf(minhashSqlSigs(spark, dir))
+
+  private[graft] def minhashSqlBandsOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { bd =>
       struct(lit(bd).as("band"),
         concat_ws("_", col(s"m${Rows * bd}"), col(s"m${Rows * bd + 1}")).as("key"))
@@ -1243,13 +1255,44 @@ object Dedup {
     * bucket's membership — the robust shape for cap-less semantics
     * (tools/MinhashSqlProbe A/B, docs/BENCH_NOTES round 14). */
   def minhashSqlPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashSqlBands(spark, dir)
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("doc_a", "doc_b")
+    val sigs = minhashSqlSigs(spark, dir)
+    val bands = minhashSqlBandsOf(sigs)
+    val joined = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+    // Cap-less banding duplicates every pair once per shared band (sf10:
+    // ~10⁸ join rows → 48.5M pairs), and the pair-count hash aggregate
+    // over that stream was the family's measured spill (~35 GB at sf10 —
+    // r14 A/B, docs/minhash_sql_ab_sf10.jsonl). But n_shared_bands is
+    // fully determined by the two SIGNATURES (band keys are injective
+    // renderings of the signature component pairs), so under the corpus
+    // broadcast gate each join row can decide MAP-SIDE whether its own
+    // band is the pair's FIRST collision — keeping exactly one row per
+    // pair with the count already attached ([[sharedBandsIfFirstKernel]]):
+    // no exchange, no aggregate, output row-for-row identical (the DuckDB
+    // oracle replays the join+groupBy shape unchanged). Past the gate the
+    // signatures are not map-side available and the aggregate form is the
+    // correct scale shape.
+    val nDocs = Tables.documents(spark, dir).select("doc_id").count()
+    if (nDocs <= bcastAttachMaxDocs(spark)) {
+      val sigArr = sigs.select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+      joined
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.band").as("band"))
+        .join(broadcast(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
+        .join(broadcast(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.GraftFunctions.sharedBandsIfFirstKernel(
+            col("sig_a"), col("sig_b"), col("band"), lit(Rows)).as("n_shared_bands"))
+        .filter(col("n_shared_bands") > 0)
+        .orderBy("doc_a", "doc_b")
+    } else {
+      joined
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** DuckDB oracle for [[minhashPairs]] — the FULL kernel pipeline

@@ -166,6 +166,24 @@ object DedupProbe {
         println(s"""{"parity":"mh_minband","distinct":"$a","minband":"$b","equal":${a == b}}""")
       case "sh_cur"    => for (r <- 1 to reps) runTimed("sh_cur", r)(shPairs(verifyFirst = false))
       case "sh_vfirst" => for (r <- 1 to reps) runTimed("sh_vfirst", r)(shPairs(verifyFirst = true))
+      case "sql_agg" =>
+        // dedup_minhash_sql, groupBy(doc_a, doc_b).count() fallback shape
+        // (forced via the gate conf; this was the only shape pre-r18)
+        for (r <- 1 to reps) runTimed("sql_agg", r) {
+          spark.conf.set(Dedup.BcastAttachMaxDocsKey, "0")
+          try Dedup.minhashSqlPairs(spark, sfDir)
+          finally spark.conf.unset(Dedup.BcastAttachMaxDocsKey)
+        }
+      case "sql_mapside" =>
+        // dedup_minhash_sql, map-side first-band emission (default gate)
+        for (r <- 1 to reps) runTimed("sql_mapside", r)(
+          Dedup.minhashSqlPairs(spark, sfDir))
+      case "sql_parity" =>
+        spark.conf.set(Dedup.BcastAttachMaxDocsKey, "0")
+        val a = try checksum(Dedup.minhashSqlPairs(spark, sfDir))
+                finally spark.conf.unset(Dedup.BcastAttachMaxDocsKey)
+        val b = checksum(Dedup.minhashSqlPairs(spark, sfDir))
+        println(s"""{"parity":"minhash_sql","agg":"$a","mapside":"$b","equal":${a == b}}""")
       case "parity" =>
         val a = checksum(mhPairs(bcast = false)); val b = checksum(mhPairs(bcast = true))
         println(s"""{"parity":"minhash","cur":"$a","bcast":"$b","equal":${a == b}}""")

@@ -196,4 +196,23 @@ class CappedBucketsSpec extends SparkSpec {
     assert(viaMinband.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 5000L, 5001L)) },
       "capped-away bucket members leaked")
   }
+
+  test("minhashSqlPairs map-side emission ≡ groupBy-count aggregate form") {
+    // The broadcast-gated form (first-colliding-band filter + shared-band
+    // count from the signatures) must be row-for-row identical to the
+    // cap-less join + groupBy(doc_a, doc_b).count() shape it replaces —
+    // pinned on the real sf0.001 corpus by flipping the gate: 0 forces
+    // the aggregate fallback, the default takes the map-side path.
+    def run(): Seq[(Long, Long, Long)] =
+      Dedup.minhashSqlPairs(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaMapSide = run()
+    spark.conf.set(Dedup.BcastAttachMaxDocsKey, "0")
+    val viaAggregate = try run()
+    finally spark.conf.unset(Dedup.BcastAttachMaxDocsKey)
+    assert(viaMapSide.nonEmpty, "sf0.001 sql-parity pair set unexpectedly empty")
+    assert(viaMapSide == viaAggregate,
+      s"map-side ${viaMapSide.take(3)} (${viaMapSide.length}) != " +
+        s"aggregate ${viaAggregate.take(3)} (${viaAggregate.length})")
+  }
 }
