@@ -213,6 +213,34 @@ object GraftFunctions {
         IntegerType, ArrayType(ArrayType(LongType))),
       returnNullable = false))
 
+  /** Number of positions where the two signature arrays carry the SAME
+    * value — exactly `size(filter(zip_with(sigA, sigB, _ === _), x => x))`,
+    * the numerator of the MinHash est_sim gate, as one tight loop instead
+    * of the per-element interpreted HOF chain (zip_with/filter lambdas
+    * evaluate interpreted per element and materialize two intermediate
+    * arrays per row). Lets the min-band emission project est_sim directly
+    * from the signatures it ALREADY attached for the first-band test, so
+    * the verify stage skips its two re-attach broadcast joins. */
+  def sigMatchCount(sigA: ArrayData, sigB: ArrayData): Int = {
+    val n = sigA.numElements()
+    var i = 0
+    var matches = 0
+    while (i < n) {
+      if (sigA.getLong(i) == sigB.getLong(i)) matches += 1
+      i += 1
+    }
+    matches
+  }
+
+  def sigMatchCountKernel(sigA: Column, sigB: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      IntegerType,
+      "sigMatchCount",
+      Seq(bridge.expression(sigA), bridge.expression(sigB)),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(LongType)),
+      returnNullable = false))
+
   /** CAP-LESS sibling of [[minBandEmit]] fused with the shared-band count,
     * for [[graft.ops.Dedup.minhashSqlPairs]]' map-side emission: returns
     * the pair's total number of colliding bands (all `rows` signature

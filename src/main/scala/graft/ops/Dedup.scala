@@ -102,13 +102,19 @@ object Dedup {
     // (sf0.1 measured: +0.7 s on a 1.5 s line); past the broadcast gate
     // signatures are not map-side available. Both ends keep the
     // explode + distinct() shape.
-    val pairs =
-      if (bcast && n >= minbandMinDocs(docs.sparkSession)) minbandPairs(sigs)
-      else minhashBuckets(sigs)
-        .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .distinct()
-    minhashVerified(pairs, docs, sigs, bcastAttach = bcast)
+    val verified =
+      if (bcast && n >= minbandMinDocs(docs.sparkSession))
+        // min-band emission already carries est_sim (computed in-kernel
+        // from the signatures attached for the first-band test) — skip
+        // the verify stage's sig re-attach joins
+        minhashVerifiedPreEst(minbandPairs(sigs), docs, bcastAttach = bcast)
+      else minhashVerified(
+        minhashBuckets(sigs)
+          .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .distinct(),
+        docs, sigs, bcastAttach = bcast)
+    verified
       .select(col("doc_a"), col("doc_b"),
         round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -263,7 +269,14 @@ object Dedup {
     withSigs
       .filter(graft.functions.GraftFunctions.minBandEmitKernel(
         col("sig_a"), col("sig_b"), col("band"), lit(Rows), hotCol))
-      .select(col("doc_a"), col("doc_b"))
+      // survivors still hold both signatures, so est_sim is a 32-compare
+      // kernel loop away — emitting it here lets the caller's verify
+      // stage skip its two sig re-attach broadcast joins and the
+      // per-element interpreted zip_with/filter HOF over the emitted
+      // stream ([[minhashVerifiedPreEst]])
+      .select(col("doc_a"), col("doc_b"),
+        (graft.functions.GraftFunctions.sigMatchCountKernel(
+          col("sig_a"), col("sig_b")).cast("double") / NumPerms).as("est_sim"))
   }
 
   /** Shared capped bucket-membership builder for every LSH family
@@ -301,8 +314,6 @@ object Dedup {
   private[graft] def minhashVerified(pairs: DataFrame, docs: DataFrame,
                                      sigs: DataFrame,
                                      bcastAttach: Boolean = false): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      transform(col("shingles"), s => xxhash64(s)).as("sh"))
     // `bcastAttach` forces every attach side into a broadcast relation:
     // sigs (~256 B/doc) and hashed shingle sets (~0.5 KB/doc) are
     // O(corpus) while the candidate-pair stream they decorate is the
@@ -312,12 +323,29 @@ object Dedup {
     // corpus size ([[attachByBroadcast]]); past the ceiling the
     // sort-merge shape below is the correct scale plan and stays as-is.
     def attach(df: DataFrame): DataFrame = if (bcastAttach) broadcast(df) else df
-    pairs
+    val withEst = pairs
       .join(attach(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
       .join(attach(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
+      // est numerator as one kernel loop — identical count to the
+      // zip_with/filter/size HOF chain it replaces, without the
+      // per-element interpreted lambdas or the two intermediate arrays
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-          .cast("double") / NumPerms).as("est_sim"))
+        (graft.functions.GraftFunctions.sigMatchCountKernel(
+          col("sig_a"), col("sig_b")).cast("double") / NumPerms).as("est_sim"))
+    minhashVerifiedPreEst(withEst, docs, bcastAttach)
+  }
+
+  /** The est-gate + exact-Jaccard tail of [[minhashVerified]], for callers
+    * whose candidate stream ALREADY carries est_sim (the min-band emission
+    * computes it from the signatures it attached for the first-band test),
+    * so the two sig re-attach joins and the interpreted zip_with HOF never
+    * run over the pair stream. */
+  private[graft] def minhashVerifiedPreEst(pairsEst: DataFrame, docs: DataFrame,
+                                           bcastAttach: Boolean): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      transform(col("shingles"), s => xxhash64(s)).as("sh"))
+    def attach(df: DataFrame): DataFrame = if (bcastAttach) broadcast(df) else df
+    pairsEst
       .filter(col("est_sim") >= 0.25)
       .join(attach(hashed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
       .join(attach(hashed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))

@@ -89,13 +89,19 @@ object DedupProbe {
 
     def mhPairs(bcast: Boolean, minband: Boolean = false): DataFrame = {
       val (docs, sigs) = Dedup.minhashDocsSigs(documents)
-      val pairs =
-        if (minband) Dedup.minbandPairs(sigs)
-        else Dedup.minhashBuckets(sigs)
-          .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .distinct()
-      Dedup.minhashVerified(pairs, docs, sigs, bcastAttach = bcast)
+      val verified =
+        if (minband)
+          // production min-band path: est_sim rides out of the emission
+          // kernel, the verify skips its sig re-attach joins
+          Dedup.minhashVerifiedPreEst(Dedup.minbandPairs(sigs), docs,
+            bcastAttach = bcast)
+        else Dedup.minhashVerified(
+          Dedup.minhashBuckets(sigs)
+            .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+            .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+            .distinct(),
+          docs, sigs, bcastAttach = bcast)
+      verified
         .select(col("doc_a"), col("doc_b"),
           round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -160,6 +166,19 @@ object DedupProbe {
       case "mh_bcast"  => for (r <- 1 to reps) runTimed("mh_bcast", r)(mhPairs(bcast = true))
       case "mh_minband" =>
         for (r <- 1 to reps) runTimed("mh_minband", r)(mhPairs(bcast = true, minband = true))
+      case "mh_minband_reattach" =>
+        // the pre-fusion shape: min-band emission, then the verify stage
+        // re-attaches sigs and recomputes est via the zip_with HOF — the
+        // same-session baseline for the est-fusion A/B
+        for (r <- 1 to reps) runTimed("mh_minband_reattach", r) {
+          val (docs, sigs) = Dedup.minhashDocsSigs(documents)
+          Dedup.minhashVerified(
+              Dedup.minbandPairs(sigs).select(col("doc_a"), col("doc_b")),
+              docs, sigs, bcastAttach = true)
+            .select(col("doc_a"), col("doc_b"),
+              round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        }
       case "mh_minband_parity" =>
         val a = checksum(mhPairs(bcast = true))
         val b = checksum(mhPairs(bcast = true, minband = true))

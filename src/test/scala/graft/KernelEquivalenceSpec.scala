@@ -175,4 +175,21 @@ class KernelEquivalenceSpec extends SparkSpec {
       !(col("k_score") <=> col("h_score")) || !(col("k_code") <=> col("h_code"))).count()
     assert(bad == 0)
   }
+
+  test("sigMatchCount kernel == size(filter(zip_with)) on real minhash signatures") {
+    // every ordered pair of consecutive signatures from the real corpus,
+    // plus self-pairs (full match) — the est_sim numerator both forms feed
+    val sigs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextKernels.minhashSigKernel(
+        TextKernels.shinglesKernel(col("text"), 3), graft.ops.Dedup.NumPerms).as("sig"))
+    val lagged = sigs.select(col("sig").as("a"),
+      lag(col("sig"), 1).over(org.apache.spark.sql.expressions.Window.orderBy("doc_id")).as("b"))
+      .filter(col("b").isNotNull)
+      .union(sigs.select(col("sig").as("a"), col("sig").as("b")))
+    val bad = lagged.select(
+      GraftFunctions.sigMatchCountKernel(col("a"), col("b")).as("k"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), x => x)).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(bad == 0)
+  }
 }
