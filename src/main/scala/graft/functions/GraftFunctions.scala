@@ -241,6 +241,66 @@ object GraftFunctions {
       inputTypes = Seq(ArrayType(LongType), ArrayType(LongType)),
       returnNullable = false))
 
+  /** Set-space Jaccard of two int64 arrays in ONE pass —
+    * `size(array_intersect(a, b)) / size(array_union(a, b))` exactly
+    * (both Catalyst operands dedup their inputs; this computes the same
+    * distinct-intersection and distinct-union COUNTS over one
+    * open-addressing long table instead of four hash-set builds plus two
+    * materialized result arrays per call, the measured wall of the
+    * minhash verify at sf10). Division semantics: c > 0 ⟹ u > 0, so the
+    * only divergence from Catalyst's null-on-zero-divisor Divide is the
+    * empty∕empty case, where this returns NaN — and both NaN and null
+    * fail the caller's `jaccard >= 0.2` gate identically, so the operator
+    * output is row-for-row identical (callers must keep a threshold
+    * filter; KernelEquivalenceSpec pins count parity against the
+    * expression form on real shingle sets). Null elements are not
+    * handled — inputs are xxhash64 outputs, never null. */
+  def jaccardLongSets(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var cap = 4
+    while (cap < (na + nb) * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val state = new Array[Byte](cap) // 0 empty, 1 in A, 2 in B only, 3 in both
+    val mask = cap - 1
+    def slot(k: Long): Int = {
+      // 64->32 bit finalizer (splitmix64 tail) for probe dispersion
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = h.toInt & mask
+      while (state(i) != 0 && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    var distinctA = 0
+    var i = 0
+    while (i < na) {
+      val k = a.getLong(i)
+      val s = slot(k)
+      if (state(s) == 0) { keys(s) = k; state(s) = 1; distinctA += 1 }
+      i += 1
+    }
+    var c = 0 // |distinct(A) ∩ distinct(B)|
+    var bNew = 0 // distinct B elements outside A
+    i = 0
+    while (i < nb) {
+      val k = b.getLong(i)
+      val s = slot(k)
+      if (state(s) == 0) { keys(s) = k; state(s) = 2; bNew += 1 }
+      else if (state(s) == 1) { state(s) = 3; c += 1 }
+      i += 1
+    }
+    c.toDouble / (distinctA + bNew)
+  }
+
+  def jaccardLongSetsKernel(a: Column, b: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      DoubleType,
+      "jaccardLongSets",
+      Seq(bridge.expression(a), bridge.expression(b)),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(LongType)),
+      returnNullable = false))
+
   /** CAP-LESS sibling of [[minBandEmit]] fused with the shared-band count,
     * for [[graft.ops.Dedup.minhashSqlPairs]]' map-side emission: returns
     * the pair's total number of colliding bands (all `rows` signature

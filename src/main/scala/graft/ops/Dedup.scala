@@ -349,9 +349,14 @@ object Dedup {
       .filter(col("est_sim") >= 0.25)
       .join(attach(hashed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
       .join(attach(hashed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
+      // one-pass set-space Jaccard kernel == size(array_intersect)/
+      // size(array_union) (four hash-set builds + two materialized result
+      // arrays per pair in expression form — the measured sf10 wall of
+      // this stage); the >= 0.2 gate below is load-bearing for the
+      // empty/empty edge (kernel NaN ≡ Divide's null — both drop)
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        graft.functions.GraftFunctions.jaccardLongSetsKernel(
+          col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
   }
 

@@ -162,6 +162,25 @@ object DedupProbe {
             .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
             .distinct()
         }
+      case "mh_stage_sigs" =>
+        // docs+sigs build only (shingle + signature kernels + checkpoints)
+        for (r <- 1 to reps) runTimed("mh_stage_sigs", r) {
+          val (_, sigs) = Dedup.minhashDocsSigs(documents)
+          sigs
+        }
+      case "mh_stage_minband" =>
+        // + min-band emission (buckets, explode, sig attach, kernel filter,
+        // est projection) — no est gate, no jaccard, no sort
+        for (r <- 1 to reps) runTimed("mh_stage_minband", r) {
+          val (_, sigs) = Dedup.minhashDocsSigs(documents)
+          Dedup.minbandPairs(sigs)
+        }
+      case "mh_stage_est" =>
+        // + the est >= 0.25 gate
+        for (r <- 1 to reps) runTimed("mh_stage_est", r) {
+          val (_, sigs) = Dedup.minhashDocsSigs(documents)
+          Dedup.minbandPairs(sigs).filter(col("est_sim") >= 0.25)
+        }
       case "mh_cur"    => for (r <- 1 to reps) runTimed("mh_cur", r)(mhPairs(bcast = false))
       case "mh_bcast"  => for (r <- 1 to reps) runTimed("mh_bcast", r)(mhPairs(bcast = true))
       case "mh_minband" =>

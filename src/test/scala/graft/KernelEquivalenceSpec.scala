@@ -192,4 +192,28 @@ class KernelEquivalenceSpec extends SparkSpec {
       .filter(col("k") =!= col("h")).count()
     assert(bad == 0)
   }
+
+  test("jaccardLongSets kernel == size(intersect)/size(union) on real hashed shingles") {
+    import spark.implicits._
+    // consecutive-doc pairs (mostly disjoint sets), self-pairs (jaccard 1),
+    // plus crafted duplicates-in-array and subset/disjoint edges
+    val sh = Tables.documents(spark, sfDir).select(col("doc_id"),
+      transform(TextKernels.shinglesKernel(col("text"), 3), s => xxhash64(s)).as("sh"))
+    val lagged = sh.select(col("sh").as("a"),
+      lag(col("sh"), 1).over(org.apache.spark.sql.expressions.Window.orderBy("doc_id")).as("b"))
+      .filter(col("b").isNotNull)
+      .union(sh.select(col("sh").as("a"), col("sh").as("b")))
+      .union(Seq(
+        (Array(1L, 2L, 3L, 2L, 1L), Array(2L, 3L, 4L, 4L)), // dups inside arrays
+        (Array(1L, 2L), Array(1L, 2L, 3L, 4L)),             // subset
+        (Array(0L, Long.MinValue), Array(Long.MaxValue, 0L)), // sentinel-ish values
+        (Array(5L), Array(6L))                               // disjoint
+      ).toDF("a", "b"))
+    val bad = lagged.select(
+      GraftFunctions.jaccardLongSetsKernel(col("a"), col("b")).as("k"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    assert(bad == 0)
+  }
 }
