@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -297,6 +297,39 @@ object GraftFunctions {
       GraftFunctions.getClass,
       DoubleType,
       "jaccardLongSets",
+      Seq(bridge.expression(a), bridge.expression(b)),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(LongType)),
+      returnNullable = false))
+
+  /** Intersection of two SORTED, duplicate-free int64 arrays by two-pointer
+    * merge — the contents of `array_intersect(a, b)` (ascending order
+    * instead of first-argument order; callers must be order-insensitive,
+    * e.g. feeding explode → groupBy) without the per-call hash-set builds.
+    * Callers guarantee sortedness (e.g. `sort_array` inside the adjacency
+    * aggregate, paid once per NODE instead of a set build per EDGE). */
+  def sortedLongIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  def sortedLongIntersectKernel(a: Column, b: Column): Column =
+    bridge.column(StaticInvoke(
+      GraftFunctions.getClass,
+      ArrayType(LongType, containsNull = false),
+      "sortedLongIntersect",
       Seq(bridge.expression(a), bridge.expression(b)),
       inputTypes = Seq(ArrayType(LongType), ArrayType(LongType)),
       returnNullable = false))

@@ -997,26 +997,43 @@ object Graph {
     * scale, and beyond broadcast size they degrade to ordinary shuffled
     * equi-joins. */
   private def triangleCountsOriented(oriented: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // oriented adjacency: consumed by the explode side AND the close join
-    val oadj = oriented.groupBy(col("u"))
-      .agg(collect_list(col("v")).as("on"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = oadj
-      .select(col("u"), col("on").as("un"), explode(col("on")).as("v"))
-      .join(oadj.select(col("u").as("v"), col("on").as("vn")), Seq("v"))
-      .select(col("u"), col("v"), explode(array_intersect(col("un"), col("vn"))).as("w"))
+    val (plan, oadj) = trianglePlanOriented(oriented)
     // materialize the 25-row result eagerly (Dedup.truncate — reliable
     // checkpoint when configured) so the cached inputs can be released
     // before returning — no leaked cache blocks for long-lived library
     // sessions (CacheHygieneSpec pins this)
-    val out = Dedup.truncate(
-      tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
-        .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
-        .orderBy(desc("n_triangles"), col("part_id"))
-        .limit(25))
+    val out = Dedup.truncate(plan)
     oadj.unpersist(blocking = false)
     out
+  }
+
+  /** The un-truncated plan behind [[triangleCountsOriented]], plus the
+    * persisted adjacency handle the caller must unpersist after
+    * materializing — split out so plan evidence (ExplainDump) can show
+    * the join/kernel shape that the eager truncate otherwise collapses
+    * into an ExistingRDD leaf. */
+  private[graft] def trianglePlanOriented(oriented: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    // oriented adjacency: consumed by the explode side AND the close join.
+    // Lists sorted ONCE per node so the closing intersection is a
+    // two-pointer merge kernel per edge instead of array_intersect's
+    // per-edge hash-set builds (oriented out-lists are duplicate-free —
+    // distinct edges — so sorted-merge output ≡ array_intersect contents;
+    // everything downstream is explode → groupBy count, order-blind)
+    val oadj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("on"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = oadj
+      .select(col("u"), col("on").as("un"), explode(col("on")).as("v"))
+      .join(oadj.select(col("u").as("v"), col("on").as("vn")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(graft.functions.GraftFunctions.sortedLongIntersectKernel(
+          col("un"), col("vn"))).as("w"))
+    val out = tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("part_id"))
+      .limit(25)
+    (out, oadj)
   }
 
   /** Connected components of the REPEATED co-purchase graph: an edge

@@ -31,9 +31,16 @@ object ExplainDump {
       val Array(k, v) = kv.split("=", 2)
       spark.conf.set(k, v)
     }
+    // pseudo-names for queries whose declared form eagerly materializes
+    // (Dedup.truncate) and so explains as a bare ExistingRDD leaf: dump
+    // the un-truncated plan builder instead — the plan the truncate runs
+    val internal: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "graph_triangles!plan" -> ((s, d) => graft.ops.Graph.trianglePlanOriented(
+        graft.ops.Graph.orientedEdges(
+          graft.ops.Graph.edges(s, d), graft.ops.Graph.degrees(s, d)))._1))
     for (n <- names) {
-      val fn = graft.SparkEntry.queries.getOrElse(n,
-        sys.error(s"unknown query $n"))
+      val fn = internal.getOrElse(n,
+        graft.SparkEntry.queries.getOrElse(n, sys.error(s"unknown query $n")))
       println(s"=== $n @ $sfDir ===")
       println(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

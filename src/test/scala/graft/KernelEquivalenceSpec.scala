@@ -216,4 +216,35 @@ class KernelEquivalenceSpec extends SparkSpec {
       .filter(!(col("k") <=> col("h"))).count()
     assert(bad == 0)
   }
+
+  test("sortedLongIntersect kernel == array_intersect on the real oriented-adjacency feed") {
+    import spark.implicits._
+    // the exact (un, vn) pair stream graph_triangles closes over: oriented
+    // co-purchase adjacency, lists sorted + duplicate-free (the kernel's
+    // input contract), joined per oriented edge — plus empty/subset/
+    // disjoint/identical edges the graph may not produce at this sf
+    val oriented = graft.ops.Graph.orientedEdges(
+      graft.ops.Graph.edges(spark, sfDir), graft.ops.Graph.degrees(spark, sfDir))
+    val oadj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("on"))
+    val pairs = oadj
+      .select(col("on").as("a"), explode(col("on")).as("v"))
+      .join(oadj.select(col("u").as("v"), col("on").as("b")), Seq("v"))
+      .select(col("a"), col("b"))
+      .union(Seq(
+        (Array.empty[Long], Array(1L, 2L)),
+        (Array(1L, 2L, 3L), Array.empty[Long]),
+        (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),            // identical
+        (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),            // disjoint, interleaved
+        (Array(1L, 2L), Array(1L, 2L, 3L, 4L)),            // subset
+        (Array(Long.MinValue, 0L, Long.MaxValue), Array(Long.MinValue, Long.MaxValue))
+      ).toDF("a", "b"))
+    // array_intersect keeps first-argument order; inputs are sorted and
+    // duplicate-free, so its contents in ascending order == the kernel
+    val bad = pairs.select(
+      GraftFunctions.sortedLongIntersectKernel(col("a"), col("b")).as("k"),
+      array_sort(array_intersect(col("a"), col("b"))).as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    assert(bad == 0)
+  }
 }
