@@ -954,14 +954,37 @@ object Graph {
     triangleCountsOriented(oriented)
   }
 
+  /** Session conf key: node-count ceiling under which [[orientedEdges]]
+    * force-BROADCASTS the degree table into both orientation joins. The
+    * degree table is 16 B/node while the edge stream is the graph's
+    * dominant row count, so below the ceiling the broadcast form deletes
+    * both edge-stream exchanges AND sorts (sf10: degrees is ~2M rows
+    * ≈ 30 MB — past the 10 MB autoBroadcast estimate, so Catalyst planned
+    * two SortMergeJoins exchanging the 65M-row edge memo twice). Default
+    * 10⁷ nodes ≈ 0.5 GB hashed relation — comfortable executor headroom;
+    * above it the sort-merge shape is the correct scale plan and is kept
+    * automatically (the data chooses, like [[graft.ops.Dedup
+    * .BcastAttachMaxDocsKey]]). The gate count is a pre-count, not
+    * fail-fast, because every caller passes the checkpoint-materialized
+    * [[degrees]] memo — counting it is a flat block scan. */
+  val BcastDegreesMaxNodesKey = "spark.graft.graph.bcastDegreesMaxNodes"
+
+  private def bcastDegreesMaxNodes(spark: SparkSession): Long =
+    spark.conf.getOption(BcastDegreesMaxNodesKey).map(_.toLong).getOrElse(10000000L)
+
   /** Degree-oriented edges u→v where (deg, id) of u < (deg, id) of v —
-    * pure joins + filter, no aggregate of any kind (spec-pinned). */
-  private[graft] def orientedEdges(edges: DataFrame, degrees: DataFrame): DataFrame =
+    * pure joins + filter, no aggregate of any kind (spec-pinned); the
+    * degree side broadcasts below [[BcastDegreesMaxNodesKey]]. */
+  private[graft] def orientedEdges(edges: DataFrame, degrees: DataFrame): DataFrame = {
+    val degs =
+      if (degrees.count() <= bcastDegreesMaxNodes(degrees.sparkSession)) broadcast(degrees)
+      else degrees
     edges.select(col("src").as("u"), col("dst").as("v"))
-      .join(degrees.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-      .join(degrees.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .join(degs.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(degs.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
+  }
 
   /** Core of [[triangleCounts]] over any directed edge list covering both
     * directions of each undirected edge (self-loop-free; duplicate rows

@@ -37,6 +37,20 @@ object TriProbe {
       println(f"[triprobe] $label%-24s $s%8.2f s   ($r)")
     }
 
+    // orientation joins: gated degree broadcast vs the sort-merge shape,
+    // interleaved over the same materialized edge/degree memos
+    println(s"[triprobe] nodes: ${Graph.degrees(spark, dir).count()}")
+    for (rep <- 1 to reps) {
+      spark.conf.set(Graph.BcastDegreesMaxNodesKey, "0")
+      time(s"rep$rep orient-smj")(
+        Graph.orientedEdges(Graph.edges(spark, dir), Graph.degrees(spark, dir))
+          .write.format("noop").mode("overwrite").save())
+      spark.conf.unset(Graph.BcastDegreesMaxNodesKey)
+      time(s"rep$rep orient-bhj")(
+        Graph.orientedEdges(Graph.edges(spark, dir), Graph.degrees(spark, dir))
+          .write.format("noop").mode("overwrite").save())
+    }
+
     val oriented = Graph.orientedEdges(Graph.edges(spark, dir), Graph.degrees(spark, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     println(s"[triprobe] oriented edges: ${oriented.count()}")
