@@ -860,17 +860,26 @@ object Text {
     * vocabulary-bounded, so every join is broadcast-sized. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE tokenize pass feeds both statistics through a two-level
+    // aggregate: (lang, token, doc) occurrence counts, then per
+    // (lang, token) tf = Σ counts and per-lang df = row count — a doc
+    // has exactly one lang, so Σ_lang per-lang-df = count(DISTINCT doc)
+    // per token, which a window sum over the vocabulary-bounded (lang,
+    // token) table finishes. The former shape ran the tokenize explode
+    // TWICE (separate df and tf aggregates over the raw token stream)
+    // plus a two-phase count_distinct — sf0.1 job count 15 → 9.
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(tokensCol(lower(col("text")))).as("token"))
       .filter(col("token") =!= "")
     val nDocs = broadcast(Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs")))
-    val dfs = toks.groupBy(col("token"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-    val tf = toks.groupBy(col("lang"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val scored = tf.join(broadcast(dfs), Seq("token"))
+    val perDoc = toks.groupBy(col("lang"), col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val tfdf = perDoc.groupBy(col("lang"), col("token"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("dfl"))
+    val scored = tfdf
+      .withColumn("df", sum(col("dfl")).over(Window.partitionBy(col("token"))))
       .crossJoin(nDocs)
       .select(col("lang"), col("token"), col("tf"), col("df"),
         round(col("tf") *

@@ -90,10 +90,13 @@ class KernelEquivalenceSpec extends SparkSpec {
     // pair, drop adjacent pairs. Random-ish graphs via deterministic hash
     // mixing — three densities, including bucket-collision-heavy ones.
     import spark.implicits._
-    for ((nNodes, nEdges, seed) <- Seq((40, 120, 1), (25, 260, 2), (60, 90, 3))) {
+    // the 4th graph offsets ids past 2³¹ — the upper half of the packed
+    // kernel's 32-bit id contract, where a sign/shift slip would corrupt
+    for ((nNodes, nEdges, seed, off) <- Seq((40, 120, 1, 0L), (25, 260, 2, 0L),
+      (60, 90, 3, 0L), (40, 120, 4, 1L << 31))) {
       val raw = (0 until nEdges).map { i =>
-        val a = math.abs((i * 2654435761L + seed) % nNodes)
-        val b = math.abs((i * 40503L + seed * 7919L) % nNodes)
+        val a = off + math.abs((i * 2654435761L + seed) % nNodes)
+        val b = off + math.abs((i * 40503L + seed * 7919L) % nNodes)
         (math.min(a, b), math.max(a, b))
       }.filter { case (a, b) => a != b }.distinct
       val und = raw.toDF("src", "dst")
