@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from sbt stdout. sbt's
+// default LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", so no line ever starts with '{' and the driver's parse has
+// recorded null in every round (BENCH_r01..r18: "parsed": null). Inherit
+// sbt's raw stdout instead so JSON lines print bare at column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -317,11 +317,17 @@ object Bench {
       }
 
     val total = results.map(_._2).sum
-    // Full per-query detail goes to a file: the driver captures only the
-    // LAST ~2000 chars of sbt output, and a single JSON line carrying all
-    // queries (~2.6 KB) gets its head truncated and never parses. The
-    // stdout line stays compact — most-expensive queries first, greedily
-    // packed under a length budget, the rest folded into "other".
+    // The final stdout line carries the FULL per-query map. History: the
+    // line was truncated to a ~750-char budget for rounds 15-18 on the
+    // belief that the driver parses only the last ~2000 chars of output —
+    // but the driver's parse recorded null in EVERY round either way
+    // (BENCH_r01..r18 "parsed": null), including r18 where the compact
+    // line sat fully intact inside the tail. The actual defect was sbt's
+    // LoggedOutput "[info] " prefix on every forked-process line (fixed in
+    // build.sbt via `run / outputStrategy := StdoutOutput`), so the
+    // truncation never bought anything; per the r18 verdict the full map
+    // goes back on the one line. bench_detail.json keeps the 3-decimal
+    // copy for humans and for the committed history.
     val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val detailJson =
@@ -337,7 +343,7 @@ object Bench {
       ("stream_neardup_reps", "minhash_lsh_reps_emission", streamNearDupReps, streamDocRows),
       ("stream_reps_rollup", "unionfind_rollup_transformWithState", streamRepsRollup, rollupEdgeRows)))
       println(streamLine(metric, q, t, rows, sfDir))
-    println(compactLine(results, sfDir, streamTotal, hostBand))
+    println(totalLine(results, sfDir, streamTotal, hostBand))
     spark.stop()
   }
 
@@ -349,31 +355,16 @@ object Bench {
     f"""{"metric":"$metric","value":$sec%.2f,"unit":"sec","query":"$query","rows":$rows,"rows_per_sec":$rps%.0f,"sf":"$sfDir"}"""
   }
 
-  /** The stdout summary line, greedily packed so it ALWAYS fits the
-    * driver's 2000-char output tail (BenchLineSpec pins the invariant):
-    * most-expensive queries first under a char budget, the rest summed
-    * into "other". */
-  def compactLine(results: Seq[(String, Double)], sfDir: String,
-                  streamTotal: Double = 0.0, hostBand: String = ""): String = {
+  /** The stdout summary line: ONE JSON object with the FULL per-query
+    * seconds map (driver contract — metric/value/unit/queries/sf). The
+    * rounds-15-18 greedy truncation to a char budget is gone (see the
+    * history note in main); `other` stays in the schema for artifact
+    * continuity and is always 0.00 now that every query is named. */
+  def totalLine(results: Seq[(String, Double)], sfDir: String,
+                streamTotal: Double = 0.0, hostBand: String = ""): String = {
     val total = results.map(_._2).sum
-    // whole line + the FIVE preceding stream_* lines (~170 chars each,
-    // ~850 total) must fit the 2000-char tail together (BenchLineSpec
-    // pins the compact line ≤ 1200); the host_band object (~95 chars)
-    // comes out of the query budget too
-    val budget = 750 - hostBand.length
-    val byCost = results.sortBy(-_._2)
-    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var used = 0
-    for ((k, v) <- byCost) {
-      // "name":12345.67, — value width bounded because a query exceeding
-      // 5 digits of seconds would have failed the bench long before
-      val entryLen = k.length + 13
-      if (used + entryLen <= budget) { picked += ((k, v)); used += entryLen }
-    }
-    val pickedSet = picked.map(_._1).toSet
-    val other = results.collect { case (k, v) if !pickedSet.contains(k) => v }.sum
-    val qs = picked.sortBy(_._1)
+    val qs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"stream_total":$streamTotal%.2f$hostBand,"queries":$qs,"other":$other%.2f,"detail":"bench_detail.json","sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"stream_total":$streamTotal%.2f$hostBand,"queries":$qs,"other":0.00,"detail":"bench_detail.json","sf":"$sfDir"}"""
   }
 }

@@ -248,13 +248,16 @@ object GraftFunctions {
     * open-addressing long table instead of four hash-set builds plus two
     * materialized result arrays per call, the measured wall of the
     * minhash verify at sf10). Division semantics: c > 0 ⟹ u > 0, so the
-    * only divergence from Catalyst's null-on-zero-divisor Divide is the
-    * empty∕empty case, where this returns NaN — and both NaN and null
-    * fail the caller's `jaccard >= 0.2` gate identically, so the operator
-    * output is row-for-row identical (callers must keep a threshold
-    * filter; KernelEquivalenceSpec pins count parity against the
-    * expression form on real shingle sets). Null elements are not
-    * handled — inputs are xxhash64 outputs, never null. */
+    * only case where the divisor is zero is empty∕empty, which returns
+    * 0.0 — NOT NaN: Spark SQL orders NaN ABOVE every numeric, so a NaN
+    * would PASS the callers' `jaccard >= 0.2` gates where the expression
+    * form's null-on-zero-divisor Divide dropped the row (empty shingle
+    * sets arise from <3-token docs, whose all-sentinel signatures collide
+    * in every band). 0.0 fails the gates exactly like null does, so the
+    * operator output is row-for-row identical (callers must keep a
+    * threshold filter; KernelEquivalenceSpec pins parity against the
+    * expression form, including the empty∕empty case). Null elements are
+    * not handled — inputs are xxhash64 outputs, never null. */
   def jaccardLongSets(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -289,7 +292,8 @@ object GraftFunctions {
       else if (state(s) == 1) { state(s) = 3; c += 1 }
       i += 1
     }
-    c.toDouble / (distinctA + bNew)
+    val u = distinctA + bNew
+    if (u == 0) 0.0 else c.toDouble / u
   }
 
   def jaccardLongSetsKernel(a: Column, b: Column): Column =

@@ -1305,9 +1305,16 @@ object Dedup {
     // no exchange, no aggregate, output row-for-row identical (the DuckDB
     // oracle replays the join+groupBy shape unchanged). Past the gate the
     // signatures are not map-side available and the aggregate form is the
-    // correct scale shape.
-    val nDocs = Tables.documents(spark, dir).select("doc_id").count()
-    if (nDocs <= bcastAttachMaxDocs(spark)) {
+    // correct scale shape. Below [[MinbandMinDocsKey]] the pair-count
+    // aggregate is tiny and the kernel path's two broadcast builds +
+    // per-row signature test are pure fixed cost (the same floor the
+    // sibling minbandPairs gate applies — its absence here cost −11% at
+    // sf0.1 in r18 while the sf10 win was unchanged). The gate count scans
+    // the already-truncated sigs (one row per ≥3-token doc, flat
+    // checkpoint-block scan) instead of re-scanning the raw documents
+    // table with its text column.
+    val nDocs = cachedCount(sigs)
+    if (nDocs <= bcastAttachMaxDocs(spark) && nDocs >= minbandMinDocs(spark)) {
       val sigArr = sigs.select(col("doc_id"),
         array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
       joined

@@ -210,14 +210,30 @@ class KernelEquivalenceSpec extends SparkSpec {
         (Array(1L, 2L, 3L, 2L, 1L), Array(2L, 3L, 4L, 4L)), // dups inside arrays
         (Array(1L, 2L), Array(1L, 2L, 3L, 4L)),             // subset
         (Array(0L, Long.MinValue), Array(Long.MaxValue, 0L)), // sentinel-ish values
-        (Array(5L), Array(6L))                               // disjoint
+        (Array(5L), Array(6L)),                              // disjoint
+        (Array.empty[Long], Array.empty[Long]),              // empty∕empty → 0.0
+        (Array.empty[Long], Array(7L)),                      // one side empty
+        (Array(7L), Array.empty[Long])
       ).toDF("a", "b"))
+    // The division is zero-divisor ONLY for empty∕empty (union size 0):
+    // under ANSI (Spark 4 default) a raw Divide would THROW there and the
+    // legacy path yielded null; the kernel returns 0.0 so the callers'
+    // `>= threshold` gates drop the row exactly like null did — NaN would
+    // sort ABOVE every numeric and sail through them. try_divide+coalesce
+    // maps that one sanctioned divergence onto the kernel's value;
+    // everywhere else equality is raw.
     val bad = lagged.select(
       GraftFunctions.jaccardLongSetsKernel(col("a"), col("b")).as("k"),
-      (size(array_intersect(col("a"), col("b"))).cast("double") /
-        size(array_union(col("a"), col("b")))).as("h"))
+      coalesce(try_divide(size(array_intersect(col("a"), col("b"))).cast("double"),
+        size(array_union(col("a"), col("b")))), lit(0.0)).as("h"))
       .filter(!(col("k") <=> col("h"))).count()
     assert(bad == 0)
+    // pin the empty∕empty value explicitly: 0.0, and it FAILS a >= 0.2 gate
+    import spark.implicits._
+    val ee = Seq((Array.empty[Long], Array.empty[Long])).toDF("a", "b")
+      .select(GraftFunctions.jaccardLongSetsKernel(col("a"), col("b")).as("j"))
+    assert(ee.collect().head.getDouble(0) == 0.0)
+    assert(ee.filter(col("j") >= 0.2).count() == 0)
   }
 
   test("sortedLongIntersect kernel == array_intersect on the real oriented-adjacency feed") {
