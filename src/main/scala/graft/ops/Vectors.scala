@@ -573,12 +573,10 @@ object Vectors {
           pqBestKernel(col("v"), col("sub"), col("cbs")).getItem(1).cast("long")).as("k"),
           col("v"))
         .as[(Long, Array[Double])]
-      cbLocal = assigned.groupByKey(_._1).agg(VecMean.toColumn.name("cent_vec"))
-        .toDF("k", "cent_vec")
-        .select(floor(col("k") / PqCents).cast("int").as("sub"),
-          pmod(col("k"), lit(PqCents.toLong)).cast("int").as("code"),
-          col("cent_vec"))
-        .as[(Int, Int, Seq[Double])].collect()
+      cbLocal = vecMeanByKeyLocal(assigned)
+        .map { case (k, cv) =>
+          ((k / PqCents).toInt, (k % PqCents).toInt, cv)
+        }.toArray
     }
     cbLocal.toSeq.toDF("sub", "code", "cent_vec")
   }
@@ -660,6 +658,45 @@ object Vectors {
     * configured helper ([[Dedup.truncate]]). */
   private def truncate(df: DataFrame): DataFrame = Dedup.truncate(df)
 
+  /** [[VecMean]]-by-key in ONE Spark job: per-partition accumulators
+    * replay VecMean.reduce (first value cloned, then element-wise `+=`
+    * left-to-right), the per-partition partials collect to the driver,
+    * and the driver replays VecMean.merge. Replaces the k-means loops'
+    * per-iteration `groupByKey.agg(VecMean)` + collect — a 16-to-32-group
+    * aggregate whose exchange bought nothing but AQE stage jobs (the
+    * model is O(1)-bounded: ≤ nlist·Dim doubles; partials are ≤
+    * #partitions · #keys · Dim — a driver-safe bounded collect, same
+    * class as the PQ codebook). Output sorted by key: the former agg's
+    * row order was shuffle-fetch arbitrary, and every consumer is
+    * order-insensitive (argmax/argmin kernels scan all entries with id
+    * tie-breaks), so sorting only adds determinism. */
+  private def vecMeanByKeyLocal(
+      assigned: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Seq[(Long, Seq[Double])] = {
+    val partials = assigned.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Array[Double])]
+      it.foreach { case (k, v) =>
+        m.get(k) match {
+          case None => m(k) = (1L, v.clone())
+          case Some((n, s)) =>
+            var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+            m(k) = (n + 1, s)
+        }
+      }
+      Iterator.single(m.toArray)
+    }.collect()
+    val merged = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Array[Double])]
+    for (p <- partials; (k, (n, s)) <- p) {
+      merged.get(k) match {
+        case None => merged(k) = (n, s)
+        case Some((n0, s0)) =>
+          var i = 0; while (i < s0.length) { s0(i) += s(i); i += 1 }
+          merged(k) = (n0 + n, s0)
+      }
+    }
+    merged.toSeq.sortBy(_._1)
+      .map { case (k, (n, s)) => k -> s.map(_ / n).toSeq }
+  }
+
   /** Lloyd's k-means over the embedding corpus as pure DataFrame ops:
     * assignment is the map-side broadcast argmax above (no corpus
     * shuffle); the update step is [[VecMean]] — whole-vector partial sums
@@ -673,21 +710,50 @@ object Vectors {
   def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var cents = truncate(emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"),
-        col("embedding").cast("array<double>").as("cent_vec")))
+    kmeansCentroidsLocal(emb, nlist, iters).toDF("cent_id", "cent_vec")
+  }
+
+  /** Driver-resident [[kmeansCentroids]] core: the model is O(1)-bounded
+    * (nlist vectors of Dim doubles), so it lives on the DRIVER between
+    * iterations — the same materialization discipline as
+    * [[pqTrainCodebooks]]' codebook. The former per-iteration
+    * Dedup.truncate checkpointed the tiny centroid table through extra
+    * Spark jobs (plus the final centsRow agg + checkpoint in [[annIvf]]);
+    * now one aggregate+collect job per iteration is the whole loop, and
+    * the assignment side receives the centroids as a LOCAL one-row
+    * relation (zero jobs to build or broadcast-plan). Values are
+    * bit-identical: collect/re-literalize performs no FP operation. */
+  private[graft] def kmeansCentroidsLocal(emb: DataFrame, nlist: Int,
+                                          iters: Int): Seq[(Long, Seq[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centsLocal: Seq[(Long, Seq[Double])] =
+      emb.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cent_id"),
+          col("embedding").cast("array<double>").as("cent_vec"))
+        .as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 1 to iters) {
       val assigned = assignCentroid(
-          emb.select(col("vec_id"), col("embedding")), centsRow(cents), keep = 1,
+          emb.select(col("vec_id"), col("embedding")),
+          centsOneLocal(spark, centsLocal), keep = 1,
           centsFloat = false)
         .select(col("cent_id"),
           col("embedding").cast("array<double>").as("v"))
         .as[(Long, Array[Double])]
-      cents = truncate(
-        assigned.groupByKey(_._1).agg(VecMean.toColumn.name("cent_vec"))
-          .toDF("cent_id", "cent_vec"))
+      centsLocal = vecMeanByKeyLocal(assigned)
     }
-    cents
+    centsLocal
+  }
+
+  /** The [[centsRow]] one-row cents relation built from DRIVER-held
+    * centroids — a LocalRelation, so consumers' broadcast builds plan
+    * with no upstream job. */
+  private def centsOneLocal(spark: SparkSession,
+                            cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(cents)).toDF("cents")
+      .select(col("cents").cast(
+        "array<struct<cent_id:bigint,cent_vec:array<double>>>").as("cents"))
   }
 
   /** IVF-style ANN: coarse quantization + probe-limited search — the
@@ -706,7 +772,9 @@ object Vectors {
     val nlist = 16
     val nprobe = 4
     val emb = Tables.embeddings(spark, dir)
-    val cOne = truncate(centsRow(kmeansCentroids(emb, nlist, iters = 2)))
+    // centroids are driver-held after training — the one-row cents
+    // relation is LOCAL (no centsRow agg, no checkpoint job)
+    val cOne = centsOneLocal(spark, kmeansCentroidsLocal(emb, nlist, iters = 2))
     val corpus = assignCentroid(
       emb.select(col("vec_id").as("c_id"), col("embedding")), cOne, keep = 1,
       centsFloat = false)
