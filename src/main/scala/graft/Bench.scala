@@ -292,11 +292,9 @@ object Bench {
             s3.conf.set("spark.sql.streaming.stateStore.providerClass",
               "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
             s3.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
-            // the rollup's stateful stage has ONE non-empty key; a
-            // narrow shuffle conf means one store open/commit per
-            // micro-batch instead of one per core (the repsRollupStream
-            // pre-reduction keeps its own defaultParallelism width)
-            s3.conf.set("spark.sql.shuffle.partitions", "1")
+            // the 1-partition stateful width is repsRollupStream's own
+            // contract now (it pins the session conf itself) — the bench
+            // carries no rollup semantics the library doesn't
             val edges = s3.readStream
               .schema("rep LONG, member LONG, band INT, est_sim DOUBLE")
               .parquet(s"$edgeDir/edges")

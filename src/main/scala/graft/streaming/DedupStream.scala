@@ -448,6 +448,21 @@ object DedupStream {
                        ttl: Option[java.time.Duration] = None,
                        prereduce: Boolean = true): DataFrame = {
     import spark.implicits._
+    // The stateful stage below has exactly ONE non-empty key (the 0L
+    // group), and transformWithState opens/commits a state-store instance
+    // per shuffle partition per micro-batch — at a 32-wide conf that is
+    // 31 pure-overhead RocksDB open/commit cycles per trigger (round-17
+    // A/B: 0.61 s vs 14.13 s stage floor). The width is THIS operator's
+    // semantics, so the operator pins it instead of relying on every
+    // harness/consumer to know the magic conf (r18 verdict item): the
+    // session's shuffle width is set to 1 here, which is why the
+    // pre-reduce pass above pins its own repartition to
+    // defaultParallelism explicitly. NOTE this mutates the passed
+    // session's conf — run the rollup in a dedicated session
+    // (spark.newSession()), as every in-repo consumer does; the width is
+    // also pinned into the checkpoint at first run, like any streaming
+    // shuffle width.
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     val timeMode = ttl match {
       case Some(_) => TimeMode.ProcessingTime()
       case None    => TimeMode.None()
