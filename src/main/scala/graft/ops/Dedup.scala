@@ -108,12 +108,25 @@ object Dedup {
         // from the signatures attached for the first-band test) — skip
         // the verify stage's sig re-attach joins
         minhashVerifiedPreEst(minbandPairs(sigs), docs, bcastAttach = bcast)
-      else minhashVerified(
-        minhashBuckets(sigs)
-          .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
-          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .distinct(),
-        docs, sigs, bcastAttach = bcast)
+      else {
+        // candidate distinct: pack the sorted pair into one long when the
+        // id space allows (8-byte exchange keys instead of 16-byte
+        // structs — this is the ABOVE-GATE scale path, where the distinct
+        // is the family's largest remaining shuffle); unpack after.
+        val cands =
+          if (packableIds(docs))
+            minhashBuckets(sigs)
+              .select(explode(graft.functions.GraftFunctions
+                .sortedLongPairsPackedKernel(col("ids"))).as("uv"))
+              .distinct()
+              .select(shiftrightunsigned(col("uv"), 32).as("doc_a"),
+                col("uv").bitwiseAND(lit(4294967295L)).as("doc_b"))
+          else minhashBuckets(sigs)
+            .select(explode(sortedLongPairsKernel(col("ids"))).as("p"))
+            .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+            .distinct()
+        minhashVerified(cands, docs, sigs, bcastAttach = bcast)
+      }
     verified
       .select(col("doc_a"), col("doc_b"),
         round(col("est_sim"), 4).as("est_sim"), round(col("jaccard"), 4).as("jaccard"))
@@ -152,15 +165,39 @@ object Dedup {
   private def bcastAttachMaxDocs(spark: SparkSession): Long =
     spark.conf.getOption(BcastAttachMaxDocsKey).map(_.toLong).getOrElse(2000000L)
 
-  /** Weakly-memoized `docs.count()` (one count job per materialized docs
-    * instance, like [[withinDenseCeiling]]) — feeds the broadcast-attach
-    * and min-band gates. */
-  private def cachedCount(docs: DataFrame): Long =
-    Option(gateCounts.get(docs)).map(_.longValue).getOrElse {
-      val c = docs.count()
-      gateCounts.put(docs, java.lang.Long.valueOf(c))
-      c
+  /** Weakly-memoized (count, min doc_id, max doc_id) per materialized
+    * docs/sigs instance — ONE flat-scan aggregate job feeds the
+    * broadcast-attach gate, the min-band floor AND the packed-pair
+    * id-range gate ([[packableIds]]); adding min/max to what used to be
+    * a bare count() costs no extra job. */
+  private def gateStats(docs: DataFrame): (Long, Long, Long) =
+    Option(dedupGateStats.get(docs)).getOrElse {
+      val r = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).first()
+      val s = (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+      dedupGateStats.put(docs, s)
+      s
     }
+
+  /** Weak identity cache for [[gateStats]] (the dedup sibling of
+    * [[gateCounts]]). */
+  private val dedupGateStats =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, (Long, Long, Long)])
+
+  private def cachedCount(docs: DataFrame): Long = gateStats(docs)._1
+
+  /** True iff every doc id fits unsigned 32 bits, so a sorted candidate
+    * pair (a < b) packs injectively into ONE long (a·2³² | b) and the
+    * candidate distinct shuffles 8-byte keys instead of 16-byte structs
+    * (§2.3 narrower shuffle keys). Corpora past 2³² docs (or with
+    * negative ids) keep the struct form automatically — the data chooses,
+    * like every other gate here. */
+  private def packableIds(docs: DataFrame): Boolean = {
+    val (_, lo, hi) = gateStats(docs)
+    lo >= 0L && hi <= 4294967295L
+  }
 
   /** True iff `docs` is small enough to take the broadcast-attach fast
     * path ([[BcastAttachMaxDocsKey]]). */
@@ -402,14 +439,29 @@ object Dedup {
     // chain candidates: consecutive pairs of the bucket's SORTED member
     // list (k−1 rows, not C(k,2)); bucketing + caps + gates are the
     // SHARED stages (see minhashBuckets/minhashVerified)
-    val chains = minhashBuckets(sigs)
-      .select(sort_array(col("ids")).as("ids"))
-      .select(explode(expr(
-        "transform(sequence(1, size(ids) - 1), " +
-          "i -> named_struct('a', element_at(ids, i), 'b', element_at(ids, i + 1)))"))
-        .as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    // chain distinct: pack consecutive sorted members into one long when
+    // the id space allows (sorted ⇒ a < b, so a·2³² | b is injective and
+    // the distinct exchange carries 8-byte keys); struct fallback past
+    // the unsigned-32 id range.
+    val chains =
+      if (packableIds(docs))
+        minhashBuckets(sigs)
+          .select(sort_array(col("ids")).as("ids"))
+          .select(explode(expr(
+            "transform(sequence(1, size(ids) - 1), " +
+              "i -> shiftleft(element_at(ids, i), 32) | element_at(ids, i + 1))"))
+            .as("uv"))
+          .distinct()
+          .select(shiftrightunsigned(col("uv"), 32).as("doc_a"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("doc_b"))
+      else minhashBuckets(sigs)
+        .select(sort_array(col("ids")).as("ids"))
+        .select(explode(expr(
+          "transform(sequence(1, size(ids) - 1), " +
+            "i -> named_struct('a', element_at(ids, i), 'b', element_at(ids, i + 1)))"))
+          .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
     val verified = minhashVerified(chains, docs, sigs,
         bcastAttach = attachByBroadcast(docs))
       .select(col("doc_a"), col("doc_b"))
