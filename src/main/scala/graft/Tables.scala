@@ -21,6 +21,11 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  // orders/lineitem deliberately NOT spread (r19 A/B: adding the
+  // repartition cost +20-30% on the TPCH/window solo-bench set — their
+  // map stages are decode+filter+partial-agg, too light to pay an extra
+  // exchange for; the kernel-heavy documents/embeddings tables are where
+  // spread() pays)
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   /** The events table's `ts` column normalizes to TimestampType regardless

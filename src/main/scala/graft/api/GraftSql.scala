@@ -176,6 +176,11 @@ object GraftSql {
     // ((u+50) div 100) are all integer ops — no FP summation-order or
     // rounding-boundary divergence at ANY scale (the round(sum(double))
     // form straddled a cent boundary on the 10× replica data)
+    // the n/T totals ride ONE scalar-subquery struct: Spark inlines CTEs,
+    // so `(SELECT count(*) FROM pv)` + `(SELECT sum(units) FROM pv)` as
+    // separate scalar subqueries re-computed the whole lineitem aggregate
+    // a 2nd and 3rd time (16 AQE jobs at sf0.1); packing both into one
+    // subquery makes it twice total — same rows, same integer math
     sql(spark, dir,
       """WITH pv AS (SELECT l_partkey AS partkey,
         |                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -184,8 +189,10 @@ object GraftSql {
         |SELECT partkey,
         |       CAST((units + 50) DIV 100 AS DOUBLE) / 100.0 AS part_value
         |FROM pv
-        |WHERE CAST(units AS DECIMAL(38,0)) * (SELECT count(*) FROM pv) * 2
-        |      > CAST((SELECT sum(units) FROM pv) AS DECIMAL(38,0)) * 3
+        |WHERE CAST(units AS DECIMAL(38,0))
+        |      * (SELECT struct(count(*), sum(units)) FROM pv).col1 * 2
+        |      > CAST((SELECT struct(count(*), sum(units)) FROM pv).col2
+        |             AS DECIMAL(38,0)) * 3
         |ORDER BY part_value DESC, partkey
         |""".stripMargin)
 
