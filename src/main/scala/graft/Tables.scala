@@ -13,8 +13,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concern, not an operator concern.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred parquet schema per (dir, table) — METADATA memo, not data.
+    *
+    * `spark.read.parquet(path)` infers the schema EAGERLY: every call runs
+    * a 1-task footer-read job on the driver's cluster (observed ~35 ms +
+    * ~40 ms of scheduling gap each, serialized before the query's first
+    * real job). A 6-table TPC-H query paid ~450 ms of pure footer reads
+    * per execution — the single largest slice of the sf0.1 bench's
+    * fixed-cost floor (JobAnatomy: jobs named `parquet at Tables.scala`).
+    * The schema of a given table directory never changes within a process
+    * lifetime here, so it is read ONCE and passed to `.schema(...)`,
+    * which skips inference entirely. This is the same class of win as
+    * Spark's own file-listing cache (optimization guide §6) and matches
+    * the catalog-table posture at 100 TB: a registered table's schema
+    * comes from the metastore, never from per-query footer reads.
+    * No row data is memoized; every query still scans the parquet. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaMemo.get((dir, name))
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put((dir, name), df.schema)
+      df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")

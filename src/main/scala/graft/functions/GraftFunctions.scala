@@ -168,7 +168,10 @@ object GraftFunctions {
     * signature components per band; `hot` = per-band sorted arrays of
     * capped-away bucket keys packed as k0·prime + k1 (components are CW
     * residues in [0, prime), prime = 2³¹−1, so the pack is an injective
-    * long). A tight ≤(band·rows)-long-comparison loop per call — lives
+    * long — unconditionally, since [[graft.ops.Dedup.minhashBandRows]]
+    * excludes all-sentinel (Long.MaxValue) signatures from banding; a
+    * sentinel component would wrap the pack and could alias a real hot
+    * key, falsely suppressing a surviving lower band). A tight ≤(band·rows)-long-comparison loop per call — lives
     * here as a StaticInvoke kernel because the equivalent 16-branch
     * Catalyst predicate tree over constant-indexed array reads measured
     * 2.7× SLOWER end-to-end at sf1 (codegen bloat), vs ~free in this

@@ -57,6 +57,17 @@ object Dedup {
   val Bands = 16   // 16 bands x 2 rows: candidate threshold ~ (1/16)^(1/2) = 0.25 Jaccard
   val Rows = NumPerms / Bands
 
+  /** Shared MinHash bucket-size gates: a bucket is a candidate source only
+    * when its membership lands in [BucketLo, BucketCap]. ONE definition —
+    * [[minbandPairs]]' exactly-once emission invariant couples the
+    * capped-away hot-key filter (`n > BucketCap`) to the cap passed to
+    * [[cappedBuckets]]; if the two constants drifted apart, pairs would be
+    * silently lost or duplicated (r18 advice item). The SQL-form queries
+    * (dedup_minhash_sql, dedup_chunks) keep their literal `BETWEEN 2 AND
+    * 1000` text — those strings replay verbatim in the DuckDB oracle. */
+  private[graft] val BucketLo = 2
+  private[graft] val BucketCap = 1000
+
   // ---- operators ------------------------------------------------------
 
   /** Exact dedup: group by md5 fingerprint of normalized text, keep the
@@ -239,13 +250,29 @@ object Dedup {
     * membership in one buffer before being dropped. */
   private[graft] def minhashBuckets(sigs: DataFrame): DataFrame =
     cappedBuckets(minhashBandRows(sigs),
-      Seq("band", "k0", "k1"), "doc_id", lo = 2, hi = 1000)
+      Seq("band", "k0", "k1"), "doc_id", lo = BucketLo, hi = BucketCap)
 
   /** The per-doc-per-band (doc_id, band, k0, k1) bucket-membership rows
     * feeding [[minhashBuckets]] — split out so [[minbandPairs]] can run
-    * its capped-away-key aggregate over the identical row set. */
+    * its capped-away-key aggregate over the identical row set.
+    *
+    * All-sentinel signatures (every component Long.MaxValue — an EMPTY
+    * shingle set, which [[graft.functions.TextKernels.shingles]] cannot
+    * produce for non-null text but a custom shingle feed could) are
+    * excluded from banding: they carry no dedup signal. A sentinel doc
+    * can only ever bucket with other sentinel docs (real components are
+    * CW residues < 2³¹−1 < MaxValue), and every sentinel∕sentinel pair
+    * is empty∕empty in shingle space — jaccard 0.0, dropped by the ≥ 0.2
+    * verify gate on all paths — so excluding them changes NO operator
+    * output. What it buys: [[minbandPairs]]' packed hot-key argument
+    * (k0·prime + k1 injective on components < prime) now holds
+    * UNCONDITIONALLY — sentinel components would wrap the pack, and a
+    * wrapped key colliding with a real bucket's key could falsely mark a
+    * surviving lower band as capped-away and double-emit a real pair
+    * (r18 advice item). */
   private[graft] def minhashBandRows(sigs: DataFrame): DataFrame =
-    sigs.select(
+    sigs.filter(col("sig")(0) =!= Long.MaxValue)
+      .select(
         col("doc_id"),
         explode(array((0 until Bands).map(b => struct(lit(b).as("band"),
           col("sig")(b * Rows).as("k0"), col("sig")(b * Rows + 1).as("k1"))): _*)).as("bk"))
@@ -283,7 +310,7 @@ object Dedup {
     val bandRows = minhashBandRows(sigs)
     val hotByBand: Map[Int, Array[Long]] = bandRows
       .groupBy(col("band"), col("k0"), col("k1"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1000)
+      .agg(count(lit(1)).as("n")).filter(col("n") > BucketCap)
       .select(col("band"), col("k0"), col("k1"))
       .collect()
       .groupBy(_.getInt(0))
@@ -291,7 +318,7 @@ object Dedup {
         b -> rows.map(r => r.getLong(1) * SqlPrime + r.getLong(2)).sorted
       }
     val cands = cappedBuckets(bandRows, Seq("band", "k0", "k1"), "doc_id",
-        lo = 2, hi = 1000)
+        lo = BucketLo, hi = BucketCap)
       .select(col("band"), explode(sortedLongPairsKernel(col("ids"))).as("p"))
       .select(col("band"), col("p.a").as("doc_a"), col("p.b").as("doc_b"))
     val withSigs = cands

@@ -30,8 +30,10 @@ object JobAnatomy {
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.synchronized {
-        jobs(j.jobId) = Job(j.jobId, j.time,
-          desc = Option(j.properties.getProperty("spark.job.description")).getOrElse(""))
+        // the result stage's callsite names what the job IS (broadcast
+        // build, shuffle stage materialization, noop write, collect …)
+        val site = j.stageInfos.lastOption.map(_.name).getOrElse("")
+        jobs(j.jobId) = Job(j.jobId, j.time, desc = site.take(70))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(j.jobId).foreach(_.end = j.time)
@@ -69,7 +71,7 @@ object JobAnatomy {
           val gap = j.start - prevEnd
           val dur = j.end - j.start
           jobSum += dur; gapSum += math.max(gap, 0)
-          println(f"[anatomy]   job${j.id}%-4d gap=${gap}%5d ms dur=${dur}%5d ms tasks=${j.tasks}%-4d")
+          println(f"[anatomy]   job${j.id}%-4d gap=${gap}%5d ms dur=${dur}%5d ms tasks=${j.tasks}%-4d ${j.desc}")
           prevEnd = j.end
         }
         val tail = t0 + wall - prevEnd

@@ -197,6 +197,30 @@ class CappedBucketsSpec extends SparkSpec {
       "capped-away bucket members leaked")
   }
 
+  test("all-sentinel signatures are excluded from banding and change no pair output") {
+    // Empty-shingle docs keep minhashSig's Long.MaxValue fill in every
+    // component; their packed band key would WRAP k0·prime+k1 and could
+    // alias a real hot key in minbandPairs' capped-away fold (r18 advice).
+    // minhashBandRows drops them; output parity is provable (a sentinel
+    // only ever buckets with sentinels, and empty∕empty jaccard is 0.0 <
+    // the 0.2 gate) and pinned here on a mixed corpus.
+    val spark2 = spark
+    import spark2.implicits._
+    val real = (0L until 10L).map(d =>
+      (d, Array.tabulate(32)(i => if (i < 2) 7L + i else d * 100 + i + 2000000L)))
+    val sentinels = (100L until 103L).map(d => (d, Array.fill(32)(Long.MaxValue)))
+    val sigs = Dedup.truncate((real ++ sentinels).toDF("doc_id", "sig"))
+    val bandDocs = Dedup.minhashBandRows(sigs)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandDocs == (0L until 10L).toSet,
+      s"sentinel docs must not band: $bandDocs")
+    val pairs = Dedup.minbandPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the 10 real docs all share band 0 (small bucket) → all C(10,2) pairs
+    val want = (for (a <- 0L until 10L; b <- (a + 1) until 10L) yield (a, b)).sorted
+    assert(pairs == want, s"real pairs disturbed: ${pairs.length} vs ${want.length}")
+  }
+
   test("minhashSqlPairs map-side emission ≡ groupBy-count aggregate form") {
     // The broadcast-gated form (first-colliding-band filter + shared-band
     // count from the signatures) must be row-for-row identical to the
