@@ -296,6 +296,21 @@ object Graph {
     * accumulation + tree merge vs hash-aggregate order), absorbed by
     * [[pagerankTop]]'s 4-decimal rounding like every other order
     * variation across this family's paths and engines. */
+  /** treeReduce depth for the dense power-iteration partials: the tree
+    * level exists only to bound DRIVER ingress (nPart × nV × 8 B of
+    * partial vectors arrive at once under a flat reduce). Below a 256 MB
+    * bound a flat reduce (depth 1) is safe and saves the tree's extra
+    * aggregation stage on EVERY iteration — at bench-scale dictionaries
+    * (32 partitions × ~20k nodes ≈ 5 MB) that is 6 stages per query of
+    * pure scheduling overhead. Above the bound the 2-level tree stays:
+    * under the denseMaxNodes gate (10⁷ nodes → 80 MB per partial) a
+    * wide cluster's partial fan-in must merge on executors first.
+    * Summation ORDER differs between the two shapes — same class of
+    * variation as the partition-accumulation order itself, absorbed by
+    * the caller's 4-decimal rounding (GraphSpec pins 1e-9 parity). */
+  private def reduceDepth(nPart: Int, nV: Int): Int =
+    if (nPart.toLong * nV * 8 <= (256L << 20)) 1 else 2
+
   private def pageRankDense(adj: DataFrame, iters: Int, d: Double): DataFrame = {
     val spark = adj.sparkSession
     val sc = spark.sparkContext
@@ -332,7 +347,7 @@ object Graph {
         Iterator.single(acc)
       }.treeReduce({ (a, b) =>
         var j = 0; while (j < a.length) { a(j) += b(j); j += 1 }; a
-      }, depth = 2)
+      }, depth = reduceDepth(base.getNumPartitions, nV))
       ranksB.unpersist(blocking = false)
       val next = new Array[Double](nV)
       var j = 0
@@ -408,7 +423,7 @@ object Graph {
         Iterator.single(acc)
       }.treeReduce({ (a, b) =>
         var j = 0; while (j < a.length) { a(j) += b(j); j += 1 }; a
-      }, depth = 2)
+      }, depth = reduceDepth(base.getNumPartitions, nV))
       ranksB.unpersist(blocking = false)
       val next = new Array[Double](nV)
       var j = 0
